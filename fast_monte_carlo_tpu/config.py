@@ -1,0 +1,229 @@
+"""Typed simulation configuration: the single source of truth for every constant.
+
+The reference (`fast_monte_carlo_cfb.py`) scatters its tuning constants across
+module globals and inline literals; this module collects all of them in one
+frozen dataclass so that calibration deltas (e.g. the fast-variant vs the
+original `monte_carlo_cfb.py` drift, reference SURVEY §2.3) are explicit and
+versioned.
+
+Canonical values follow the *fast* variant (`fast_monte_carlo_cfb.py`), which
+supersedes `monte_carlo_cfb.py`.  The alternate ("classic") values from the
+original are available via :func:`classic_config`.
+
+Reference provenance (file:line in /root/reference):
+  - clock charges            fast_monte_carlo_cfb.py:34-39, 1132, 1198, 1404, 1418
+  - stage-2 nudge            fast_monte_carlo_cfb.py:767-768
+  - sigma floors / clips     fast_monte_carlo_cfb.py:826-852
+  - FG curve & distances     fast_monte_carlo_cfb.py:858-874, 1401
+  - punt model               fast_monte_carlo_cfb.py:876-896
+  - go-for-it table          fast_monte_carlo_cfb.py:1336-1378, 1394
+  - SP+ matchup adjustments  fast_monte_carlo_cfb.py:431-484
+  - heuristic play call      fast_monte_carlo_cfb.py:719-735
+  - RZ finish gates          fast_monte_carlo_cfb.py:1102, 1226
+  - explosive-play gates     fast_monte_carlo_cfb.py:1096-1099, 1222-1224
+  - INT return               fast_monte_carlo_cfb.py:1194-1195
+  - speed knobs              fast_monte_carlo_cfb.py:27-28
+"""
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Optional, Tuple
+
+
+@dataclass(frozen=True)
+class ClockConfig:
+    """Seconds charged per play outcome (fast_monte_carlo_cfb.py:34-39)."""
+
+    pass_complete: int = 26   # T_PASS_C
+    pass_incomplete: int = 10  # T_PASS_INC
+    sack: int = 24            # T_SACK
+    run: int = 28             # T_RUN
+    field_goal: int = 12      # T_FG (handle_fourth ticks this, :1404)
+    punt: int = 16            # T_PUNT (:1418)
+    td_pass: int = 20         # TD pass ticks 20 (:1132)
+    interception: int = 12    # INT ticks 12 (:1198)
+    game_seconds: int = 3600
+    half_seconds: int = 1800
+    quarter_seconds: int = 900
+
+
+@dataclass(frozen=True)
+class SpecialTeamsConfig:
+    """FG make curve, FG gate, and punt model (fast_monte_carlo_cfb.py:858-896)."""
+
+    fg_snap_plus_endzone: float = 17.0   # attempt distance = ytg + 17 (:869)
+    # piecewise make-probability curve keyed on attempt distance (:858-865)
+    fg_curve: Tuple[Tuple[float, float], ...] = (
+        (30.0, 0.96),
+        (40.0, 0.92),
+        (50.0, 0.78),
+        (55.001, 0.50),  # "<= 55" in the reference; use half-open bins
+    )
+    fg_long_prob: float = 0.25
+    fg_attempt_max_ytg: float = 38.0     # FG considered iff ytg <= 38 (:1401)
+
+    punt_gross_mean: float = 43.0        # gross ~ N(43, 6), floored (:881)
+    punt_gross_sd: float = 6.0
+    punt_gross_min: float = 30.0
+    punt_return_mean: float = 6.0        # return ~ N(6, 3), floored (:882)
+    punt_return_sd: float = 3.0
+    punt_touchback_gate_ytg: float = 60.0  # TB possible iff ytg <= 60 (:887)
+    punt_tb_lo: float = 0.10             # tb prob = clip((60-ytg)/60, .10, .55) (:888)
+    punt_tb_hi: float = 0.55
+    punt_tb_own_spot: float = 25.0       # TB: new offense at own 25 (:891)
+    punt_net_min: float = 15.0           # net clip [15, ytg-1] (:894)
+
+
+@dataclass(frozen=True)
+class FourthDownConfig:
+    """Go-for-it policy table (fast_monte_carlo_cfb.py:1336-1378, 1394)."""
+
+    go_multiplier: float = 1.15          # p_go = min(1, table * 1.15) (:1394)
+    late_seconds: int = 300
+    late_trailing_long_fg_ytg: float = 38.0
+    late_trailing_go_long: float = 0.90  # trailing, <5min, ytg > 38 (:1344)
+    late_trailing_go_short: float = 0.75
+    late_leading_scale: float = 0.85     # leading late: p *= 0.85 (:1375-1376)
+    # (ytg_lower_bound_exclusive, [(dist_max, p), ...]) buckets (:1347-1372)
+    table: Tuple[Tuple[float, Tuple[Tuple[float, float], ...]], ...] = (
+        (80.0, ((1.0, 0.15), (2.0, 0.05))),
+        (65.0, ((1.0, 0.30), (2.0, 0.15))),
+        (50.0, ((1.0, 0.60), (2.0, 0.40), (3.0, 0.20))),
+        (35.0, ((1.0, 0.85), (2.0, 0.65), (3.0, 0.40), (4.0, 0.25))),
+        (20.0, ((1.0, 0.75), (2.0, 0.50), (3.0, 0.30))),
+        (10.0, ((1.0, 0.70), (2.0, 0.45))),
+        (-1.0, ((2.0, 0.85), (4.0, 0.40))),
+    )
+
+
+@dataclass(frozen=True)
+class MatchupConfig:
+    """SP+-derived analytic tilts (fast_monte_carlo_cfb.py:431-484)."""
+
+    bias_k: float = 0.12            # completion bias = k*(offO-defD)/40 (:431-433)
+    bias_denom: float = 40.0
+    ymult_k: float = 0.10           # yardage mult = 1 + k*tanh(gap/30) (:435-437)
+    ymult_denom: float = 30.0
+    mismatch_denom: float = 40.0    # z = gap/40 (:440-442)
+
+    rz_pass_base: float = 0.32      # (:444-449)
+    rz_pass_slope: float = 0.30
+    rz_pass_down_bonus: float = 0.03
+    rz_pass_tilt: float = 0.08
+    rz_pass_tilt_denom: float = 35.0
+    rz_pass_lo: float = 0.22
+    rz_pass_hi: float = 0.68
+    rz_pass_gate_ytg: float = 12.0  # gate: ytg<=12 and down<=3 (:1102)
+
+    rz_run_base: float = 0.30       # (:452-457)
+    rz_run_slope: float = 0.30
+    rz_run_down_bonus: float = 0.04
+    rz_run_tilt: float = 0.07
+    rz_run_tilt_denom: float = 35.0
+    rz_run_lo: float = 0.20
+    rz_run_hi: float = 0.62
+    rz_run_gate_ytg: float = 9.0    # gate: ytg<=9 and down<=3 (:1226)
+
+    explosive_base: float = 0.03    # (:467-472)
+    explosive_z_k: float = 0.05
+    explosive_bonus_60: float = 0.02
+    explosive_bonus_40: float = 0.01
+    explosive_lo: float = 0.01
+    explosive_hi: float = 0.12
+    explosive_gate_ytg: float = 25.0   # both pass & run explosive gates (:1096, 1222)
+    explosive_pass_scale: float = 0.60  # P = 0.60 * explosive_prob (:1096)
+    explosive_pass_boost_lo: float = 0.35  # boost ~ U(.35,.95)*(1+.7z) (:1098)
+    explosive_pass_boost_hi: float = 0.95
+    explosive_pass_z_k: float = 0.7
+    explosive_run_scale: float = 0.5    # P = 0.5 * explosive_prob (:1222)
+    explosive_run_boost_lo: float = 0.2  # boost ~ U(.2,.5)*(1+.6z) (:1223)
+    explosive_run_boost_hi: float = 0.5
+    explosive_run_z_k: float = 0.6
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    """Model-wrapping constants (clips, nudges, sigma floors)."""
+
+    stage1_clip_lo: float = 0.02    # p_complete clip after bias (:1087)
+    stage1_clip_hi: float = 0.98
+    stage2_sack_scale: float = 0.65   # (:767)
+    stage2_int_scale: float = 1.20    # (:768)
+    stage2_int_add: float = 0.004
+
+    sigma_denom: float = 2.56       # sigma = (q90-q10)/2.56 (:826, 838, 850)
+    pass_sigma_floor: float = 0.40
+    rush_sigma_floor: float = 0.35
+    sack_sigma_floor: float = 0.25
+    pass_clip_lo: float = 0.0       # pass yards clip [0, ytg] (:831)
+    rush_clip_lo: float = -4.0      # rush yards clip [-4, ytg] (:843)
+    sack_clip_lo: float = -20.0     # sack yards clip [-20, 0] (:852)
+    sack_clip_hi: float = 0.0
+
+    int_return_mean: float = 6.0    # INT return ~ N(6,5) clip [0, ytg] (:1194)
+    int_return_sd: float = 5.0
+
+    play_clip_lo: float = 0.02      # ML play-call clip (:425)
+    play_clip_hi: float = 0.98
+    heuristic_clip_lo: float = 0.10  # pass_prob_v1 clip (:735)
+    heuristic_clip_hi: float = 0.95
+
+    use_play_model: bool = False    # play_model.json absent in snapshot => heuristic
+    count_sack_as_att: bool = False  # (:148)
+    td_points: int = 7
+    fg_points: int = 3
+
+
+@dataclass(frozen=True)
+class EngineConfig:
+    """TPU engine shape/limits (new; no reference equivalent)."""
+
+    max_plays: int = 360          # hard bound: min charge is 10s over 3600s
+    player_slots: int = 8         # padded per-role player slots (top-5 + Other + pad)
+    ytg_max: float = 120.0        # sack push-back can exceed 100 (see engine notes)
+    dist_max: float = 64.0
+    # table-mode bin granularity == the reference memo-cache key bins (:68-88)
+    dist_bin: float = 0.5
+    sec_bin: int = 30
+    table_dtype: str = "float32"
+
+
+@dataclass(frozen=True)
+class SimConfig:
+    clock: ClockConfig = field(default_factory=ClockConfig)
+    st: SpecialTeamsConfig = field(default_factory=SpecialTeamsConfig)
+    fourth: FourthDownConfig = field(default_factory=FourthDownConfig)
+    matchup: MatchupConfig = field(default_factory=MatchupConfig)
+    model: ModelConfig = field(default_factory=ModelConfig)
+    engine: EngineConfig = field(default_factory=EngineConfig)
+
+    track_players_per_team: Optional[int] = 5   # (:27)
+    aggregate_others: bool = True               # (:28)
+    kickoff_spot: float = 75.0                  # own 25 (:1445, 968, 1133)
+    opening_distance: float = 10.0
+    timeouts: int = 3
+
+    def replace(self, **kw) -> "SimConfig":
+        return dataclasses.replace(self, **kw)
+
+
+DEFAULT_CONFIG = SimConfig()
+
+
+def classic_config() -> SimConfig:
+    """Constants of the original serial variant (`monte_carlo_cfb.py`), for
+    A/B calibration work.  Deltas per SURVEY §2.3 (mc file:line cited there).
+    """
+    c = SimConfig()
+    return c.replace(
+        clock=dataclasses.replace(
+            c.clock, pass_complete=29, pass_incomplete=12, sack=28, field_goal=12
+        ),
+        matchup=dataclasses.replace(
+            c.matchup,
+            rz_pass_base=0.30, rz_pass_down_bonus=0.03, rz_pass_tilt=0.07,
+            rz_run_base=0.28, rz_run_down_bonus=0.04, rz_run_tilt=0.06,
+            rz_pass_gate_ytg=10.0, rz_run_gate_ytg=7.0,
+        ),
+    )
