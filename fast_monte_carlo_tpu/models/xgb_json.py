@@ -238,11 +238,11 @@ class _UbjReader:
 
 
 def loads_auto(raw: bytes) -> dict:
-    """Parse serialized booster bytes: JSON if it looks like JSON, else UBJSON."""
-    head = raw.lstrip()[:1]
-    if head in (b"{", b"["):
+    """Parse serialized booster bytes: JSON or UBJSON (both start with '{')."""
+    try:
         return json.loads(raw.decode("utf-8"))
-    return _UbjReader(raw).value()
+    except (UnicodeDecodeError, json.JSONDecodeError):
+        return _UbjReader(raw).value()
 
 
 def forest_from_xgb_raw(raw: bytes, layout: FeatureLayout, *, name: str = "",
