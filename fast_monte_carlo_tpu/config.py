@@ -170,6 +170,8 @@ class ModelConfig:
     heuristic_clip_hi: float = 0.95
 
     use_play_model: bool = False    # play_model.json absent in snapshot => heuristic
+    enable_fumbles: bool = False    # fumble head is trained-but-unwired in the
+                                    # reference (SURVEY §0.1); opt-in extension
     count_sack_as_att: bool = False  # (:148)
     td_points: int = 7
     fg_points: int = 3
