@@ -1,0 +1,522 @@
+"""The TPU game engine: one fused, branchless play step under `lax.scan`.
+
+The reference's per-game `while` loop with ~12 mutually exclusive outcome
+paths (fast_monte_carlo_cfb.py:1026-1257, 1382-1421, 1447-1451) becomes a
+fixed-length scan over MAX_PLAYS steps, vectorized over a batch of trials.
+Every step computes all outcome paths for all trials and combines them with
+masks; finished games (seconds == 0) no-op through the remaining steps.
+
+Update ordering replicates the reference exactly (it matters around the
+halftime flip inside tick_clock, :956-968):
+
+  phase a (pre-tick):  advance_down / down+1 / sack spot math / INT or
+                       turnover-on-downs possession flips
+  phase b (tick):      clock decrement; halftime possession flip to the 75
+  phase c (post-tick): kickoff/FG/punt possession flips
+
+so e.g. a TD that ticks across halftime flips twice and the scoring team
+keeps the ball at its 25 — same as the reference.
+
+RNG is counter-based: one threefry key per scan step, split into a uniform
+block and a normal block; mutually exclusive outcome paths share draws
+(pass/run/sack yardage normals, explosive/RZ gates), so a play consumes a
+fixed 13 uniforms + 4 normals regardless of its branch.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..config import SimConfig
+from ..models import analytic
+from ..models.heads import ST1_FEATURES
+from ..stats import (
+    N_PLAYER_STATS, N_TEAM_STATS, PC_ATT, PC_COMP, PC_INT, PC_SACKS, PC_TD,
+    PC_YDS, ROLE_PASS, ROLE_REC, ROLE_RUSH, TS,
+)
+from .forest_eval import predict
+from .pack import HeadsPack, MatchupPack
+
+F32 = jnp.float32
+I32 = jnp.int32
+
+# uniform draw slots (shared across exclusive branches)
+U_GO, U_FG, U_TB, U_CALL, U_QB, U_WR, U_RB, U_COMPLETE, U_EXP, U_BOOST, \
+    U_RZ, U_S2, U_FUM = range(13)
+N_UNIFORMS = 13
+# normal draw slots
+N_PUNT_GROSS, N_PUNT_RET, N_YARDS, N_INT_RET = range(4)
+N_NORMALS = 4
+
+
+class GameState(NamedTuple):
+    off: jnp.ndarray      # (B,) i32 offense side 0/1
+    sec: jnp.ndarray      # (B,) i32
+    down: jnp.ndarray     # (B,) i32
+    dist: jnp.ndarray     # (B,) f32
+    ytg: jnp.ndarray      # (B,) f32
+    period: jnp.ndarray   # (B,) i32
+    in_rz: jnp.ndarray    # (B,) bool
+    going: jnp.ndarray    # (B,) bool
+    score: jnp.ndarray    # (B,2) i32
+    stats: jnp.ndarray    # (B,2,N_TEAM_STATS) f32
+    pstats: jnp.ndarray   # (B,2,3,K,6) f32
+
+
+class StepObs(NamedTuple):
+    """What a heads-eval implementation sees: play-start state + sampled slots."""
+    x: jnp.ndarray        # (B,17) ST1 feature rows
+    off: jnp.ndarray      # (B,) i32
+    down: jnp.ndarray
+    dist: jnp.ndarray
+    ytg: jnp.ndarray
+    sec: jnp.ndarray
+    qb: jnp.ndarray       # (B,) i32 slot
+    wr: jnp.ndarray
+    rb: jnp.ndarray
+
+
+class HeadOut(NamedTuple):
+    """Final (fully post-processed) model quantities for one play step.
+
+    Implementations bake in all deterministic transforms: stage1 matchup
+    bias + clip, the stage-2 nudge (+ cumulative form), and quantile ->
+    (mu, sigma) with sigma floors.  The play step consumes these directly.
+    """
+    p_complete: jnp.ndarray       # (B,) biased + clipped completion prob
+    s2_cum: jnp.ndarray           # (B,2) post-nudge cumulative (P(inc), P(inc)+P(sack))
+    pass_ms: jnp.ndarray          # (B,2) (mu, sigma) pass yards
+    rush_ms: jnp.ndarray          # (B,2)
+    sack_ms: jnp.ndarray          # (B,2)
+    p_fumble: jnp.ndarray         # (B,)
+    p_pass_ml: Optional[jnp.ndarray]  # (B,) or None if no ML policy
+
+
+# heads_fn(heads_state, obs, pack) -> HeadOut.  heads_state is a pytree of
+# device arrays (forests or tables) passed through jit as an ARGUMENT —
+# never close over large arrays or they become jaxpr constants and blow up
+# compile time.
+HeadsEvalFn = Callable[[object, StepObs, MatchupPack], HeadOut]
+
+
+def _gather2k(arr2k: jnp.ndarray, off: jnp.ndarray, slot: jnp.ndarray) -> jnp.ndarray:
+    """arr (2,K) gathered at (off, slot) per trial."""
+    k = arr2k.shape[1]
+    return jnp.take(arr2k.reshape(-1), off * k + slot)
+
+
+def make_exact_heads_eval(cfg: SimConfig) -> HeadsEvalFn:
+    """Exact mode: full compiled-forest evaluation per play step.
+    heads_state is a HeadsPack."""
+
+    def heads_eval(hp: HeadsPack, obs: StepObs, pack: MatchupPack) -> HeadOut:
+        x, off, qb, wr, rb = obs.x, obs.off, obs.qb, obs.wr, obs.rb
+        p_raw = predict(hp.stage1, x, {"passer_name": _gather2k(pack.ids_qb_stage1, off, qb)})
+        p_c = jnp.clip(p_raw + jnp.take(pack.bias, off),
+                       cfg.model.stage1_clip_lo, cfg.model.stage1_clip_hi)
+        if hp.stage2 is not None:
+            probs = predict(hp.stage2, x, {
+                "passer_name": _gather2k(pack.ids_qb_stage2, off, qb),
+                "target_name": _gather2k(pack.ids_wr_stage2, off, wr),
+            })
+            o = hp.stage2_order
+            inc, itc, sck = probs[:, o[0]], probs[:, o[1]], probs[:, o[2]]
+        else:
+            inc, itc, sck = analytic.stage2_fallback_probs(
+                obs.down.astype(F32), obs.dist, cfg, jnp)
+        inc, itc, sck = analytic.stage2_nudge(inc, itc, sck, cfg, jnp)
+        s2_cum = jnp.stack([inc, inc + sck], axis=1)
+
+        def ms(trio, cat, floor):
+            q = jnp.stack([predict(f, x, cat) for f in trio], axis=1)
+            sigma = jnp.maximum(floor, (q[:, 2] - q[:, 0]) / cfg.model.sigma_denom)
+            return jnp.stack([q[:, 1], sigma], axis=1)
+
+        pass_ms = ms(hp.pq, {"passer_name": _gather2k(pack.ids_qb_passq, off, qb),
+                             "target_name": _gather2k(pack.ids_wr_passq, off, wr)},
+                     cfg.model.pass_sigma_floor)
+        rush_ms = ms(hp.rq, {"rusher_name": _gather2k(pack.ids_rb_rushq, off, rb)},
+                     cfg.model.rush_sigma_floor)
+        sack_ms = ms(hp.sq, {"passer_name": _gather2k(pack.ids_qb_sackq, off, qb)},
+                     cfg.model.sack_sigma_floor)
+        if hp.fumble is not None and cfg.model.enable_fumbles:
+            p_f = predict(hp.fumble, x, {"rusher_name": _gather2k(pack.ids_rb_fumble, off, rb)})
+        else:
+            p_f = jnp.zeros_like(p_c)
+        p_pass_ml = None
+        if hp.play is not None and cfg.model.use_play_model:
+            p_pass_ml = _play_pass_prob(hp, x, jnp.take(pack.coach_id, off), cfg)
+        return HeadOut(p_c, s2_cum, pass_ms, rush_ms, sack_ms, p_f, p_pass_ml)
+
+    return heads_eval
+
+
+def make_analytic_heads_eval(cfg: SimConfig) -> HeadsEvalFn:
+    """Artifact-free heads: smooth closed-form stand-ins for every model
+    head.  Lets the full engine run with no trained artifacts at all (and
+    keeps multi-device tests fast); clearly NOT the reference models.
+    heads_state is unused (pass None)."""
+
+    def heads_eval(heads_state, obs: StepObs, pack: MatchupPack) -> HeadOut:
+        bias = jnp.take(pack.bias, obs.off)
+        p_c = jnp.clip(
+            0.68 - 0.022 * jnp.maximum(0.0, obs.dist - 3.0) + bias,
+            cfg.model.stage1_clip_lo, cfg.model.stage1_clip_hi)
+        inc, itc, sck = analytic.stage2_fallback_probs(
+            obs.down.astype(F32), obs.dist, cfg, jnp)
+        inc, itc, sck = analytic.stage2_nudge(inc, itc, sck, cfg, jnp)
+        s2_cum = jnp.stack([inc, inc + sck], axis=1)
+        b = obs.dist.shape[0]
+        pass_mu = 4.5 + 0.45 * obs.dist
+        pass_ms = jnp.stack([pass_mu, jnp.full((b,), 7.0, F32)], axis=1)
+        rush_ms = jnp.stack([jnp.full((b,), 4.2, F32), jnp.full((b,), 4.0, F32)], axis=1)
+        sack_ms = jnp.stack([jnp.full((b,), -6.0, F32), jnp.full((b,), 2.2, F32)], axis=1)
+        return HeadOut(p_c, s2_cum, pass_ms, rush_ms, sack_ms,
+                       jnp.full((b,), 0.012, F32), None)
+
+    return heads_eval
+
+
+def _play_pass_prob(hp: HeadsPack, x: jnp.ndarray, coach: jnp.ndarray, cfg: SimConfig):
+    from .forest_eval import eval_margin
+    jf = hp.play
+    cols = [ST1_FEATURES.index(n) for n in jf.numeric_names]
+    xp = x[:, cols]
+    m = eval_margin(jf, xp, {"head_coach": coach})
+    z = m / max(1e-6, hp.play_temperature)
+    p = jax.nn.softmax(z, axis=1)
+    p_pass = p[:, hp.play_pass_idx]
+    if hp.play_run_idx >= 0:
+        p_run = p[:, hp.play_run_idx]
+        p_pass = p_pass / jnp.maximum(1e-9, p_pass + p_run)
+    return jnp.clip(p_pass, cfg.model.play_clip_lo, cfg.model.play_clip_hi)
+
+
+def _sample_slot(cum2k: jnp.ndarray, off: jnp.ndarray, u: jnp.ndarray) -> jnp.ndarray:
+    """Inverse-CDF slot sampling against (2,K) cumulative shares."""
+    cum = jnp.take(cum2k, off, axis=0)                 # (B,K)
+    slot = jnp.sum(u[:, None] >= cum, axis=1)
+    return jnp.minimum(slot, cum2k.shape[1] - 1).astype(I32)
+
+
+def _state_features(pack: MatchupPack, cfg: SimConfig, off, down, dist, ytg, sec, sd):
+    half_s = cfg.clock.half_seconds
+    sec_f = sec.astype(F32)
+    sp = jnp.take(pack.sp, off, axis=0)                # (B,4)
+    cols = [
+        down.astype(F32), dist, ytg,
+        (ytg <= 20).astype(F32),
+        sd.astype(F32), sec_f,
+        jnp.full_like(sec_f, cfg.timeouts), jnp.full_like(sec_f, cfg.timeouts),
+        sp[:, 0], sp[:, 1], sp[:, 2], sp[:, 3],
+        (dist >= ytg - 0.5).astype(F32),
+        ((down == 4) & (dist <= 2.0)).astype(F32),
+        (ytg <= 33).astype(F32),
+        jnp.where(sec > half_s, 1.0, 2.0),
+        ((sec % half_s) <= 120).astype(F32),
+    ]
+    return jnp.stack(cols, axis=1)
+
+
+def play_step(
+    s: GameState,
+    key: jnp.ndarray,
+    pack: MatchupPack,
+    cfg: SimConfig,
+    heads_eval: HeadsEvalFn,
+    heads_state,
+    collect_players: bool,
+) -> GameState:
+    B = s.off.shape[0]
+    ku, kn = jax.random.split(key)
+    u = jax.random.uniform(ku, (B, N_UNIFORMS))
+    n = jax.random.normal(kn, (B, N_NORMALS))
+
+    active = s.sec > 0
+    off, down0, dist0, ytg0, sec0 = s.off, s.down, s.dist, s.ytg, s.sec
+    score_off = jnp.take_along_axis(s.score, off[:, None], axis=1)[:, 0]
+    score_def = jnp.take_along_axis(s.score, (1 - off)[:, None], axis=1)[:, 0]
+    sd = score_off - score_def
+
+    off_o = jnp.take(pack.off_offense, off)
+    def_d = jnp.take(pack.def_defense, off)
+    ymult = jnp.take(pack.ymult, off)
+    mz = jnp.take(pack.mz, off)
+
+    # ---- 4th-down decision --------------------------------------------------
+    p_go = jnp.minimum(1.0, analytic.go_for_it_prob(
+        ytg0, dist0, sd, sec0, cfg, jnp) * cfg.fourth.go_multiplier)
+    is4 = down0 == 4
+    go = active & is4 & (u[:, U_GO] < p_go)
+    st_play = active & is4 & ~go
+    fg_att = st_play & (ytg0 <= cfg.st.fg_attempt_max_ytg)
+    punt = st_play & ~fg_att
+    scrim = active & ~st_play
+    was_going = go  # going_for_it is only ever true on the go play itself
+
+    # FG
+    p_fg = analytic.field_goal_prob(ytg0 + cfg.st.fg_snap_plus_endzone, cfg, jnp)
+    fg_good = fg_att & (u[:, U_FG] < p_fg)
+    fg_miss = fg_att & ~fg_good
+
+    # punt
+    gross = jnp.maximum(cfg.st.punt_gross_min,
+                        cfg.st.punt_gross_mean + cfg.st.punt_gross_sd * n[:, N_PUNT_GROSS])
+    pret = jnp.maximum(0.0, cfg.st.punt_return_mean + cfg.st.punt_return_sd * n[:, N_PUNT_RET])
+    net = gross - pret
+    tb_p = jnp.clip((cfg.st.punt_touchback_gate_ytg - ytg0) / 60.0,
+                    cfg.st.punt_tb_lo, cfg.st.punt_tb_hi)
+    tb = (ytg0 <= cfg.st.punt_touchback_gate_ytg) & (u[:, U_TB] < tb_p)
+    net = jnp.where(tb, ytg0 - cfg.st.punt_tb_own_spot, net)
+    net = jnp.trunc(jnp.clip(net, cfg.st.punt_net_min, ytg0 - 1.0))  # int() per :896
+    punt_spot = jnp.clip(100.0 - (ytg0 - net), 1.0, 99.0)
+
+    # ---- scrimmage play -----------------------------------------------------
+    trip1 = scrim & ~s.in_rz & (ytg0 <= 20)
+
+    x = _state_features(pack, cfg, off, down0, dist0, ytg0, sec0, sd)
+    qb = _sample_slot(pack.qb_cum, off, u[:, U_QB])
+    wr = _sample_slot(pack.wr_cum, off, u[:, U_WR])
+    rb = _sample_slot(pack.rb_cum, off, u[:, U_RB])
+    obs = StepObs(x=x, off=off, down=down0, dist=dist0, ytg=ytg0, sec=sec0,
+                  qb=qb, wr=wr, rb=rb)
+    ho = heads_eval(heads_state, obs, pack)
+
+    if cfg.model.use_play_model and ho.p_pass_ml is not None:
+        p_pass = ho.p_pass_ml
+    else:
+        p_pass = analytic.pass_prob_v1(down0, dist0, ytg0, sec0, sd, cfg, jnp)
+    is_pass = scrim & (u[:, U_CALL] < p_pass)
+    is_run = scrim & ~is_pass
+
+    complete = is_pass & (u[:, U_COMPLETE] < ho.p_complete)
+    notc = is_pass & ~complete
+
+    u2 = u[:, U_S2]
+    o_inc = notc & (u2 < ho.s2_cum[:, 0])
+    o_sck = notc & ~o_inc & (u2 < ho.s2_cum[:, 1])
+    o_int = notc & ~o_inc & ~o_sck
+
+    # pass yards (quirk: clip to ytg BEFORE the SP+ multiplier, :1091)
+    py = jnp.clip(ho.pass_ms[:, 0] + ho.pass_ms[:, 1] * n[:, N_YARDS],
+                  cfg.model.pass_clip_lo, ytg0)
+    yards_p = py * ymult
+    ep = analytic.explosive_prob(ytg0, off_o, def_d, cfg, jnp)
+    exp_gate_p = (ytg0 > cfg.matchup.explosive_gate_ytg) & \
+        (u[:, U_EXP] < cfg.matchup.explosive_pass_scale * ep)
+    boost_p = cfg.matchup.explosive_pass_boost_lo + u[:, U_BOOST] * (
+        cfg.matchup.explosive_pass_boost_hi - cfg.matchup.explosive_pass_boost_lo)
+    yards_p = jnp.where(
+        exp_gate_p,
+        jnp.minimum(yards_p * (1.0 + boost_p * (1.0 + cfg.matchup.explosive_pass_z_k * mz)), ytg0),
+        yards_p)
+    rz_p = (ytg0 <= cfg.matchup.rz_pass_gate_ytg) & (down0 <= 3) & (
+        u[:, U_RZ] < analytic.rz_finish_prob_pass(ytg0, down0, off_o, def_d, cfg, jnp))
+    yards_p = jnp.where(rz_p, ytg0, yards_p)
+    pass_td = complete & (yards_p + 1e-9 >= ytg0)
+    pass_gain = complete & ~pass_td
+
+    # sack loss
+    sy = jnp.clip(ho.sack_ms[:, 0] + ho.sack_ms[:, 1] * n[:, N_YARDS],
+                  cfg.model.sack_clip_lo, cfg.model.sack_clip_hi)
+    loss = jnp.minimum(jnp.maximum(0.0, -sy), ytg0)  # quirk: cap = ytg (:1178)
+
+    # INT return
+    ret = jnp.clip(cfg.model.int_return_mean + cfg.model.int_return_sd * n[:, N_INT_RET],
+                   0.0, ytg0)
+    int_spot = 100.0 - (ytg0 - ret)
+
+    # rush yards (same structure)
+    ry = jnp.clip(ho.rush_ms[:, 0] + ho.rush_ms[:, 1] * n[:, N_YARDS],
+                  cfg.model.rush_clip_lo, ytg0)
+    yards_r = ry * ymult
+    exp_gate_r = (ytg0 > cfg.matchup.explosive_gate_ytg) & \
+        (u[:, U_EXP] < cfg.matchup.explosive_run_scale * ep)
+    boost_r = cfg.matchup.explosive_run_boost_lo + u[:, U_BOOST] * (
+        cfg.matchup.explosive_run_boost_hi - cfg.matchup.explosive_run_boost_lo)
+    yards_r = jnp.where(
+        exp_gate_r,
+        jnp.minimum(yards_r * (1.0 + boost_r * (1.0 + cfg.matchup.explosive_run_z_k * mz)), ytg0),
+        yards_r)
+    rz_r = (ytg0 <= cfg.matchup.rz_run_gate_ytg) & (down0 <= 3) & (
+        u[:, U_RZ] < analytic.rz_finish_prob_run(ytg0, down0, off_o, def_d, cfg, jnp))
+    yards_r = jnp.where(rz_r, ytg0, yards_r)
+
+    fum = is_run & (u[:, U_FUM] < ho.p_fumble) if cfg.model.enable_fumbles \
+        else jnp.zeros_like(is_run)
+    run_active = is_run & ~fum
+    run_td = run_active & (yards_r + 1e-9 >= ytg0)
+    run_gain = run_active & ~run_td
+    fum_spot_ytg = jnp.maximum(0.0, ytg0 - jnp.clip(yards_r, cfg.model.rush_clip_lo, ytg0))
+
+    # ---- phase a: pre-tick state updates ------------------------------------
+    adv = pass_gain | run_gain
+    gained = jnp.where(pass_gain, yards_p, 0.0) + jnp.where(run_gain, yards_r, 0.0)
+    ytg_a = jnp.where(adv, jnp.maximum(0.0, ytg0 - gained), ytg0)
+    first = adv & (gained + 1e-6 >= dist0)
+    down_a = jnp.where(adv, jnp.where(first, 1, down0 + 1), down0)
+    dist_a = jnp.where(adv, jnp.where(first, 10.0, dist0 - gained), dist0)
+    downs_to = adv & ~first & (down_a > 4)
+
+    ytg_a = jnp.where(o_sck, ytg0 + loss, ytg_a)
+    dist_a = jnp.where(o_sck, dist0 + loss, dist_a)
+    down_a = jnp.where(o_sck, down0 + 1, down_a)
+    down_a = jnp.where(o_inc, down0 + 1, down_a)
+
+    flip_a = downs_to | o_int | fum
+    spot_a = jnp.where(o_int, int_spot,
+                       jnp.where(fum, 100.0 - fum_spot_ytg, 100.0 - ytg_a))
+    off_a = jnp.where(flip_a, 1 - off, off)
+    ytg_a = jnp.where(flip_a, spot_a, ytg_a)
+    down_a = jnp.where(flip_a, 1, down_a)
+    dist_a = jnp.where(flip_a, 10.0, dist_a)
+    in_rz_a = jnp.where(flip_a, False, s.in_rz | trip1)
+
+    # ---- phase b: tick (+ halftime flip) ------------------------------------
+    c = cfg.clock
+    t = (fg_att * c.field_goal + punt * c.punt + pass_td * c.td_pass
+         + pass_gain * c.pass_complete + o_inc * c.pass_incomplete
+         + o_sck * c.sack + o_int * c.interception
+         + (run_td | run_gain | fum) * c.run).astype(I32)
+    sec_b = jnp.maximum(0, sec0 - t)
+    period_b = jnp.where(sec_b > 0, 4 - ((sec_b - 1) // c.quarter_seconds), 4).astype(I32)
+    halftime = active & (period_b != s.period) & (period_b == 3)
+    off_b = jnp.where(halftime, 1 - off_a, off_a)
+    ytg_b = jnp.where(halftime, cfg.kickoff_spot, ytg_a)
+    down_b = jnp.where(halftime, 1, down_a)
+    dist_b = jnp.where(halftime, 10.0, dist_a)
+    in_rz_b = jnp.where(halftime, False, in_rz_a)
+
+    # ---- phase c: post-tick possession flips --------------------------------
+    flip_c = fg_good | fg_miss | punt | pass_td | run_td
+    spot_c = jnp.where(fg_miss, 100.0 - ytg0,
+                       jnp.where(punt, punt_spot, cfg.kickoff_spot))
+    off_c = jnp.where(flip_c, 1 - off_b, off_b)
+    ytg_c = jnp.where(flip_c, spot_c, ytg_b)
+    down_c = jnp.where(flip_c, 1, down_b)
+    dist_c = jnp.where(flip_c, 10.0, dist_b)
+    in_rz_c = jnp.where(flip_c, False, in_rz_b)
+
+    # run-branch red-zone recheck (quirk: old offense credited, :1253-1255)
+    trip2 = run_gain & ~in_rz_c & (ytg_c <= 20)
+    in_rz_f = in_rz_c | trip2
+
+    going_f = jnp.where(active, False, s.going)
+
+    # ---- scores --------------------------------------------------------------
+    td = pass_td | run_td
+    pts = td * cfg.model.td_points + fg_good * cfg.model.fg_points
+    oh_side = jax.nn.one_hot(off, 2, dtype=I32)
+    score_f = s.score + oh_side * pts[:, None]
+
+    # ---- team stats -----------------------------------------------------------
+    ds = jnp.zeros((B, N_TEAM_STATS), F32)
+    def add(col, val):
+        nonlocal ds
+        ds = ds.at[:, TS[col]].add(val.astype(F32))
+    add("plays", scrim)
+    add("pass_att", complete | o_inc | o_int)
+    add("comp", complete)
+    add("pass_yds", jnp.where(pass_td, ytg0, jnp.where(pass_gain, yards_p, 0.0)))
+    add("pass_td", pass_td)
+    add("INT", o_int)
+    add("sacks", o_sck)
+    add("rush_att", is_run)
+    add("rush_yds", jnp.where(run_td, ytg0, jnp.where(run_gain, yards_r, 0.0)))
+    add("rush_td", run_td)
+    add("FG", fg_good)
+    add("FGA", fg_att)
+    add("punts", punt)
+    add("rz_trips", trip1.astype(F32) + trip2.astype(F32))
+    add("rz_TD", run_td & (ytg0 <= 20))  # quirk: rushing TDs only (:1237)
+    add("fourth_go", go)
+    conv = (td & was_going) \
+        | (pass_gain & was_going & (yards_p + 1e-6 >= dist0)) \
+        | (run_gain & was_going & (yards_r + 1e-6 >= dist0))
+    add("fourth_conv", conv)
+    add("fumbles_lost", fum)
+    stats_f = s.stats + oh_side.astype(F32)[:, :, None] * ds[:, None, :]
+
+    # ---- player stats ----------------------------------------------------------
+    pstats_f = s.pstats
+    if collect_players:
+        K = pack.k
+        team_pass_yds = jnp.where(pass_td, ytg0, jnp.where(pass_gain, yards_p, 0.0))
+        qb_delta = jnp.stack([
+            (complete | o_inc | o_int).astype(F32), complete.astype(F32),
+            team_pass_yds, pass_td.astype(F32), o_int.astype(F32), o_sck.astype(F32),
+        ], axis=1)
+        wr_delta = jnp.stack([
+            is_pass.astype(F32), complete.astype(F32),
+            team_pass_yds, pass_td.astype(F32),
+            jnp.zeros((B,), F32), jnp.zeros((B,), F32),
+        ], axis=1)
+        rb_delta = jnp.stack([
+            is_run.astype(F32), jnp.zeros((B,), F32),
+            jnp.where(run_td, ytg0, jnp.where(run_gain, yards_r, 0.0)),
+            run_td.astype(F32), jnp.zeros((B,), F32), jnp.zeros((B,), F32),
+        ], axis=1)
+        oh_f = oh_side.astype(F32)
+        for role, slot, delta, tracked in (
+            (ROLE_PASS, qb, qb_delta, pack.qb_tracked),
+            (ROLE_REC, wr, wr_delta, pack.wr_tracked),
+            (ROLE_RUSH, rb, rb_delta, pack.rb_tracked),
+        ):
+            gate = _gather2k(tracked, off, slot).astype(F32)
+            oh_slot = jax.nn.one_hot(slot, K, dtype=F32) * gate[:, None]
+            upd = jnp.einsum("bs,bk,bc->bskc", oh_f, oh_slot, delta)
+            pstats_f = pstats_f.at[:, :, role].add(upd)
+
+    return GameState(
+        off=off_c.astype(I32), sec=sec_b.astype(I32), down=down_c.astype(I32),
+        dist=dist_c.astype(F32), ytg=ytg_c.astype(F32), period=period_b,
+        in_rz=in_rz_f, going=going_f, score=score_f, stats=stats_f, pstats=pstats_f,
+    )
+
+
+def initial_state(n: int, first_offense, cfg: SimConfig, k: int) -> GameState:
+    B = n
+    fo = jnp.broadcast_to(jnp.asarray(first_offense, I32), (B,))
+    return GameState(
+        off=fo,
+        sec=jnp.full((B,), cfg.clock.game_seconds, I32),
+        down=jnp.ones((B,), I32),
+        dist=jnp.full((B,), cfg.opening_distance, F32),
+        ytg=jnp.full((B,), cfg.kickoff_spot, F32),
+        period=jnp.ones((B,), I32),
+        in_rz=jnp.zeros((B,), bool),
+        going=jnp.zeros((B,), bool),
+        score=jnp.zeros((B, 2), I32),
+        stats=jnp.zeros((B, 2, N_TEAM_STATS), F32),
+        pstats=jnp.zeros((B, 2, 3, k, N_PLAYER_STATS), F32),
+    )
+
+
+def simulate_games(
+    pack: MatchupPack,
+    cfg: SimConfig,
+    heads_eval: HeadsEvalFn,
+    heads_state,
+    key: jnp.ndarray,
+    n: int,
+    first_offense,
+    collect_players: bool = True,
+) -> GameState:
+    """Run n independent games to completion; returns the final GameState.
+
+    `first_offense` may be a scalar (all trials) or a (n,) array (e.g.
+    alternating home/away ordering within one batch).
+    """
+    init = initial_state(n, first_offense, cfg, pack.k)
+    keys = jax.random.split(key, cfg.engine.max_plays)
+
+    def step(s, k):
+        return play_step(s, k, pack, cfg, heads_eval, heads_state, collect_players), None
+
+    final, _ = jax.lax.scan(step, init, keys)
+    final_stats = final.stats.at[:, 0, TS["points"]].set(final.score[:, 0].astype(F32))
+    final_stats = final_stats.at[:, 1, TS["points"]].set(final.score[:, 1].astype(F32))
+    return final._replace(stats=final_stats)

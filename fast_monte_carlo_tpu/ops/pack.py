@@ -1,0 +1,133 @@
+"""Device packing of matchup context and model heads.
+
+MatchupPack holds everything game-state-independent for ONE matchup (both
+possession directions) as device arrays indexed by direction (0 = team A on
+offense, 1 = team B on offense).  HeadsPack holds the compiled forests.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import SimConfig
+from ..matchup import DirectionContext, build_direction
+from ..models.heads import ModelHeads
+from .forest_eval import JaxForest, pack_forest
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class MatchupPack:
+    sp: jnp.ndarray           # (2,4) rating_off, offense_off, defense_def, rating_def
+    bias: jnp.ndarray         # (2,)
+    ymult: jnp.ndarray        # (2,)
+    mz: jnp.ndarray           # (2,)
+    off_offense: jnp.ndarray  # (2,) offense's SP OFFENSE (for tilt functions)
+    def_defense: jnp.ndarray  # (2,) defense's SP DEFENSE
+    qb_cum: jnp.ndarray       # (2,K)
+    wr_cum: jnp.ndarray
+    rb_cum: jnp.ndarray
+    qb_tracked: jnp.ndarray   # (2,K) bool
+    wr_tracked: jnp.ndarray
+    rb_tracked: jnp.ndarray
+    ids_qb_stage1: jnp.ndarray  # (2,K) int32
+    ids_qb_passq: jnp.ndarray
+    ids_qb_sackq: jnp.ndarray
+    ids_qb_stage2: jnp.ndarray
+    ids_wr_passq: jnp.ndarray
+    ids_wr_stage2: jnp.ndarray
+    ids_rb_rushq: jnp.ndarray
+    ids_rb_fumble: jnp.ndarray
+    coach_id: jnp.ndarray     # (2,) int32
+
+    @property
+    def k(self) -> int:
+        return self.qb_cum.shape[1]
+
+
+def pack_matchup(dir_a: DirectionContext, dir_b: DirectionContext) -> MatchupPack:
+    def two(fn):
+        return jnp.asarray(np.stack([fn(dir_a), fn(dir_b)]))
+
+    return MatchupPack(
+        sp=two(lambda d: np.asarray([d.sp_rating_off, d.sp_offense_rating_off,
+                                     d.sp_defense_rating_def, d.sp_rating_def],
+                                    dtype=np.float32)),
+        bias=two(lambda d: np.float32(d.bias)),
+        ymult=two(lambda d: np.float32(d.ymult)),
+        mz=two(lambda d: np.float32(d.mz)),
+        off_offense=two(lambda d: np.float32(d.off.sp_offense)),
+        def_defense=two(lambda d: np.float32(d.deff.sp_defense)),
+        qb_cum=two(lambda d: d.qb_cum.astype(np.float32)),
+        wr_cum=two(lambda d: d.wr_cum.astype(np.float32)),
+        rb_cum=two(lambda d: d.rb_cum.astype(np.float32)),
+        qb_tracked=two(lambda d: d.off.qb.tracked),
+        wr_tracked=two(lambda d: d.off.target.tracked),
+        rb_tracked=two(lambda d: d.off.rush.tracked),
+        ids_qb_stage1=two(lambda d: d.qb_stage1.astype(np.int32)),
+        ids_qb_passq=two(lambda d: d.qb_passq.astype(np.int32)),
+        ids_qb_sackq=two(lambda d: d.qb_sackq.astype(np.int32)),
+        ids_qb_stage2=two(lambda d: d.qb_stage2.astype(np.int32)),
+        ids_wr_passq=two(lambda d: d.wr_passq.astype(np.int32)),
+        ids_wr_stage2=two(lambda d: d.wr_stage2.astype(np.int32)),
+        ids_rb_rushq=two(lambda d: d.rb_rushq.astype(np.int32)),
+        ids_rb_fumble=two(lambda d: d.rb_fumble.astype(np.int32)),
+        coach_id=two(lambda d: np.int32(d.coach_id)),
+    )
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class HeadsPack:
+    stage1: Optional[JaxForest]
+    stage2: Optional[JaxForest]
+    pq: Optional[Tuple[JaxForest, JaxForest, JaxForest]]
+    rq: Optional[Tuple[JaxForest, JaxForest, JaxForest]]
+    sq: Optional[Tuple[JaxForest, JaxForest, JaxForest]]
+    fumble: Optional[JaxForest]
+    play: Optional[JaxForest]
+    play_temperature: float = field(metadata=dict(static=True), default=1.0)
+    play_pass_idx: int = field(metadata=dict(static=True), default=0)
+    play_run_idx: int = field(metadata=dict(static=True), default=-1)
+    stage2_order: Tuple[int, int, int] = field(
+        metadata=dict(static=True), default=(0, 1, 2)
+    )  # column indices of (incomplete, intercepted, sack) in stage2 output
+
+
+def pack_heads(heads: ModelHeads) -> HeadsPack:
+    def trio(t):
+        return tuple(pack_forest(f) for f in t) if t else None
+
+    pass_idx, run_idx = 0, -1
+    if heads.play is not None:
+        if "pass" in heads.play_classes:
+            pass_idx = heads.play_classes.index("pass")
+        if "run" in heads.play_classes and len(heads.play_classes) > 2:
+            run_idx = heads.play_classes.index("run")
+    s2_order = (0, 1, 2)
+    if heads.stage2 is not None:
+        pos = {c: i for i, c in enumerate(heads.stage2_class_order)}
+        s2_order = (pos["incomplete"], pos["intercepted"], pos["sack"])
+    return HeadsPack(
+        stage1=pack_forest(heads.stage1) if heads.stage1 else None,
+        stage2=pack_forest(heads.stage2) if heads.stage2 else None,
+        pq=trio(heads.pass_quants),
+        rq=trio(heads.rush_quants),
+        sq=trio(heads.sack_quants),
+        fumble=pack_forest(heads.fumble) if heads.fumble else None,
+        play=pack_forest(heads.play) if heads.play else None,
+        play_temperature=float(heads.play_temperature),
+        play_pass_idx=pass_idx,
+        play_run_idx=run_idx,
+        stage2_order=s2_order,
+    )
+
+
+def build_packs(team_a, team_b, heads: ModelHeads, cfg: SimConfig, coach_map=None):
+    dir_a = build_direction(team_a, team_b, heads, cfg, coach_map)
+    dir_b = build_direction(team_b, team_a, heads, cfg, coach_map)
+    return pack_matchup(dir_a, dir_b), pack_heads(heads)

@@ -1,0 +1,226 @@
+"""Device-side table lookups: the table-mode HeadsEval implementation.
+
+Each head's table is a flat (rows, channels) array gathered once per play
+step.  Bin indices are computed by compare-sum against midpoint edges
+(vectorized VPU compares — no data-dependent control flow), and the two
+axis profiles (fine / coarse) share their index computations across heads.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import SimConfig
+from ..models import analytic
+from ..models.tables import TableSet, edges_from_reps, sd_reps_default
+from .game import HeadOut, HeadsEvalFn, StepObs, _gather2k
+from .pack import MatchupPack
+
+F32 = jnp.float32
+I32 = jnp.int32
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class ProfileIdx:
+    dist_edges: jnp.ndarray
+    ytg_edges: jnp.ndarray
+    sec_edges: jnp.ndarray
+    sd_edges: Optional[jnp.ndarray]
+    nd: int = field(metadata=dict(static=True))
+    ny: int = field(metadata=dict(static=True))
+    ns: int = field(metadata=dict(static=True))
+    nsd: int = field(metadata=dict(static=True), default=0)
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class DeviceTable:
+    values: jnp.ndarray    # (rows, C)
+    row_map: jnp.ndarray   # (2, K) slot->row  or (2, K*K) pair->row
+    n_slots: int = field(metadata=dict(static=True))   # table slot-axis size
+    profile: str = field(metadata=dict(static=True))   # 'fine'|'coarse'|'play'
+    is_pair: bool = field(metadata=dict(static=True), default=False)
+    channels: int = field(metadata=dict(static=True), default=1)
+    has_sd: bool = field(metadata=dict(static=True), default=False)
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class TableHeads:
+    """Both directions' tables, merged: direction is folded into row_map by
+    offsetting direction-1 rows past direction-0's."""
+    fine: ProfileIdx
+    coarse: ProfileIdx
+    stage1: DeviceTable
+    stage2: Optional[DeviceTable]
+    pq: DeviceTable
+    rq: DeviceTable
+    sq: DeviceTable
+    fumble: Optional[DeviceTable]
+    play: Optional[DeviceTable]
+    play_sd_edges: Optional[jnp.ndarray]
+    play_nsd: int = field(metadata=dict(static=True), default=0)
+    k: int = field(metadata=dict(static=True), default=8)
+
+
+def _profile_idx(prof) -> ProfileIdx:
+    return ProfileIdx(
+        dist_edges=jnp.asarray(edges_from_reps(prof.dist), F32),
+        ytg_edges=jnp.asarray(edges_from_reps(prof.ytg), F32),
+        sec_edges=jnp.asarray(edges_from_reps(prof.sec), F32),
+        sd_edges=(jnp.asarray(edges_from_reps(prof.sd), F32)
+                  if prof.sd is not None else None),
+        nd=len(prof.dist), ny=len(prof.ytg), ns=len(prof.sec),
+        nsd=len(prof.sd) if prof.sd is not None else 0,
+    )
+
+
+def _merge_tables(t0, t1, k: int, is_pair: bool) -> DeviceTable:
+    """Stack the two directions' host tables into one device table."""
+    assert t0.shape[1:] == t1.shape[1:]
+    vals = np.concatenate([t0.values, t1.values], axis=0)
+    rows0 = int(np.prod(t0.shape))
+    m0 = t0.row_map.reshape(1, -1)
+    m1 = t1.row_map.reshape(1, -1)
+    # row_map selects the slot-axis row; convert to flat row base offset
+    per_slot0 = rows0 // t0.shape[0]
+    per_slot1 = int(np.prod(t1.shape)) // t1.shape[0]
+    assert per_slot0 == per_slot1
+    rm = np.concatenate([m0 * per_slot0, rows0 + m1 * per_slot1], axis=0)
+    return DeviceTable(
+        values=jnp.asarray(vals),
+        row_map=jnp.asarray(rm.astype(np.int32)),
+        n_slots=int(t0.shape[0]),
+        profile=t0.profile,
+        is_pair=is_pair,
+        channels=int(t0.values.shape[1]),
+        has_sd=bool(t0.has_sd),
+    )
+
+
+def pack_tables(ts_a: TableSet, ts_b: TableSet, k: int) -> TableHeads:
+    """ts_a: direction 0 (team A offense); ts_b: direction 1."""
+    fine = _profile_idx(ts_a.fine)
+    coarse = _profile_idx(ts_a.coarse)
+
+    th = TableHeads(
+        fine=fine, coarse=coarse,
+        stage1=_merge_tables(ts_a.stage1, ts_b.stage1, k, is_pair=False),
+        stage2=(_merge_tables(ts_a.stage2, ts_b.stage2, k,
+                              is_pair=ts_a.stage2.row_map.size == k * k)
+                if ts_a.stage2 is not None else None),
+        pq=_merge_tables(ts_a.pq, ts_b.pq, k, is_pair=True),
+        rq=_merge_tables(ts_a.rq, ts_b.rq, k, is_pair=False),
+        sq=_merge_tables(ts_a.sq, ts_b.sq, k, is_pair=False),
+        fumble=(_merge_tables(ts_a.fumble, ts_b.fumble, k, is_pair=False)
+                if ts_a.fumble is not None else None),
+        play=(_merge_tables(ts_a.play, ts_b.play, k, is_pair=False)
+              if ts_a.play is not None else None),
+        play_sd_edges=(jnp.asarray(edges_from_reps(sd_reps_default()), F32)
+                       if ts_a.play is not None else None),
+        play_nsd=len(sd_reps_default()) if ts_a.play is not None else 0,
+        k=k,
+    )
+    return th
+
+
+def build_table_heads(team_a, team_b, heads, cfg: SimConfig, coach_map=None,
+                      fine=None, coarse=None) -> TableHeads:
+    """Build + device-pack both directions' tables for one matchup."""
+    from ..matchup import build_direction
+    from ..models.tables import build_tables
+
+    da = build_direction(team_a, team_b, heads, cfg, coach_map)
+    db = build_direction(team_b, team_a, heads, cfg, coach_map)
+    ts_a = build_tables(da, heads, cfg, fine, coarse)
+    ts_b = build_tables(db, heads, cfg, fine, coarse)
+    return pack_tables(ts_a, ts_b, k=team_a.qb.k)
+
+
+def _bin(v: jnp.ndarray, edges: jnp.ndarray) -> jnp.ndarray:
+    """index = #edges below v; edges are midpoints so this snaps to the
+    nearest representative."""
+    return jnp.sum(v[:, None] > edges[None, :], axis=1).astype(I32)
+
+
+def make_table_heads_eval(cfg: SimConfig) -> HeadsEvalFn:
+    """Table mode heads-eval; heads_state is a TableHeads pytree."""
+
+    def heads_eval(th: TableHeads, obs: StepObs, pack: MatchupPack) -> HeadOut:
+        off, qb, wr, rb = obs.off, obs.qb, obs.wr, obs.rb
+        down_i = jnp.clip(obs.down - 1, 0, 4).astype(I32)  # down>=5 one class
+        dist_f = obs.dist
+        ytg_f = obs.ytg
+        sec_f = obs.sec.astype(F32)
+        K = th.k
+
+        sd_f = obs.x[:, 4]
+        idx = {}
+        sd_idx = {}
+        for name, prof in (("fine", th.fine), ("coarse", th.coarse)):
+            di = _bin(dist_f, prof.dist_edges)
+            yi = _bin(ytg_f, prof.ytg_edges)
+            si = _bin(sec_f, prof.sec_edges)
+            # flat state offset within one slot row: ((d*Nd + di)*Ny + yi)*Ns + si
+            state = ((down_i * prof.nd + di) * prof.ny + yi) * prof.ns + si
+            idx[name] = state
+            if prof.sd_edges is not None:
+                sd_idx[name] = (_bin(sd_f, prof.sd_edges), prof.nsd)
+
+        def lookup(t: DeviceTable, slot_key: jnp.ndarray) -> jnp.ndarray:
+            base = jnp.take(t.row_map.reshape(-1), slot_key)
+            pname = t.profile if t.profile in idx else "coarse"
+            state = idx[pname]
+            if t.has_sd:
+                sdi, nsd = sd_idx[pname]
+                state = state * nsd + sdi
+            rows = base + state
+            return jnp.take(t.values, rows, axis=0)
+
+        slot_qb = off * K + qb
+        slot_rb = off * K + rb
+        pair = off * (K * K) + qb * K + wr
+
+        p_c_biased = lookup(th.stage1, slot_qb)[:, 0]
+
+        if th.stage2 is not None:
+            key = pair if th.stage2.is_pair else slot_qb
+            s2 = lookup(th.stage2, key)        # (B,2) cum (inc, inc+sck)
+            s2_cum = s2
+        else:
+            inc, itc, sck = analytic.stage2_fallback_probs(
+                obs.down.astype(F32), obs.dist, cfg, jnp)
+            inc, itc, sck = analytic.stage2_nudge(inc, itc, sck, cfg, jnp)
+            s2_cum = jnp.stack([inc, inc + sck], axis=1)
+
+        pq = lookup(th.pq, pair)               # (B,2) q50, sigma
+        rq = lookup(th.rq, slot_rb)
+        sq = lookup(th.sq, slot_qb)
+
+        if th.fumble is not None and cfg.model.enable_fumbles:
+            p_f = lookup(th.fumble, slot_rb)[:, 0]
+        else:
+            p_f = jnp.zeros_like(p_c_biased)
+
+        p_pass_ml = None
+        if th.play is not None and cfg.model.use_play_model:
+            score_diff = obs.x[:, 4]
+            sdi = _bin(score_diff, th.play_sd_edges)
+            state = idx["coarse"] * th.play_nsd + sdi
+            base = jnp.take(th.play.row_map.reshape(-1), off)  # one row per direction
+            p_pass_ml = jnp.take(th.play.values, base + state, axis=0)[:, 0]
+
+        return HeadOut(
+            p_complete=p_c_biased,
+            s2_cum=s2_cum,
+            pass_ms=pq, rush_ms=rq, sack_ms=sq,
+            p_fumble=p_f,
+            p_pass_ml=p_pass_ml,
+        )
+
+    return heads_eval

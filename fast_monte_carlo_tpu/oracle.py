@@ -138,7 +138,7 @@ class OracleMatchup:
         key = _coarse_key(gs.down, gs.dist, gs.ytg, gs.sec, 3, 3, qb_slot)
         return self._cached(
             side, "s1", key,
-            lambda: float(self.heads.stage1_prob(x, d.qb_stage1[qb_slot:qb_slot + 1])))
+            lambda: float(self.heads.stage1_prob(x, d.qb_stage1[qb_slot:qb_slot + 1])[0]))
 
     def _stage2(self, side, d, x, qb_slot, wr_slot, gs):
         key = _coarse_key(gs.down, gs.dist, gs.ytg, gs.sec, 3, 3, qb_slot, wr_slot)
@@ -173,7 +173,7 @@ class OracleMatchup:
         key = _coarse_key(gs.down, gs.dist, gs.ytg, gs.sec, 3, 3, rb_slot)
         return self._cached(
             side, "fq", key,
-            lambda: float(self.heads.fumble_prob(x, d.rb_fumble[rb_slot:rb_slot + 1])))
+            lambda: float(self.heads.fumble_prob(x, d.rb_fumble[rb_slot:rb_slot + 1])[0]))
 
     # -- mechanics ----------------------------------------------------------
 

@@ -1,0 +1,76 @@
+"""Multi-chip scale-out: shard the trial axis over a device mesh.
+
+The reference's only parallelism is a process pool over Monte-Carlo trials
+(fast_monte_carlo_cfb.py:1496-1507).  Here the same data parallelism is a
+1-D `('trial',)` jax mesh: each device runs an independent slice of the
+trial batch through the same scan (no cross-device communication during the
+game loop — counter-based threefry keys are folded per device so results
+are independent of the device count *layout*), and aggregation happens with
+on-device collectives afterwards (parallel.aggregate).
+
+For multi-matchup slates, `simulate_slate_sharded` maps game g to device
+g % ndev and vmaps trials within a device — the ('game','trial') mesh of
+SURVEY §7.1.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import SimConfig
+from ..ops.game import GameState, HeadsEvalFn, simulate_games
+from ..ops.pack import MatchupPack
+
+
+def trial_mesh(devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    return Mesh(np.asarray(devices), ("trial",))
+
+
+def simulate_games_sharded(
+    pack: MatchupPack,
+    cfg: SimConfig,
+    heads_eval: HeadsEvalFn,
+    heads_state,
+    key: jnp.ndarray,
+    n: int,
+    first_offense: int | jnp.ndarray,
+    mesh: Optional[Mesh] = None,
+    collect_players: bool = False,
+) -> GameState:
+    """Run n games sharded over the trial axis of `mesh`.
+
+    n must be divisible by the device count.  Each shard gets its own
+    fold_in'd key, so the global result stream is a deterministic function
+    of (key, n, ndev) and every shard is statistically independent.
+    """
+    mesh = mesh or trial_mesh()
+    ndev = mesh.devices.size
+    if n % ndev:
+        raise ValueError(f"n={n} not divisible by {ndev} devices")
+    n_local = n // ndev
+
+    keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(jnp.arange(ndev))
+    if isinstance(first_offense, (int, np.integer)):
+        fo = jnp.full((n,), first_offense, jnp.int32)
+    else:
+        fo = jnp.asarray(first_offense, jnp.int32)
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P("trial"), P("trial")),
+        out_specs=P("trial"),
+        check_vma=False,
+    )
+    def run(local_keys, local_fo):
+        return simulate_games(pack, cfg, heads_eval, heads_state,
+                              local_keys[0], n_local, local_fo,
+                              collect_players=collect_players)
+
+    return run(keys, fo)

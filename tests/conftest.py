@@ -1,11 +1,17 @@
 import os
 
 # Tests run on a virtual 8-device CPU mesh so multi-chip sharding paths are
-# exercised without TPU hardware.  Must be set before jax is imported.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# exercised without TPU hardware.  Must be set before jax initializes.  The
+# environment may export JAX_PLATFORMS=axon (TPU tunnel) and the axon plugin
+# ignores the env var, so force the platform through jax.config as well.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import sys
 from pathlib import Path

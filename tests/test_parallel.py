@@ -1,0 +1,78 @@
+"""Multi-device (8-way virtual CPU mesh) sharding + aggregation tests."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fast_monte_carlo_tpu.config import SimConfig
+from fast_monte_carlo_tpu.data import load_sp_flex, build_team_context_from_sp_flex
+from fast_monte_carlo_tpu.models.heads import load_heads
+from fast_monte_carlo_tpu.ops.game import make_analytic_heads_eval, simulate_games
+from fast_monte_carlo_tpu.ops.pack import build_packs
+from fast_monte_carlo_tpu.parallel import (
+    cover_probs, simulate_games_sharded, summarize_scores, total_probs, trial_mesh,
+)
+
+
+@pytest.fixture(scope="module")
+def env(reference_dir):
+    cfg = SimConfig()
+    sp = load_sp_flex(str(reference_dir / "PregameSPPlus2025_1.csv"))
+    a = build_team_context_from_sp_flex("Kansas State", 2025, 1, sp)
+    b = build_team_context_from_sp_flex("Iowa State", 2025, 1, sp)
+    heads = load_heads(reference_dir)
+    pack, hp = build_packs(a, b, heads, cfg)
+    return cfg, pack
+
+
+def test_eight_devices_available():
+    assert len(jax.devices()) == 8
+
+
+def test_sharded_simulation_runs_and_aggregates(env):
+    cfg, pack = env
+    he = make_analytic_heads_eval(cfg)
+    n = 1024
+    out = simulate_games_sharded(pack, cfg, he, None, jax.random.PRNGKey(0), n, 0)
+    assert out.score.shape == (n, 2)
+    # result is actually sharded over 8 devices
+    assert len(out.score.sharding.device_set) == 8
+    assert int(np.asarray(out.sec).max()) == 0
+
+    s = jax.jit(summarize_scores)(out.score)
+    assert float(s.n) == n
+    assert 5 < float(s.mean_pts[0]) < 80
+    np.testing.assert_allclose(
+        float(s.win_rate[0] + s.win_rate[1] + s.tie_rate), 1.0, atol=1e-6)
+    assert int(s.pts_hist.sum()) == 2 * n
+    assert int(s.margin_hist.sum()) == n
+
+    cp = jax.jit(lambda sc: cover_probs(sc, -3.0))(out.score)
+    tp = jax.jit(lambda sc: total_probs(sc, 55.5))(out.score)
+    np.testing.assert_allclose(
+        float(cp["p_cover"] + cp["p_notcover"] + cp["push"]), 1.0, atol=1e-6)
+    np.testing.assert_allclose(
+        float(tp["p_over"] + tp["p_under"] + tp["push"]), 1.0, atol=1e-6)
+
+
+def test_sharded_matches_single_device_distribution(env):
+    """Sharding must not change the statistics (keys are per-shard folds, so
+    results differ bitwise but must agree distributionally)."""
+    cfg, pack = env
+    he = make_analytic_heads_eval(cfg)
+    n = 2048
+    sharded = simulate_games_sharded(pack, cfg, he, None, jax.random.PRNGKey(7), n, 0)
+    single = jax.jit(lambda k: simulate_games(pack, cfg, he, None, k, n, 0,
+                                              collect_players=False))(jax.random.PRNGKey(3))
+    a = np.asarray(sharded.score, dtype=float)
+    b = np.asarray(single.score, dtype=float)
+    se = np.sqrt(a[:, 0].var() / n + b[:, 0].var() / n)
+    assert abs(a[:, 0].mean() - b[:, 0].mean()) < 5 * se + 0.5
+    assert abs((a[:, 0] > a[:, 1]).mean() - (b[:, 0] > b[:, 1]).mean()) < 0.08
+
+
+def test_sharded_requires_divisible_n(env):
+    cfg, pack = env
+    he = make_analytic_heads_eval(cfg)
+    with pytest.raises(ValueError):
+        simulate_games_sharded(pack, cfg, he, None, jax.random.PRNGKey(0), 1001, 0)
