@@ -1,0 +1,320 @@
+"""End-to-end simulation API: the `simulate_upcoming_matchup` /
+`simulate_matchup` surface of the reference (fast_monte_carlo_cfb.py:
+1467-1521, 1661-1722), TPU-native underneath.
+
+A "pair" follows the reference convention: one game with team A receiving
+the opening kickoff and one with team B (:1321-1323); `n` counts pairs, so
+2n games run as a single batch with an alternating first_offense vector.
+
+Compute modes:
+  'table'    - table-compiled heads (fast path; default)
+  'exact'    - per-play compiled-forest evaluation (golden semantics)
+  'analytic' - artifact-free closed-form heads (smoke/testing)
+"""
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pandas as pd
+
+from .config import SimConfig
+from .data import build_team_context_from_sp_flex, load_sp_flex, norm_team
+from .data.context import TeamContext
+from .models.heads import ModelHeads, load_heads
+from .ops.game import (
+    GameState, make_analytic_heads_eval, make_exact_heads_eval, simulate_games,
+)
+from .ops.pack import build_packs
+from .ops.table_lookup import build_table_heads, make_table_heads_eval
+from .parallel import simulate_games_sharded, summarize_scores, trial_mesh
+from .stats import (
+    PC_ATT, PC_COMP, PC_INT, PC_SACKS, PC_TD, PC_YDS, PLAYER_COLS, ROLE_LABEL,
+    ROLE_PASS, ROLE_REC, ROLE_RUSH, TS,
+)
+
+
+@dataclass
+class MatchupRunner:
+    """Reusable compiled simulator for one matchup (both orderings)."""
+
+    team_a: TeamContext
+    team_b: TeamContext
+    heads: Optional[ModelHeads]
+    cfg: SimConfig = field(default_factory=SimConfig)
+    mode: str = "table"
+    coach_map: Optional[Dict[str, str]] = None
+    shard: bool = False
+
+    def __post_init__(self):
+        self.pack, hp = build_packs(
+            self.team_a, self.team_b,
+            self.heads if self.heads is not None else _empty_heads(),
+            self.cfg, self.coach_map)
+        if self.mode == "table":
+            self.heads_state = build_table_heads(
+                self.team_a, self.team_b, self.heads, self.cfg, self.coach_map)
+            self.heads_fn = make_table_heads_eval(self.cfg)
+        elif self.mode == "exact":
+            self.heads_state = hp
+            self.heads_fn = make_exact_heads_eval(self.cfg)
+        elif self.mode == "analytic":
+            self.heads_state = None
+            self.heads_fn = make_analytic_heads_eval(self.cfg)
+        else:
+            raise ValueError(f"unknown mode {self.mode!r}")
+        self._jit_cache: Dict[tuple, callable] = {}
+
+    def _runner(self, n_games: int, collect_players: bool):
+        key = (n_games, collect_players, self.shard)
+        fn = self._jit_cache.get(key)
+        if fn is None:
+            if self.shard:
+                def fn(hs, k, fo):
+                    return simulate_games_sharded(
+                        self.pack, self.cfg, self.heads_fn, hs, k, n_games, fo,
+                        collect_players=collect_players)
+            else:
+                fn = jax.jit(lambda hs, k, fo: simulate_games(
+                    self.pack, self.cfg, self.heads_fn, hs, k, n_games, fo,
+                    collect_players=collect_players))
+            self._jit_cache[key] = fn
+        return fn
+
+    def run_pairs(self, n_pairs: int, seed: int = 0,
+                  collect_players: bool = True) -> GameState:
+        """2*n_pairs games; even trials have team A on offense first."""
+        n_games = 2 * n_pairs
+        fo = jnp.asarray(np.arange(n_games) % 2, jnp.int32)
+        fn = self._runner(n_games, collect_players)
+        out = fn(self.heads_state, jax.random.PRNGKey(seed), fo)
+        jax.block_until_ready(out.score)
+        return out
+
+
+def _empty_heads() -> ModelHeads:
+    return ModelHeads()
+
+
+def scores_frame(out: GameState, team_a: str, team_b: str) -> pd.DataFrame:
+    """Per-trial rows in the reference's scores schema: rows alternate the
+    'team' perspective with the first-offense team (reference :1489-1503)."""
+    score = np.asarray(out.score)
+    fo = np.arange(score.shape[0]) % 2
+    team = np.where(fo == 0, team_a, team_b)
+    opp = np.where(fo == 0, team_b, team_a)
+    pts = np.where(fo == 0, score[:, 0], score[:, 1])
+    opp_pts = np.where(fo == 0, score[:, 1], score[:, 0])
+    return pd.DataFrame({"team": team, "opp": opp, "pts": pts, "opp_pts": opp_pts})
+
+
+def players_frame(out: GameState, team_a: TeamContext, team_b: TeamContext) -> pd.DataFrame:
+    """Long-format per-sim player rows (reference PLAYER_COLS, :1259-1299).
+    Only tracked slots produce rows; the __Other__ sentinel is skipped."""
+    ps = np.asarray(out.pstats)  # (B,2,3,K,6)
+    B = ps.shape[0]
+    teams = (team_a, team_b)
+    role_tables = {
+        ROLE_PASS: lambda tc: tc.qb,
+        ROLE_RUSH: lambda tc: tc.rush,
+        ROLE_REC: lambda tc: tc.target,
+    }
+    start_flags = np.where(np.arange(B) % 2 == 0, "A", "B")
+    sims = np.arange(B)
+    frames: List[pd.DataFrame] = []
+    for side in (0, 1):
+        tc = teams[side]
+        opp = teams[1 - side].name
+        for role, get in role_tables.items():
+            table = get(tc)
+            for k in range(table.k):
+                if not table.tracked[k]:
+                    continue
+                v = ps[:, side, role, k, :]  # (B,6)
+                used = v.any(axis=1)
+                if not used.any():
+                    continue
+                vv = v[used]
+                df = pd.DataFrame({c: 0 for c in PLAYER_COLS}, index=range(used.sum()))
+                df["sim"] = sims[used]
+                df["start"] = start_flags[used]
+                df["team"] = tc.name
+                df["opp"] = opp
+                df["player"] = table.names[k]
+                df["role"] = ROLE_LABEL[role]
+                if role == ROLE_PASS:
+                    df["pass_att"] = vv[:, PC_ATT].astype(int)
+                    df["pass_comp"] = vv[:, PC_COMP].astype(int)
+                    df["pass_yds"] = vv[:, PC_YDS].round(1)
+                    df["pass_td"] = vv[:, PC_TD].astype(int)
+                    df["INT"] = vv[:, PC_INT].astype(int)
+                    df["sacks"] = vv[:, PC_SACKS].astype(int)
+                elif role == ROLE_RUSH:
+                    df["rush_att"] = vv[:, PC_ATT].astype(int)
+                    df["rush_yds"] = vv[:, PC_YDS].round(1)
+                    df["rush_td"] = vv[:, PC_TD].astype(int)
+                else:
+                    df["tgt"] = vv[:, PC_ATT].astype(int)
+                    df["rec"] = vv[:, PC_COMP].astype(int)
+                    df["rec_yds"] = vv[:, PC_YDS].round(1)
+                    df["rec_td"] = vv[:, PC_TD].astype(int)
+                frames.append(df)
+    if not frames:
+        return pd.DataFrame(columns=list(PLAYER_COLS))
+    return pd.concat(frames, ignore_index=True)[list(PLAYER_COLS)]
+
+
+def summary_frame(sims_df: pd.DataFrame) -> pd.DataFrame:
+    """Reference summary parity (fast_monte_carlo_cfb.py:1681-1687)."""
+    return sims_df.groupby("team").agg(
+        mean_pts=("pts", "mean"),
+        sd_pts=("pts", "std"),
+        mean_opp=("opp_pts", "mean"),
+        sd_opp=("opp_pts", "std"),
+        win_rate=("pts", lambda s: (
+            s.values > sims_df.loc[s.index, "opp_pts"].values).mean()),
+    )
+
+
+def csv_base_from(team_a: str, team_b: str, week: int, ext: str = ".csv") -> str:
+    return f"{norm_team(team_a)}_{norm_team(team_b)}_wk{int(week)}_sims{ext}"
+
+
+def simulate_matchup(
+    team_a: TeamContext,
+    team_b: TeamContext,
+    heads: ModelHeads,
+    n: int = 100,
+    *,
+    cfg: Optional[SimConfig] = None,
+    seed: int = 0,
+    collect_players: bool = False,
+    mode: str = "table",
+    shard: bool = False,
+    runner: Optional[MatchupRunner] = None,
+) -> Tuple[pd.DataFrame, Optional[pd.DataFrame], MatchupRunner]:
+    cfg = cfg or SimConfig()
+    runner = runner or MatchupRunner(team_a, team_b, heads, cfg, mode, shard=shard)
+    out = runner.run_pairs(n, seed=seed, collect_players=collect_players)
+    sims_df = scores_frame(out, team_a.name, team_b.name)
+    players_df = players_frame(out, team_a, team_b) if collect_players else None
+    return sims_df, players_df, runner
+
+
+def simulate_upcoming_matchup(
+    team_a: str,
+    team_b: str,
+    *,
+    year: int = 2025,
+    week: int = 1,
+    sp_path: str,
+    artifact_dir: str = "/root/reference",
+    focus_csv: Optional[str] = None,
+    n: int = 1000,
+    seed: int = 0,
+    collect_players: bool = True,
+    save_csv: Optional[str] = None,
+    mode: str = "table",
+    shard: bool = False,
+    cfg: Optional[SimConfig] = None,
+    heads: Optional[ModelHeads] = None,
+):
+    """Full-parity entry point (reference :1661-1715).  Returns
+    (sims_df, players_df, summary, ctx_a, ctx_b, meta)."""
+    cfg = cfg or SimConfig()
+    sp_df = load_sp_flex(sp_path)
+    a = build_team_context_from_sp_flex(team_a, year, week, sp_df,
+                                        focus_csv=focus_csv,
+                                        player_slots=cfg.engine.player_slots)
+    b = build_team_context_from_sp_flex(team_b, year, week, sp_df,
+                                        focus_csv=focus_csv,
+                                        player_slots=cfg.engine.player_slots)
+    heads = heads if heads is not None else load_heads(artifact_dir)
+
+    t0 = time.perf_counter()
+    sims_df, players_df, _ = simulate_matchup(
+        a, b, heads, n, cfg=cfg, seed=seed,
+        collect_players=collect_players, mode=mode, shard=shard)
+    sim_time = time.perf_counter() - t0
+
+    summary = summary_frame(sims_df)
+
+    write_time = 0.0
+    if save_csv:
+        t_w = time.perf_counter()
+        _save_frames(save_csv, sims_df, players_df)
+        write_time = time.perf_counter() - t_w
+
+    meta = {
+        "sim_time_sec": sim_time,
+        "io_time_sec": write_time,
+        "total_time_sec": sim_time + write_time,
+        "sims": n,
+        "mode": mode,
+    }
+    return sims_df, players_df, summary, a, b, meta
+
+
+def _save_frames(save_csv: str, sims_df: pd.DataFrame,
+                 players_df: Optional[pd.DataFrame]) -> None:
+    try:
+        if save_csv.lower().endswith(".parquet"):
+            sims_df.to_parquet(f"scores_{save_csv}", index=False)
+            if players_df is not None:
+                players_df.to_parquet(f"players_{save_csv}", index=False)
+        else:
+            sims_df.to_csv(f"scores_{save_csv}", index=False)
+            if players_df is not None:
+                players_df.to_csv(f"players_{save_csv}", index=False)
+    except Exception:
+        sims_df.to_csv(f"scores_{save_csv}.csv", index=False)
+        if players_df is not None:
+            players_df.to_csv(f"players_{save_csv}.csv", index=False)
+
+
+def simulate_slate(
+    games: List[Tuple[str, str]],
+    *,
+    sp_path: str,
+    year: int = 2025,
+    week: int = 1,
+    n: int = 1000,
+    artifact_dir: str = "/root/reference",
+    focus_csv: Optional[str] = None,
+    mode: str = "table",
+    cfg: Optional[SimConfig] = None,
+    seed: int = 0,
+) -> pd.DataFrame:
+    """Simulate a weekly slate; returns one summary row per matchup."""
+    cfg = cfg or SimConfig()
+    heads = load_heads(artifact_dir)
+    sp_df = load_sp_flex(sp_path)
+    rows = []
+    for gi, (ta, tb) in enumerate(games):
+        a = build_team_context_from_sp_flex(ta, year, week, sp_df, focus_csv=focus_csv,
+                                            player_slots=cfg.engine.player_slots)
+        b = build_team_context_from_sp_flex(tb, year, week, sp_df, focus_csv=focus_csv,
+                                            player_slots=cfg.engine.player_slots)
+        sims_df, _, _ = simulate_matchup(a, b, heads, n, cfg=cfg,
+                                         seed=seed + gi, mode=mode)
+        s = summary_frame(sims_df)
+        margin = sims_df.loc[sims_df.team == ta, "pts"].values - \
+            sims_df.loc[sims_df.team == ta, "opp_pts"].values
+        total = sims_df["pts"].values + sims_df["opp_pts"].values
+        wa = float((sims_df.loc[sims_df.team == ta, "pts"].values >
+                    sims_df.loc[sims_df.team == ta, "opp_pts"].values).mean())
+        wb = float((sims_df.loc[sims_df.team == tb, "pts"].values >
+                    sims_df.loc[sims_df.team == tb, "opp_pts"].values).mean())
+        rows.append({
+            "team_a": ta, "team_b": tb,
+            "mean_a": float(s.loc[ta, "mean_pts"]), "mean_b": float(s.loc[tb, "mean_pts"]),
+            "win_a": wa, "win_b": wb,
+            "mean_margin_a": float(margin.mean()),
+            "mean_total": float(total.mean()),
+            "n_games": len(sims_df),
+        })
+    return pd.DataFrame(rows)

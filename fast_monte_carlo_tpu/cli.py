@@ -1,0 +1,120 @@
+"""Command-line entry points.
+
+    python -m fast_monte_carlo_tpu.cli sim "Kansas State" "Iowa State" \
+        --sp /root/reference/PregameSPPlus2025_1.csv -n 1000 --save
+    python -m fast_monte_carlo_tpu.cli edges --base kansasstate_iowastate_wk1_sims.csv \
+        --team-a "Kansas State" --team-b "Iowa State" --spread -3 --total 50.5
+    python -m fast_monte_carlo_tpu.cli slate --games games.csv --sp ... -n 10000
+    python -m fast_monte_carlo_tpu.cli bench --mode table -n 100000
+
+(The reference has no CLI — parameters are edited in __main__ blocks,
+fast_monte_carlo_cfb.py:1727-1759; this replaces that workflow.)
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def _cmd_sim(args) -> int:
+    from .api import csv_base_from, simulate_upcoming_matchup
+    from .boxscore import mean_boxscore
+
+    save = csv_base_from(args.team_a, args.team_b, args.week) if args.save else None
+    sims_df, players_df, summary, a, b, meta = simulate_upcoming_matchup(
+        args.team_a, args.team_b, year=args.year, week=args.week,
+        sp_path=args.sp, artifact_dir=args.artifacts, focus_csv=args.focus,
+        n=args.n, collect_players=args.players, save_csv=save, mode=args.mode,
+        seed=args.seed)
+    print(summary)
+    pairs = max(1, len(sims_df) // 2)
+    print(f"\nTiming: {meta['total_time_sec']:.2f}s total | {pairs} sims "
+          f"| {pairs/meta['total_time_sec']:.2f} sims/sec "
+          f"| sim-only {meta['sim_time_sec']:.2f}s | I/O {meta['io_time_sec']:.2f}s")
+    if save:
+        print(f"saved scores_{save} / players_{save}")
+    return 0
+
+
+def _cmd_edges(args) -> int:
+    from .edge import find_edges
+    find_edges(csv_base=args.base, team_a=args.team_a, team_b=args.team_b,
+               spread=args.spread, total=args.total, props_csv=args.props,
+               directory=args.dir)
+    return 0
+
+
+def _cmd_slate(args) -> int:
+    import pandas as pd
+    from .api import simulate_slate
+
+    games = [tuple(r) for r in pd.read_csv(args.games).iloc[:, :2].itertuples(index=False)]
+    t0 = time.perf_counter()
+    df = simulate_slate(games, sp_path=args.sp, year=args.year, week=args.week,
+                        n=args.n, artifact_dir=args.artifacts, mode=args.mode)
+    print(df.to_string(index=False))
+    total_games = int(df["n_games"].sum())
+    dt = time.perf_counter() - t0
+    print(f"\n{len(games)} matchups x {args.n} pairs = {total_games} games "
+          f"in {dt:.1f}s ({total_games/dt:,.0f} games/s incl. table builds)")
+    return 0
+
+
+def _cmd_bench(args) -> int:
+    import subprocess
+    cmd = [sys.executable, "bench.py", "--mode", args.mode, "-n", str(args.n)]
+    return subprocess.call(cmd)
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="fast_monte_carlo_tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    ps = sub.add_parser("sim", help="simulate one matchup")
+    ps.add_argument("team_a")
+    ps.add_argument("team_b")
+    ps.add_argument("--sp", required=True, help="SP+ csv path (schema A or B)")
+    ps.add_argument("-n", type=int, default=1000, help="number of PAIRS")
+    ps.add_argument("--year", type=int, default=2025)
+    ps.add_argument("--week", type=int, default=1)
+    ps.add_argument("--seed", type=int, default=0)
+    ps.add_argument("--mode", default="table", choices=["table", "exact", "analytic"])
+    ps.add_argument("--artifacts", default="/root/reference")
+    ps.add_argument("--focus", default=None, help="focus players csv")
+    ps.add_argument("--players", action="store_true", help="collect player stats")
+    ps.add_argument("--save", action="store_true")
+    ps.set_defaults(fn=_cmd_sim)
+
+    pe = sub.add_parser("edges", help="betting edges over saved sims")
+    pe.add_argument("--base", default=None)
+    pe.add_argument("--team-a", required=True)
+    pe.add_argument("--team-b", required=True)
+    pe.add_argument("--spread", type=float, default=None)
+    pe.add_argument("--total", type=float, default=None)
+    pe.add_argument("--props", default=None)
+    pe.add_argument("--dir", default=".")
+    pe.set_defaults(fn=_cmd_edges)
+
+    pl = sub.add_parser("slate", help="simulate a slate of matchups")
+    pl.add_argument("--games", required=True, help="csv with team_a,team_b columns")
+    pl.add_argument("--sp", required=True)
+    pl.add_argument("-n", type=int, default=1000)
+    pl.add_argument("--year", type=int, default=2025)
+    pl.add_argument("--week", type=int, default=1)
+    pl.add_argument("--mode", default="table")
+    pl.add_argument("--artifacts", default="/root/reference")
+    pl.set_defaults(fn=_cmd_slate)
+
+    pb = sub.add_parser("bench", help="run the benchmark harness")
+    pb.add_argument("--mode", default="table")
+    pb.add_argument("-n", type=int, default=100000)
+    pb.set_defaults(fn=_cmd_bench)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,475 @@
+"""Betting edge analytics: spread/total/moneyline and player-prop markets.
+
+Full math parity with the reference's edge_finder.py (cited per function),
+operating either on saved sim files (filesystem-decoupled, like the
+reference) or directly on in-memory frames / device summaries.
+"""
+from __future__ import annotations
+
+import ast
+import re
+from pathlib import Path
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+import pandas as pd
+
+STAT_ALIASES = {
+    "pass_yards": "pass_yds",
+    "rush_yards": "rush_yds",
+    "rec_yards": "rec_yds",
+}
+
+
+def _norm_team(s: str) -> str:
+    return re.sub(r"[^a-z0-9]+", "", str(s).lower())
+
+
+# ---------------------------------------------------------------------------
+# odds math (edge_finder.py:70-119)
+# ---------------------------------------------------------------------------
+
+def prob_to_american(p: float) -> int:
+    """Fair (no-vig) American odds for probability p (edge_finder.py:70-75)."""
+    p = float(np.clip(p, 1e-6, 1 - 1e-6))
+    if p >= 0.5:
+        return int(round(-100 * p / (1 - p)))
+    return int(round(100 * (1 - p) / p))
+
+
+def breakeven_minus110() -> float:
+    return 110.0 / 210.0
+
+
+def ev_per_100_at_minus110(p_win: float, p_push: float = 0.0) -> float:
+    """EV per $100 risk at -110; pushes return the stake (edge_finder.py:81-89)."""
+    win_profit = 100.0 * (100.0 / 110.0)
+    return p_win * win_profit - (1.0 - p_win - p_push) * 100.0
+
+
+def american_implied_prob(price: int) -> float:
+    return (-price) / ((-price) + 100) if price < 0 else 100 / (price + 100)
+
+
+def ev_per_100(p_win: float, price: int) -> float:
+    profit = 100 * (100 / (-price)) if price < 0 else 100 * (price / 100)
+    return p_win * profit - (1 - p_win) * 100
+
+
+def best_side_ev(p_over: float, price: int = -110) -> dict:
+    """Pick the better of Over/Under at the same price (edge_finder.py:109-119)."""
+    ev_over = ev_per_100(p_over, price)
+    ev_under = ev_per_100(1 - p_over, price)
+    ip = american_implied_prob(price)
+    if ev_over >= ev_under:
+        return {"side": "Over", "ev": ev_over, "edge": p_over - ip}
+    return {"side": "Under", "ev": ev_under, "edge": (1 - p_over) - ip}
+
+
+def infer_role_from_stat(stat: str) -> str:
+    stat = stat.lower()
+    if stat.startswith("pass_"):
+        return "QB"
+    if stat.startswith("rush_"):
+        return "Rusher"
+    return "Receiver"
+
+
+# ---------------------------------------------------------------------------
+# saved-file discovery & loading (edge_finder.py:22-66, 124-166)
+# ---------------------------------------------------------------------------
+
+def find_saved_files(csv_base: Optional[str] = None, team_a: Optional[str] = None,
+                     team_b: Optional[str] = None, directory: str = "."
+                     ) -> Tuple[Path, Optional[Path]]:
+    d = Path(directory)
+
+    def _maybe(stem: str) -> Optional[Path]:
+        for ext in (".parquet", ".csv"):
+            p = d / f"{stem}{ext}"
+            if p.exists():
+                return p
+        return None
+
+    if csv_base:
+        stem = csv_base
+        for suffix in (".csv", ".parquet"):
+            if stem.endswith(suffix):
+                stem = stem[: -len(suffix)]
+        scores = _maybe(f"scores_{csv_base}") or _maybe(f"scores_{stem}")
+        if scores is None:
+            raise FileNotFoundError(f"Could not find scores_{csv_base} (.csv/.parquet)")
+        players = _maybe(f"players_{csv_base}") or _maybe(f"players_{stem}")
+        return scores, players
+
+    if team_a is None:
+        raise ValueError("Provide csv_base or team names for fuzzy search.")
+    na = _norm_team(team_a)
+    nb = _norm_team(team_b) if team_b else ""
+    for p in sorted(d.glob("scores_*.csv")) + sorted(d.glob("scores_*.parquet")):
+        low = p.name.lower()
+        if na in low and nb in low:
+            stem = p.name.rsplit(".", 1)[0]
+            return p, _maybe(stem.replace("scores_", "players_"))
+    raise FileNotFoundError("No matching scores_* file for those teams.")
+
+
+def load_table(path: Path) -> pd.DataFrame:
+    if str(path).lower().endswith(".parquet"):
+        return pd.read_parquet(path)
+    return pd.read_csv(path)
+
+
+def load_players_table(players_path: Path) -> pd.DataFrame:
+    """Reads players_* files; also repairs the reference's packed
+    column-of-dict-strings format (edge_finder.py:131-166, minus that
+    function's stray testings.csv side-effect write)."""
+    df = load_table(Path(players_path))
+    if len(df.columns) and all(str(c).isdigit() for c in df.columns):
+        rows = []
+        for c in df.columns:
+            for v in df[c].dropna():
+                try:
+                    d = ast.literal_eval(v)
+                    if isinstance(d, dict):
+                        rows.append(d)
+                except Exception:
+                    continue
+        if rows:
+            df = pd.DataFrame(rows)
+    df.columns = [str(c) for c in df.columns]
+    for col in ("pass_yds", "rush_yds", "rec_yds", "pass_td", "rush_td", "rec_td",
+                "tgt", "rec", "pass_att", "pass_comp", "sacks"):
+        if col in df.columns:
+            df[col] = pd.to_numeric(df[col], errors="coerce")
+    df["team_low"] = df["team"].astype(str).str.lower()
+    df["player_low"] = df["player"].astype(str).str.lower()
+    return df
+
+
+# ---------------------------------------------------------------------------
+# markets (edge_finder.py:168-336)
+# ---------------------------------------------------------------------------
+
+def player_prop_odds(csv_base: Optional[str], team: str, player: str, stat: str,
+                     line: float, *, role: Optional[str] = None,
+                     directory: str = ".",
+                     players_df: Optional[pd.DataFrame] = None) -> Dict:
+    if players_df is None:
+        _, players_path = find_saved_files(csv_base, team_a=team, directory=directory)
+        if players_path is None or not players_path.exists():
+            raise FileNotFoundError(
+                "players file not found; rerun with collect_players=True")
+        players_df = load_players_table(Path(players_path))
+
+    stat_col = STAT_ALIASES.get(stat, stat)
+    if stat_col not in players_df.columns:
+        raise ValueError(f"Stat '{stat}' (-> '{stat_col}') not in players table.")
+    role = role or infer_role_from_stat(stat_col)
+    if "team_low" not in players_df:
+        players_df = players_df.assign(
+            team_low=players_df["team"].astype(str).str.lower(),
+            player_low=players_df["player"].astype(str).str.lower())
+    mask = ((players_df["team_low"] == team.lower())
+            & (players_df["player_low"] == player.lower())
+            & (players_df["role"] == role))
+    sub = players_df.loc[mask]
+    if sub.empty:
+        raise ValueError(f"No rows for {player} on {team}.")
+    vals = pd.to_numeric(sub[stat_col], errors="coerce").dropna().to_numpy()
+    if vals.size == 0:
+        raise ValueError(f"No numeric {stat_col} values for {player}.")
+
+    p_over = float(np.mean(vals > line))
+    p_under = float(np.mean(vals < line))
+    p_push = float(np.mean(np.isclose(vals, line, atol=1e-9)))
+    rec = best_side_ev(p_over, price=-110)
+    return {
+        "team": team, "player": player, "role": role, "stat": stat_col,
+        "line": float(line), "samples": int(vals.size),
+        "p_over": round(p_over, 4), "p_under": round(p_under, 4),
+        "push_rate": round(p_push, 4),
+        "american_over": prob_to_american(p_over),
+        "american_under": prob_to_american(p_under),
+        "mean": float(np.mean(vals)), "median": float(np.median(vals)),
+        "p75": float(np.percentile(vals, 75)), "p90": float(np.percentile(vals, 90)),
+        "best_side": rec["side"], "edge": round(rec["edge"] * 100, 2),
+        "ev_per_$100": round(rec["ev"], 2),
+    }
+
+
+def _team_rows(sims: pd.DataFrame, team: str, opp: str) -> pd.DataFrame:
+    return sims[(sims["team"].astype(str).str.lower() == team.lower())
+                & (sims["opp"].astype(str).str.lower() == opp.lower())]
+
+
+def moneyline_from_sims(csv_base: Optional[str], team: str, opp: str,
+                        directory: str = ".",
+                        sims: Optional[pd.DataFrame] = None) -> Dict:
+    if sims is None:
+        scores_path, _ = find_saved_files(csv_base, team_a=team, team_b=opp,
+                                          directory=directory)
+        sims = load_table(scores_path)
+
+    def winrate(t, o):
+        sub = _team_rows(sims, t, o)
+        if sub.empty:
+            return float("nan")
+        return float(np.mean(sub["pts"].values > sub["opp_pts"].values))
+
+    p_team, p_opp = winrate(team, opp), winrate(opp, team)
+    if not np.isfinite(p_team) and np.isfinite(p_opp):
+        p_team = min(max(1.0 - p_opp, 0.0), 1.0)
+    if not np.isfinite(p_opp) and np.isfinite(p_team):
+        p_opp = min(max(1.0 - p_team, 0.0), 1.0)
+    return {
+        "team": {"name": team, "p_win": round(p_team, 6),
+                 "ml_fair": prob_to_american(p_team)},
+        "opp": {"name": opp, "p_win": round(p_opp, 6),
+                "ml_fair": prob_to_american(p_opp)},
+    }
+
+
+def game_market_odds(csv_base: Optional[str], team: str, opp: str, *,
+                     spread: Optional[float] = None, total: Optional[float] = None,
+                     directory: str = ".",
+                     sims: Optional[pd.DataFrame] = None) -> Dict:
+    """Spread cover P (margin > -spread, push at equality) and total
+    over/under P (edge_finder.py:283-336)."""
+    if sims is None:
+        scores_path, _ = find_saved_files(csv_base, team_a=team, team_b=opp,
+                                          directory=directory)
+        sims = load_table(scores_path)
+    sims = _team_rows(sims, team, opp)
+    if sims.empty:
+        raise ValueError("No rows from the TEAM perspective in scores data.")
+
+    out: Dict = {}
+    if spread is not None:
+        margin = (sims["pts"] - sims["opp_pts"]).to_numpy()
+        tgt = -float(spread)
+        p_cover = float(np.mean(margin > tgt))
+        p_not = float(np.mean(margin < tgt))
+        p_push = float(np.mean(np.isclose(margin, tgt, atol=1e-9)))
+        out["spread"] = {
+            "team": team, "opp": opp, "spread": float(spread),
+            "samples": int(margin.size),
+            "p_cover": round(p_cover, 6), "p_notcover": round(p_not, 6),
+            "push_rate": round(p_push, 6),
+            "american_cover": prob_to_american(p_cover),
+            "american_notcover": prob_to_american(p_not),
+            "mean_margin": float(np.mean(margin)),
+            "median_margin": float(np.median(margin)),
+        }
+    if total is not None:
+        totals = (sims["pts"] + sims["opp_pts"]).to_numpy()
+        t = float(total)
+        p_over = float(np.mean(totals > t))
+        p_under = float(np.mean(totals < t))
+        p_push = float(np.mean(np.isclose(totals, t, atol=1e-9)))
+        out["total"] = {
+            "team": team, "opp": opp, "total": t, "samples": int(totals.size),
+            "p_over": round(p_over, 6), "p_under": round(p_under, 6),
+            "push_rate": round(p_push, 6),
+            "american_over": prob_to_american(p_over),
+            "american_under": prob_to_american(p_under),
+            "mean_total": float(np.mean(totals)),
+            "median_total": float(np.median(totals)),
+        }
+    if not out:
+        raise ValueError("Provide spread= and/or total=.")
+    return out
+
+
+def scan_props_for_matchup(csv_base: Optional[str], team_a: str, team_b: str,
+                           prop_sheet_path: str, directory: str = ".",
+                           min_abs_edge_pct: float = 2.0,
+                           players_df: Optional[pd.DataFrame] = None) -> pd.DataFrame:
+    """Scan a prop sheet for both teams; keep |edge| >= threshold
+    (edge_finder.py:340-390)."""
+    props = pd.read_csv(prop_sheet_path)
+    props["team_low"] = props["team"].astype(str).str.lower()
+    keep = props[props["team_low"].isin({team_a.lower(), team_b.lower()})]
+    results = []
+    for _, r in keep.iterrows():
+        stat_col = STAT_ALIASES.get(str(r["stat"]), str(r["stat"]))
+        try:
+            out = player_prop_odds(
+                csv_base, r["team"], r["player"], stat_col, float(r["yards"]),
+                directory=directory, players_df=players_df)
+            results.append({
+                "team": r["team"], "player": r["player"], "stat": stat_col,
+                "line": float(r["yards"]), "best_side": out["best_side"],
+                "p_over": out["p_over"], "p_under": out["p_under"],
+                "edge_pct": out["edge"], "ev_$100": out["ev_per_$100"],
+                "mean": out["mean"], "median": out["median"],
+                "samples": out["samples"],
+            })
+        except Exception:
+            continue
+    if not results:
+        return pd.DataFrame()
+    df = pd.DataFrame(results)
+    df["abs_edge"] = df["edge_pct"].abs()
+    df = df.sort_values(["abs_edge", "ev_$100"], ascending=[False, False])
+    return df[df["abs_edge"] >= min_abs_edge_pct].drop(columns=["abs_edge"])
+
+
+# ---------------------------------------------------------------------------
+# device-summary variants (on-device histogram -> edges without files)
+# ---------------------------------------------------------------------------
+
+def market_odds_from_summary(summary, team: str, opp: str, *,
+                             spread: Optional[float] = None,
+                             total: Optional[float] = None) -> Dict:
+    """Same markets computed from a parallel.aggregate.ScoreSummary whose
+    histograms were reduced on device (team == side 0)."""
+    from .parallel.aggregate import MARGIN_OFF
+
+    out: Dict = {}
+    n = float(summary.n)
+    if spread is not None:
+        mh = np.asarray(summary.margin_hist, dtype=float)
+        margins = np.arange(len(mh)) - MARGIN_OFF
+        tgt = -float(spread)
+        p_cover = mh[margins > tgt].sum() / n
+        p_not = mh[margins < tgt].sum() / n
+        p_push = mh[np.isclose(margins, tgt)].sum() / n
+        mean_margin = float((mh * margins).sum() / n)
+        out["spread"] = {
+            "team": team, "opp": opp, "spread": float(spread), "samples": int(n),
+            "p_cover": round(float(p_cover), 6),
+            "p_notcover": round(float(p_not), 6),
+            "push_rate": round(float(p_push), 6),
+            "american_cover": prob_to_american(p_cover),
+            "american_notcover": prob_to_american(p_not),
+            "mean_margin": mean_margin,
+            "median_margin": float(margins[np.searchsorted(
+                np.cumsum(mh), n / 2.0)]),
+        }
+    if total is not None:
+        th = np.asarray(summary.total_hist, dtype=float)
+        totals = np.arange(len(th))
+        t = float(total)
+        p_over = th[totals > t].sum() / n
+        p_under = th[totals < t].sum() / n
+        p_push = th[np.isclose(totals, t)].sum() / n
+        out["total"] = {
+            "team": team, "opp": opp, "total": t, "samples": int(n),
+            "p_over": round(float(p_over), 6), "p_under": round(float(p_under), 6),
+            "push_rate": round(float(p_push), 6),
+            "american_over": prob_to_american(p_over),
+            "american_under": prob_to_american(p_under),
+            "mean_total": float((th * totals).sum() / n),
+            "median_total": float(totals[np.searchsorted(np.cumsum(th), n / 2.0)]),
+        }
+    return out
+
+
+# ---------------------------------------------------------------------------
+# pretty printers (edge_finder.py:393-582)
+# ---------------------------------------------------------------------------
+
+def _odds_str(o: int) -> str:
+    return f"{o:+d}"
+
+
+def print_game_market_readable(res: dict) -> None:
+    print("\n— Game Market —")
+    be = breakeven_minus110()
+    if "spread" in res:
+        s = res["spread"]
+        ev_cover = ev_per_100_at_minus110(s["p_cover"], s["push_rate"])
+        ev_not = ev_per_100_at_minus110(s["p_notcover"], s["push_rate"])
+        print(f"Spread: {s['team']} vs {s['opp']}  |  {s['team']} {s['spread']:+.1f}"
+              f"  (samples {s['samples']})")
+        print(f"  Cover:     {100*s['p_cover']:.1f}%  fair {_odds_str(s['american_cover'])}  "
+              f"edge {(100*(s['p_cover']-be)):.2f}%  EV ${ev_cover:.2f}/$100")
+        print(f"  Not cover: {100*s['p_notcover']:.1f}%  fair {_odds_str(s['american_notcover'])}  "
+              f"edge {(100*(s['p_notcover']-be)):.2f}%  EV ${ev_not:.2f}/$100")
+        print(f"  Push:      {100*s['push_rate']:.1f}%   | mean/median margin "
+              f"{s['mean_margin']:.1f} / {s['median_margin']:.1f}")
+    if "total" in res:
+        t = res["total"]
+        ev_over = ev_per_100_at_minus110(t["p_over"], t["push_rate"])
+        ev_under = ev_per_100_at_minus110(t["p_under"], t["push_rate"])
+        print(f"\nTotal: {t['team']} vs {t['opp']}  |  {t['total']:.1f}  (samples {t['samples']})")
+        print(f"  Over:   {100*t['p_over']:.1f}%  fair {_odds_str(t['american_over'])}   "
+              f"edge {(100*(t['p_over']-be)):.2f}%  EV ${ev_over:.2f}/$100")
+        print(f"  Under:  {100*t['p_under']:.1f}% fair {_odds_str(t['american_under'])}  "
+              f"edge {(100*(t['p_under']-be)):.2f}%  EV ${ev_under:.2f}/$100")
+        print(f"  Push:   {100*t['push_rate']:.1f}%   | mean/median total "
+              f"{t['mean_total']:.1f} / {t['median_total']:.1f}")
+    if "spread" in res and "total" in res:
+        _print_projected_scores(res)
+
+
+def _print_projected_scores(res: dict) -> None:
+    """Mean/median projected score from margin+total (edge_finder.py:421-447,
+    with the sign handling generalized so a zero margin also prints)."""
+    t = res["total"]
+    s = res["spread"]
+    for label, tv, sv in (("Mean", t["mean_total"], s["mean_margin"]),
+                          ("Median", t["median_total"], s["median_margin"])):
+        team_score = (tv + sv) / 2.0
+        opp_score = (tv - sv) / 2.0
+        print(f"\n{label} Score: {t['team']} - {team_score:.0f} vs "
+              f"{t['opp']} - {opp_score:.0f}  |  (samples {t['samples']})")
+
+
+def print_moneyline_readable(ml: dict) -> None:
+    print("\n— Fair Moneyline (no vig) —")
+    for k in ("team", "opp"):
+        e = ml[k]
+        print(f"  {e['name']}: {100*e['p_win']:.2f}%   fair {_odds_str(e['ml_fair'])}")
+
+
+def print_prop_table(df: pd.DataFrame) -> None:
+    if df is None or df.empty:
+        print("\n— Player Props value (@ -110 both sides) —\n"
+              "  (no props matched or no value found)")
+        return
+    out = df.copy()
+
+    def group(stat: str) -> str:
+        s = str(stat).lower()
+        if s.startswith("pass"):
+            return "Passing"
+        if s.startswith("rush"):
+            return "Rushing"
+        if s.startswith("rec") or s in {"tgt", "receptions", "targets"}:
+            return "Receiving"
+        return "Other"
+
+    out["__group__"] = out["stat"].map(group)
+    out["__abs__"] = out["edge_pct"].abs()
+    out = out.sort_values(["__group__", "__abs__"], ascending=[True, False])
+    print("\n— Player Props value (@ -110 both sides) —")
+    for gname in ("Passing", "Rushing", "Receiving", "Other"):
+        g = out[out["__group__"] == gname]
+        if g.empty:
+            continue
+        print(f"\n[{gname}]")
+        for _, r in g.iterrows():
+            print(f"{r['team']}: {r['player']}  |  {r['stat']} {r['best_side']} "
+                  f"{r['line']:.1f}  (edge {r['edge_pct']:+.2f}%, "
+                  f"EV ${r['ev_$100']:+.2f}/$100, mean {r['mean']:.1f}, "
+                  f"med {r['median']:.1f}, n={int(r['samples'])})")
+
+
+def find_edges(*, csv_base: Optional[str], team_a: str, team_b: str,
+               spread: Optional[float], total: Optional[float],
+               props_csv: Optional[str] = None, directory: str = ".",
+               min_abs_edge_pct: float = 2.0) -> None:
+    """One-call report: spread/total, fair moneylines, prop scan
+    (edge_finder.py:586-614)."""
+    gm = game_market_odds(csv_base, team_a, team_b, spread=spread, total=total,
+                          directory=directory)
+    ml = moneyline_from_sims(csv_base, team_a, team_b, directory=directory)
+    print_game_market_readable(gm)
+    print_moneyline_readable(ml)
+    if props_csv and Path(props_csv).exists():
+        props = scan_props_for_matchup(csv_base, team_a, team_b, props_csv,
+                                       directory=directory,
+                                       min_abs_edge_pct=min_abs_edge_pct)
+        print_prop_table(props)

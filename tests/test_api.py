@@ -1,0 +1,166 @@
+"""End-to-end API tests: matchup orchestration, player tracking via a focus
+sheet, persistence, box scores, and the edge-finder math."""
+import numpy as np
+import pandas as pd
+import pytest
+
+from fast_monte_carlo_tpu import (
+    SimConfig, csv_base_from, load_heads, simulate_matchup, summary_frame,
+)
+from fast_monte_carlo_tpu.api import players_frame, scores_frame, simulate_upcoming_matchup
+from fast_monte_carlo_tpu.boxscore import format_boxscore, mean_boxscore
+from fast_monte_carlo_tpu.data import build_team_context_from_sp_flex, load_sp_flex
+from fast_monte_carlo_tpu import edge as E
+from fast_monte_carlo_tpu.store import load_sim_bundle, make_signature, save_sim_bundle
+
+
+@pytest.fixture(scope="module")
+def focus_csv(tmp_path_factory):
+    p = tmp_path_factory.mktemp("focus") / "week1_players.csv"
+    rows = []
+    for team, qb, rb, wr in [
+        ("Kansas State", "Avery Johnson", "Dylan Edwards", "Jayce Brown"),
+        ("Iowa State", "Rocco Becht", "Carson Hansen", "Jaylin Noel"),
+    ]:
+        rows += [
+            dict(team=team, player=qb, pos="QB", usage=95, stat="pass_yards", yards=250),
+            dict(team=team, player=rb, pos="RB", usage=55, stat="rush_yards", yards=80),
+            dict(team=team, player=wr, pos="WR", usage=30, stat="rec_yards", yards=70),
+        ]
+    pd.DataFrame(rows).to_csv(p, index=False)
+    return str(p)
+
+
+@pytest.fixture(scope="module")
+def contexts(reference_dir, focus_csv):
+    sp = load_sp_flex(str(reference_dir / "PregameSPPlus2025_1.csv"))
+    a = build_team_context_from_sp_flex("Kansas State", 2025, 1, sp, focus_csv=focus_csv)
+    b = build_team_context_from_sp_flex("Iowa State", 2025, 1, sp, focus_csv=focus_csv)
+    return a, b
+
+
+def test_focus_usage_tracked_slots(contexts):
+    a, _ = contexts
+    assert "Avery Johnson" in a.qb.names
+    assert a.qb.tracked[a.qb.names.index("Avery Johnson")]
+    # remainder goes to the __Other__ sentinel, untracked
+    from fast_monte_carlo_tpu.data.usage import OTHER_SENTINEL
+    assert OTHER_SENTINEL in a.rush.names
+    assert not a.rush.tracked[a.rush.names.index(OTHER_SENTINEL)]
+    np.testing.assert_allclose(a.qb.share.sum(), 1.0, atol=1e-9)
+
+
+@pytest.fixture(scope="module")
+def sim_result(contexts, reference_dir):
+    a, b = contexts
+    heads = load_heads(reference_dir)
+    cfg = SimConfig()
+    sims_df, players_df, runner = simulate_matchup(
+        a, b, heads, n=96, cfg=cfg, collect_players=True, mode="analytic")
+    return a, b, sims_df, players_df, runner
+
+
+def test_scores_frame_schema(sim_result):
+    a, b, sims_df, _, _ = sim_result
+    assert list(sims_df.columns) == ["team", "opp", "pts", "opp_pts"]
+    assert len(sims_df) == 192
+    assert set(sims_df.team.unique()) == {a.name, b.name}
+    s = summary_frame(sims_df)
+    assert set(s.index) == {a.name, b.name}
+    assert 0 <= s.win_rate.iloc[0] <= 1
+
+
+def test_players_frame_tracked_only(sim_result):
+    a, b, _, players_df, _ = sim_result
+    assert not players_df.empty
+    names = set(players_df.player.unique())
+    assert "Avery Johnson" in names
+    assert "__Other__" not in names
+    qb_rows = players_df[(players_df.player == "Avery Johnson") &
+                         (players_df.role == "QB")]
+    assert (qb_rows.pass_att >= qb_rows.pass_comp).all()
+    # receivers' targets >= receptions
+    rec = players_df[players_df.role == "Receiver"]
+    assert (rec.tgt >= rec.rec).all()
+
+
+def test_boxscore_formatting(sim_result):
+    a, b, _, _, runner = sim_result
+    out = runner.run_pairs(4, seed=3, collect_players=False)
+    txt = mean_boxscore((a.name, b.name), np.asarray(out.stats))
+    assert a.name in txt and "YPA" in txt and "RZ" in txt
+
+
+def test_store_roundtrip(sim_result, tmp_path):
+    a, b, sims_df, players_df, _ = sim_result
+    meta = {"teams": [a.name, b.name], "n": len(sims_df), "seed": 0}
+    sig = save_sim_bundle(tmp_path / "run1", sims_df.assign(sim_id=range(len(sims_df)), seed=0),
+                          players_df, meta)
+    games, players, meta2 = load_sim_bundle(tmp_path / "run1")
+    assert meta2["signature"] == sig == make_signature(meta)
+    assert "margin" in games and "total" in games
+    assert len(games) == len(sims_df)
+
+
+def test_edge_math_parity():
+    # odds conversions (edge_finder.py:70-119 golden cases)
+    assert E.prob_to_american(0.5) == -100
+    assert E.prob_to_american(0.6) == -150
+    assert E.prob_to_american(0.4) == 150
+    np.testing.assert_allclose(E.american_implied_prob(-110), 110 / 210)
+    np.testing.assert_allclose(E.ev_per_100(110 / 210, -110), 0.0, atol=1e-9)
+    np.testing.assert_allclose(E.ev_per_100_at_minus110(110 / 210), 0.0, atol=1e-9)
+    side = E.best_side_ev(0.60)
+    assert side["side"] == "Over" and side["ev"] > 0
+    side = E.best_side_ev(0.40)
+    assert side["side"] == "Under"
+
+
+def test_game_market_and_moneyline_from_frames(sim_result):
+    a, b, sims_df, players_df, _ = sim_result
+    gm = E.game_market_odds(None, a.name, b.name, spread=-3.0, total=55.5,
+                            sims=sims_df)
+    sp = gm["spread"]
+    np.testing.assert_allclose(
+        sp["p_cover"] + sp["p_notcover"] + sp["push_rate"], 1.0, atol=2e-6)
+    tt = gm["total"]
+    np.testing.assert_allclose(
+        tt["p_over"] + tt["p_under"] + tt["push_rate"], 1.0, atol=2e-6)
+    ml = E.moneyline_from_sims(None, a.name, b.name, sims=sims_df)
+    assert 0 <= ml["team"]["p_win"] <= 1
+
+    # prop odds against the in-memory players frame
+    pdf = players_df.assign(team_low=players_df.team.str.lower(),
+                            player_low=players_df.player.str.lower())
+    out = E.player_prop_odds(None, a.name, "Avery Johnson", "pass_yards", 250.0,
+                             players_df=pdf)
+    assert out["p_over"] + out["p_under"] + out["push_rate"] <= 1.0 + 1e-9
+    assert out["best_side"] in ("Over", "Under")
+
+
+def test_edges_file_flow(sim_result, tmp_path, monkeypatch, focus_csv, capsys):
+    a, b, sims_df, players_df, _ = sim_result
+    monkeypatch.chdir(tmp_path)
+    base = csv_base_from(a.name, b.name, 1)
+    sims_df.to_csv(f"scores_{base}", index=False)
+    players_df.to_csv(f"players_{base}", index=False)
+    E.find_edges(csv_base=base, team_a=a.name, team_b=b.name,
+                 spread=-3.0, total=55.5, props_csv=focus_csv,
+                 min_abs_edge_pct=0.0)
+    out = capsys.readouterr().out
+    assert "Game Market" in out and "Fair Moneyline" in out
+    assert "Mean Score" in out
+
+
+def test_simulate_upcoming_matchup_end_to_end(reference_dir, focus_csv, tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    sims_df, players_df, summary, a, b, meta = simulate_upcoming_matchup(
+        "Kansas State", "Iowa State",
+        sp_path=str(reference_dir / "PregameSPPlus2025_1.csv"),
+        artifact_dir=str(reference_dir), focus_csv=focus_csv,
+        n=32, collect_players=True, mode="analytic",
+        save_csv=csv_base_from("Kansas State", "Iowa State", 1))
+    assert meta["sims"] == 32 and meta["total_time_sec"] > 0
+    assert (tmp_path / f"scores_{csv_base_from('Kansas State', 'Iowa State', 1)}").exists()
+    assert len(sims_df) == 64
+    assert not players_df.empty
