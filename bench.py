@@ -1,0 +1,106 @@
+"""Benchmark harness: full-game simulations/second on the attached device.
+
+Scenario = BASELINE config #2: one 2025 matchup (Kansas State vs Iowa State,
+PregameSPPlus2025_1.csv), full play-by-play with every model head active
+(stage1 XGBoost, analytic stage-2 reconstruction, 9 GBR quantile heads),
+alternating home/away first offense.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "games/sec", "vs_baseline": N}
+
+Baseline: the reference is a pure-Python multiprocessing simulator with no
+published numbers (BASELINE.md).  We use 40 games/sec as the baseline —
+a generous estimate of `fast_monte_carlo_cfb.py` at its default 4 worker
+processes (our faithful single-core CPU oracle of the same workload runs
+~10 games/s; the reference's own README-less self-timing harness is the
+only other evidence).
+"""
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent
+sys.path.insert(0, str(REPO))
+
+BASELINE_GAMES_PER_SEC = 40.0
+REFERENCE_DIR = "/root/reference"
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mode", default="table", choices=["table", "exact", "analytic"])
+    ap.add_argument("-n", type=int, default=131072, help="games per timed run")
+    ap.add_argument("--pairs", action="store_true", help="n counts pairs")
+    ap.add_argument("--smoke", action="store_true", help="tiny CPU smoke run")
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--repeats", type=int, default=2)
+    args = ap.parse_args()
+
+    if args.smoke:
+        import os
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        args.n = min(args.n, 2048)
+        if args.mode == "table":
+            args.mode = "analytic"
+
+    import jax
+    if args.smoke:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    import numpy as np
+
+    from fast_monte_carlo_tpu.api import MatchupRunner
+    from fast_monte_carlo_tpu.config import SimConfig
+    from fast_monte_carlo_tpu.data import build_team_context_from_sp_flex, load_sp_flex
+    from fast_monte_carlo_tpu.models.heads import load_heads
+
+    dev = jax.devices()[0]
+    print(f"# device: {dev.platform} {getattr(dev, 'device_kind', '')}",
+          file=sys.stderr)
+
+    cfg = SimConfig()
+    sp = load_sp_flex(f"{REFERENCE_DIR}/PregameSPPlus2025_1.csv")
+    a = build_team_context_from_sp_flex("Kansas State", 2025, 1, sp)
+    b = build_team_context_from_sp_flex("Iowa State", 2025, 1, sp)
+    heads = load_heads(REFERENCE_DIR) if args.mode != "analytic" else None
+
+    t0 = time.perf_counter()
+    runner = MatchupRunner(a, b, heads, cfg, mode=args.mode)
+    build_s = time.perf_counter() - t0
+    print(f"# setup (incl. table build): {build_s:.1f}s", file=sys.stderr)
+
+    n_pairs = args.n if args.pairs else max(1, args.n // 2)
+    n_games = 2 * n_pairs
+
+    t0 = time.perf_counter()
+    out = runner.run_pairs(n_pairs, seed=args.seed, collect_players=False)
+    compile_s = time.perf_counter() - t0
+    print(f"# compile+first run: {compile_s:.1f}s", file=sys.stderr)
+
+    best = None
+    for r in range(args.repeats):
+        t0 = time.perf_counter()
+        out = runner.run_pairs(n_pairs, seed=args.seed + 1 + r, collect_players=False)
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+        print(f"# run {r}: {dt:.3f}s -> {n_games/dt:,.0f} games/s", file=sys.stderr)
+
+    score = np.asarray(out.score)
+    win_a = float((score[:, 0] > score[:, 1]).mean())
+    print(f"# sanity: mean {score.mean(axis=0).round(2).tolist()} winA {win_a:.4f}",
+          file=sys.stderr)
+
+    games_per_sec = n_games / best
+    print(json.dumps({
+        "metric": f"full_game_sims_per_sec_single_chip_{args.mode}",
+        "value": round(games_per_sec, 1),
+        "unit": "games/sec",
+        "vs_baseline": round(games_per_sec / BASELINE_GAMES_PER_SEC, 1),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
