@@ -151,9 +151,15 @@ def load_heads(artifact_dir: str | Path, *, use_play_pickle: bool = True) -> Mod
 
     s2_model = _maybe(d / "pass_stage2_notcomplete.json")
     s2_pre = _maybe(d / "pass_stage2_preprocessor.joblib")
+    s2_sklearn = _maybe(d / "pass_stage2_sklearn.joblib")
     if s2_model and s2_pre:
         layout = layout_from_column_transformer(load_sklearn_artifact(s2_pre))
         heads.stage2 = forest_from_xgb_json(load_xgb_json(s2_model), layout, name="stage2")
+    elif s2_sklearn:
+        from .sklearn_gbr import forest_from_gbc_pipeline
+        heads.stage2 = forest_from_gbc_pipeline(
+            load_sklearn_artifact(s2_sklearn), name="stage2")
+    if heads.stage2 is not None:
         classes_csv = _maybe(d / "pass_stage2_classes.csv")
         if classes_csv:
             import pandas as pd

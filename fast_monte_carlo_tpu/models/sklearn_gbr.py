@@ -87,3 +87,51 @@ def forest_from_gbr_pipeline(pipe, *, name: str = "") -> FlatForest:
 def load_gbr_forest(path: str | Path, *, name: str = "") -> FlatForest:
     pipe = load_sklearn_artifact(path)
     return forest_from_gbr_pipeline(pipe, name=name or Path(path).stem)
+
+
+def forest_from_gbc_pipeline(pipe, *, name: str = "") -> FlatForest:
+    """Compile a GradientBoostingClassifier pipeline (the train/pipeline.py
+    sklearn fallback for the xgboost heads) into a FlatForest.
+
+    sklearn raw predictions: init log-odds (binary) / log-priors (multi)
+    plus learning_rate * per-class tree sums; link sigmoid / softmax.
+    """
+    pre = pipe.steps[0][1]
+    gbc = pipe.steps[-1][1]
+    layout = layout_from_column_transformer(pre)
+    lr = float(gbc.learning_rate)
+    n_classes_model = gbc.estimators_.shape[1]  # 1 for binary
+
+    priors = np.asarray(gbc.init_.class_prior_, dtype=np.float64) \
+        if hasattr(gbc.init_, "class_prior_") else None
+    if n_classes_model == 1:
+        p = float(priors[1]) if priors is not None else 0.5
+        p = min(max(p, 1e-12), 1 - 1e-12)
+        base = np.asarray([np.log(p / (1 - p))], dtype=np.float32)
+        link = "sigmoid"
+        n_classes = 1
+    else:
+        pr = np.clip(priors if priors is not None
+                     else np.full(n_classes_model, 1.0 / n_classes_model), 1e-12, None)
+        base = np.log(pr).astype(np.float32)
+        link = "softmax"
+        n_classes = n_classes_model
+
+    trees = []
+    tree_class = []
+    for m in range(gbc.estimators_.shape[0]):
+        for k in range(n_classes_model):
+            t = gbc.estimators_[m, k].tree_
+            is_leaf = t.children_left == -1
+            trees.append({
+                "feat": np.where(is_leaf, -1, t.feature).astype(np.int32),
+                "thresh": np.where(is_leaf, 0.0, t.threshold).astype(np.float32),
+                "left": t.children_left.astype(np.int32),
+                "right": t.children_right.astype(np.int32),
+                "default_left": np.ones(t.node_count, dtype=bool),
+                "leaf": np.where(is_leaf, lr * t.value[:, 0, 0], 0.0).astype(np.float32),
+            })
+            tree_class.append(k)
+
+    return stack_nodes(trees, layout, tree_class=tree_class, n_classes=n_classes,
+                       base_margin=base, link=link, cmp="le", name=name)

@@ -1,0 +1,345 @@
+"""Offline training pipeline (L0): pull -> process -> train -> export.
+
+Reproduces the reference's recipes (SURVEY §2.2, scripts pull_cfb_*.py,
+process_cfb_data.py, train_*.py) as library functions instead of
+copy-pasted standalone scripts, with these differences:
+
+  * xgboost is optional in this environment.  Every head has an sklearn
+    GradientBoosting path (matched hyperparameter spirit) whose output
+    compiles to the SAME FlatForest runtime format, so the two snapshot-
+    missing artifacts (stage-2 pass outcome, binary play model) can be
+    reconstructed here without xgboost.
+  * network pulls are gated on CFBD_API_KEY and fail with a clear message
+    (this build environment has no egress).
+  * artifact export goes both to reference-compatible joblib files and
+    directly to compiled FlatForests.
+
+Feature schema (ml_* csv columns) follows the reference exactly:
+NUM_FEATURES (17) + passer_name/target_name/rusher_name + pass_outcome /
+play_category / rush_yards / fumble_lost targets + year for time-safe
+splits (train 2022-23, test 2024 — train_pass_outcome_stage1.py:31-39).
+"""
+from __future__ import annotations
+
+import json
+import math
+import os
+import re
+from pathlib import Path
+from typing import Dict, Iterable, List, Optional, Sequence, Tuple
+
+import numpy as np
+import pandas as pd
+
+from ..models.heads import ST1_FEATURES
+
+CFBD_BASE = "https://api.collegefootballdata.com"
+
+NUM_FEATURES = list(ST1_FEATURES)
+
+# play-text extraction patterns (same text grammar the reference parses,
+# pull_cfb_data_with_play_type.py:41-45)
+PASS_RE = re.compile(r"(\w+\.?\s+\w+)\s+pass\s+(?:complete\s+to\s+(\w+\.?\s+\w+)|incomplete)")
+RUSH_RE = re.compile(r"(\w+\.?\s+\w+)\s+(?:run|rush)\s+for")
+SACK_RE = re.compile(r"(\w+\.?\s+\w+)\s+sacked\s+by\s+(\w+\.?\s+\w+)")
+FUMBLE_RE = re.compile(r"(\w+\.?\s+\w+)\s+fumbled,\s+recovered\s+by\s+\w+\s+(\w+\.?\s+\w+)")
+
+
+# ---------------------------------------------------------------------------
+# pull (network; gated)
+# ---------------------------------------------------------------------------
+
+def _cfbd_get(path: str, params: dict, api_key: Optional[str] = None) -> list:
+    import urllib.parse
+    import urllib.request
+
+    key = api_key or os.environ.get("CFBD_API_KEY")
+    if not key:
+        raise RuntimeError(
+            "CFBD_API_KEY not set; the data pull needs collegefootballdata.com "
+            "access (and this environment may have no egress).  Provide the "
+            "ml_*.csv training tables directly instead.")
+    url = f"{CFBD_BASE}{path}?{urllib.parse.urlencode(params)}"
+    req = urllib.request.Request(url, headers={"Authorization": f"Bearer {key}"})
+    with urllib.request.urlopen(req, timeout=60) as resp:
+        return json.loads(resp.read().decode())
+
+
+def pull_plays(years: Iterable[int] = (2022, 2023, 2024),
+               api_key: Optional[str] = None) -> pd.DataFrame:
+    """CFBD /plays for FBS weeks; 2024 limited to weeks 1-8 like the
+    reference (pull_cfb_raw_data.py:24)."""
+    frames = []
+    for year in years:
+        weeks = range(1, 9) if year == 2024 else range(1, 16)
+        for week in weeks:
+            try:
+                rows = _cfbd_get("/plays", {"year": year, "week": week,
+                                            "seasonType": "both"}, api_key)
+            except RuntimeError:
+                raise
+            except Exception:
+                continue
+            df = pd.DataFrame(rows)
+            df["year"] = year
+            df["week"] = week
+            frames.append(df)
+    return pd.concat(frames, ignore_index=True)
+
+
+def pull_coaches(years: Iterable[int] = (2022, 2023, 2024),
+                 api_key: Optional[str] = None) -> pd.DataFrame:
+    rows = []
+    for year in years:
+        rows.extend(_cfbd_get("/coaches", {"year": year}, api_key))
+    return pd.DataFrame(rows)
+
+
+# ---------------------------------------------------------------------------
+# process
+# ---------------------------------------------------------------------------
+
+def parse_play_text(play_text, play_type) -> Dict[str, Optional[str]]:
+    """Extract passer/receiver/rusher names from a play description,
+    dispatched on playType (process_cfb_data.py:40-77 semantics)."""
+    out = {"passer_name": None, "receiver_name": None,
+           "rusher_name": None, "other_name": None}
+    if not play_text or not play_type or pd.isna(play_text) or pd.isna(play_type):
+        return out
+    text = str(play_text).lower().strip()
+    pt = str(play_type).lower().strip()
+    if "pass completion" in pt or "pass reception" in pt:
+        m = PASS_RE.search(text)
+        if m:
+            out["passer_name"] = m.group(1).title()
+            out["receiver_name"] = m.group(2).title() if m.group(2) else None
+    elif "pass incompletion" in pt:
+        m = PASS_RE.search(text)
+        if m:
+            out["passer_name"] = m.group(1).title()
+    elif "rush" in pt:
+        m = RUSH_RE.search(text)
+        if m:
+            out["rusher_name"] = m.group(1).title()
+    elif "sack" in pt:
+        m = SACK_RE.search(text)
+        if m:
+            out["passer_name"] = m.group(1).title()
+            out["other_name"] = m.group(2).title()
+    elif "fumble" in pt:
+        m = FUMBLE_RE.search(text)
+        if m:
+            out["rusher_name"] = m.group(1).title()
+            out["other_name"] = m.group(2).title()
+    return out
+
+
+def derive_state_features(df: pd.DataFrame) -> pd.DataFrame:
+    """Engineered flags the models train on (train_play_model.py:96-99,
+    build_state_row semantics)."""
+    df = df.copy()
+    df["is_red_zone"] = (df["yardsToGoal"] <= 20).astype(int)
+    df["goal_to_go"] = (df["distance"] >= df["yardsToGoal"] - 0.5).astype(int)
+    df["fourth_and_short"] = ((df["down"] == 4) & (df["distance"] <= 2)).astype(int)
+    df["fg_range"] = (df["yardsToGoal"] <= 33).astype(int)
+    df["half"] = np.where(df["seconds_remaining"] > 1800, 1, 2)
+    df["two_minute"] = ((df["seconds_remaining"] % 1800) <= 120).astype(int)
+    return df
+
+
+def time_safe_split(df: pd.DataFrame, train_years=(2022, 2023), test_years=(2024,)):
+    """Train on earlier seasons, test on the last (leakage control,
+    train_pass_outcome_stage1.py:31-39)."""
+    tr = df[df["year"].isin(train_years)]
+    te = df[df["year"].isin(test_years)]
+    if len(tr) == 0 or len(te) == 0:
+        msk = np.random.default_rng(42).random(len(df)) < 0.8
+        tr, te = df[msk], df[~msk]
+    return tr, te
+
+
+def temperature_calibrate(margins: np.ndarray, y: np.ndarray,
+                          grid: Sequence[float] = tuple(np.round(np.arange(0.5, 2.01, 0.05), 2))
+                          ) -> float:
+    """1-D NLL grid search over softmax temperature
+    (train_play_model.py:173-187)."""
+    best_t, best_nll = 1.0, math.inf
+    for t in grid:
+        z = margins / t
+        z = z - z.max(axis=1, keepdims=True)
+        p = np.exp(z)
+        p /= p.sum(axis=1, keepdims=True)
+        nll = -np.mean(np.log(np.clip(p[np.arange(len(y)), y], 1e-12, None)))
+        if nll < best_nll:
+            best_nll, best_t = nll, float(t)
+    return best_t
+
+
+# ---------------------------------------------------------------------------
+# training (sklearn path; xgboost used when importable)
+# ---------------------------------------------------------------------------
+
+def _ohe_pre(cat_features: List[str], num_features: List[str]):
+    from sklearn.compose import ColumnTransformer
+    from sklearn.preprocessing import OneHotEncoder
+
+    return ColumnTransformer(
+        [("cat", OneHotEncoder(handle_unknown="ignore", sparse_output=True),
+          cat_features),
+         ("num", "passthrough", num_features)],
+        remainder="drop")
+
+
+def train_quantile_heads(df: pd.DataFrame, kind: str, out_dir: str | Path,
+                         cat_features: Optional[List[str]] = None,
+                         n_estimators: int = 400) -> List[Path]:
+    """The reference's 9 GBR quantile heads, 3 per kind
+    (train_pass_yards_quantiles.py et al.): GradientBoostingRegressor
+    (loss='quantile', alpha in .1/.5/.9, 400 trees, depth 3) in a Pipeline
+    with OHE players, targets clipped per kind."""
+    from sklearn.ensemble import GradientBoostingRegressor
+    from sklearn.pipeline import Pipeline
+
+    clips = {"pass": (-20, 80), "run": (-10, 40), "sack": (-20, 0)}
+    target_col = {"pass": "yardsGained", "run": "yardsGained", "sack": "yardsGained"}[kind]
+    default_cats = {"pass": ["passer_name", "target_name"],
+                    "run": ["rusher_name"], "sack": ["passer_name"]}
+    cat_features = cat_features or default_cats[kind]
+
+    y = df[target_col].clip(*clips[kind]).to_numpy()
+    X = df[NUM_FEATURES + cat_features].copy()
+    for c in cat_features:
+        X[c] = X[c].fillna("Unknown").astype(str)
+
+    out_paths = []
+    out_dir = Path(out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    import joblib
+    for q in (10, 50, 90):
+        model = Pipeline([
+            ("pre", _ohe_pre(cat_features, NUM_FEATURES)),
+            ("gbr", GradientBoostingRegressor(
+                loss="quantile", alpha=q / 100.0, n_estimators=n_estimators,
+                max_depth=3, random_state=42)),
+        ])
+        model.fit(X, y)
+        p = out_dir / f"{kind}_yards_q{q}.joblib"
+        joblib.dump(model, p)
+        out_paths.append(p)
+    return out_paths
+
+
+def train_stage1(df: pd.DataFrame, out_dir: str | Path) -> Path:
+    """Binary complete-vs-not head (train_pass_outcome_stage1.py recipe)."""
+    return _train_binary(df, (df["pass_outcome"] == "complete").astype(int),
+                         ["passer_name"], out_dir, "pass_stage1")
+
+
+def train_stage2(df: pd.DataFrame, out_dir: str | Path) -> Path:
+    """3-class {incomplete,intercepted,sack} head over not-complete rows —
+    the artifact missing from the snapshot (train_pass_outcome_stage2.py)."""
+    sub = df[df["pass_outcome"] != "complete"].copy()
+    cats = [c for c in ("passer_name", "target_name") if c in sub.columns]
+    return _train_multiclass(sub, sub["pass_outcome"], cats, out_dir, "pass_stage2")
+
+
+def train_fumble(df: pd.DataFrame, out_dir: str | Path) -> Path:
+    """Binary fumble_lost head (train_run_fumble.py recipe)."""
+    return _train_binary(df, df["fumble_lost"].astype(int), ["rusher_name"],
+                         out_dir, "run_fumble")
+
+
+def _have_xgboost() -> bool:
+    try:
+        import xgboost  # noqa: F401
+        return True
+    except ImportError:
+        return False
+
+
+def _train_binary(df, y, cat_features, out_dir, stem) -> Path:
+    out_dir = Path(out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    X = df[NUM_FEATURES + cat_features].copy()
+    for c in cat_features:
+        X[c] = X[c].fillna("Unknown").astype(str)
+    import joblib
+    pre = _ohe_pre(cat_features, NUM_FEATURES)
+    if _have_xgboost():
+        import scipy.sparse as sp
+        import xgboost as xgb
+        Xc = pre.fit_transform(X)
+        Xc = Xc if sp.isspmatrix_csr(Xc) else Xc.tocsr()
+        bst = xgb.train(
+            {"objective": "binary:logistic", "eval_metric": "logloss",
+             "max_depth": 7, "eta": 0.06, "subsample": 0.8,
+             "colsample_bytree": 0.8, "min_child_weight": 2,
+             "reg_lambda": 1.0, "tree_method": "hist", "seed": 42},
+            xgb.DMatrix(Xc, label=np.asarray(y)), num_boost_round=500)
+        joblib.dump(pre, out_dir / f"{stem}_preprocessor.joblib")
+        path = out_dir / (f"{stem}_complete_vs_not.json" if stem == "pass_stage1"
+                          else f"{stem}.json")
+        bst.save_model(str(path))
+        return path
+    # sklearn fallback: one pipeline artifact compiled by
+    # models.sklearn_gbr.forest_from_gbc_pipeline at load time
+    from sklearn.ensemble import GradientBoostingClassifier
+    from sklearn.pipeline import Pipeline
+
+    model = Pipeline([
+        ("pre", pre),
+        ("gbc", GradientBoostingClassifier(
+            n_estimators=200, max_depth=5, learning_rate=0.06, random_state=42)),
+    ])
+    model.fit(X, np.asarray(y))
+    path = out_dir / f"{stem}_sklearn.joblib"
+    joblib.dump(model, path)
+    return path
+
+
+def _train_multiclass(df, y_labels, cat_features, out_dir, stem) -> Path:
+    from sklearn.preprocessing import LabelEncoder
+
+    out_dir = Path(out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    le = LabelEncoder()
+    y = le.fit_transform(y_labels.astype(str))
+    X = df[NUM_FEATURES + cat_features].copy()
+    for c in cat_features:
+        X[c] = X[c].fillna("Unknown").astype(str)
+    import joblib
+    pre = _ohe_pre(cat_features, NUM_FEATURES)
+    pd.Series(le.classes_).to_csv(out_dir / f"{stem}_classes.csv",
+                                  index=False, header=False)
+    if _have_xgboost():
+        import scipy.sparse as sp
+        import xgboost as xgb
+        from sklearn.utils.class_weight import compute_class_weight
+
+        Xc = pre.fit_transform(X)
+        Xc = Xc if sp.isspmatrix_csr(Xc) else Xc.tocsr()
+        classes = np.unique(y)
+        cw = compute_class_weight("balanced", classes=classes, y=y)
+        w = np.asarray([cw[c] for c in y], dtype=float)
+        bst = xgb.train(
+            {"objective": "multi:softprob", "eval_metric": "mlogloss",
+             "num_class": len(le.classes_), "max_depth": 7, "eta": 0.06,
+             "subsample": 0.8, "colsample_bytree": 0.8, "min_child_weight": 2,
+             "reg_lambda": 1.0, "tree_method": "hist", "seed": 42},
+            xgb.DMatrix(Xc, label=y, weight=w), num_boost_round=500)
+        joblib.dump(pre, out_dir / f"{stem}_preprocessor.joblib")
+        path = out_dir / f"{stem}_notcomplete.json"
+        bst.save_model(str(path))
+        return path
+    from sklearn.ensemble import GradientBoostingClassifier
+    from sklearn.pipeline import Pipeline
+
+    model = Pipeline([
+        ("pre", pre),
+        ("gbc", GradientBoostingClassifier(
+            n_estimators=200, max_depth=5, learning_rate=0.06, random_state=42)),
+    ])
+    model.fit(X, y)
+    path = out_dir / f"{stem}_sklearn.joblib"
+    joblib.dump(model, path)
+    return path
