@@ -36,6 +36,7 @@ def main() -> int:
     ap.add_argument("--smoke", action="store_true", help="tiny CPU smoke run")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--repeats", type=int, default=2)
+    ap.add_argument("--rng", default="threefry", choices=["threefry", "rbg"])
     args = ap.parse_args()
 
     if args.smoke:
@@ -60,7 +61,11 @@ def main() -> int:
     print(f"# device: {dev.platform} {getattr(dev, 'device_kind', '')}",
           file=sys.stderr)
 
+    import dataclasses
+
     cfg = SimConfig()
+    if args.rng != "threefry":
+        cfg = cfg.replace(engine=dataclasses.replace(cfg.engine, rng_impl=args.rng))
     sp = load_sp_flex(f"{REFERENCE_DIR}/PregameSPPlus2025_1.csv")
     a = build_team_context_from_sp_flex("Kansas State", 2025, 1, sp)
     b = build_team_context_from_sp_flex("Iowa State", 2025, 1, sp)

@@ -276,6 +276,49 @@ def _save_frames(save_csv: str, sims_df: pd.DataFrame,
             players_df.to_csv(f"players_{save_csv}.csv", index=False)
 
 
+def simulate_matchup_batched(
+    team_a: TeamContext,
+    team_b: TeamContext,
+    heads: ModelHeads,
+    n_pairs_total: int,
+    batch_pairs: int,
+    run_dir: str,
+    *,
+    cfg: Optional[SimConfig] = None,
+    seed: int = 0,
+    mode: str = "table",
+    collect_players: bool = False,
+) -> pd.DataFrame:
+    """Checkpointed long sweep: trial batches are the resume unit (SURVEY
+    §5.3/§5.4 rebuild note).  Completed chunks are parquet files in
+    `run_dir`; re-invoking skips them, so a killed sweep continues where it
+    stopped.  Chunk results are deterministic in (seed, chunk index)."""
+    from pathlib import Path
+
+    cfg = cfg or SimConfig()
+    d = Path(run_dir)
+    d.mkdir(parents=True, exist_ok=True)
+    runner = None
+    n_chunks = (n_pairs_total + batch_pairs - 1) // batch_pairs
+    frames = []
+    for ci in range(n_chunks):
+        chunk_path = d / f"scores_chunk_{ci:05d}.parquet"
+        if chunk_path.exists():
+            frames.append(pd.read_parquet(chunk_path))
+            continue
+        pairs = min(batch_pairs, n_pairs_total - ci * batch_pairs)
+        sims_df, players_df, runner = simulate_matchup(
+            team_a, team_b, heads, pairs, cfg=cfg, seed=seed + ci,
+            collect_players=collect_players, mode=mode, runner=runner)
+        tmp = chunk_path.with_suffix(".tmp")
+        sims_df.to_parquet(tmp, index=False)
+        tmp.rename(chunk_path)
+        if collect_players and players_df is not None:
+            players_df.to_parquet(d / f"players_chunk_{ci:05d}.parquet", index=False)
+        frames.append(sims_df)
+    return pd.concat(frames, ignore_index=True)
+
+
 def simulate_slate(
     games: List[Tuple[str, str]],
     *,

@@ -189,6 +189,10 @@ class EngineConfig:
     dist_bin: float = 0.5
     sec_bin: int = 30
     table_dtype: str = "float32"
+    # 'threefry' (jax default, strongest guarantees) or 'rbg' (XLA
+    # RngBitGenerator: ~4x cheaper per draw on TPU, still counter-based and
+    # fine for Monte-Carlo; streams differ from threefry)
+    rng_impl: str = "threefry"
 
 
 @dataclass(frozen=True)

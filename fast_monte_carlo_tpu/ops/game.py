@@ -511,6 +511,10 @@ def simulate_games(
     alternating home/away ordering within one batch).
     """
     init = initial_state(n, first_offense, cfg, pack.k)
+    if cfg.engine.rng_impl == "rbg":
+        raw = key if jnp.issubdtype(key.dtype, jnp.integer) else jax.random.key_data(key)
+        raw = jnp.tile(raw.reshape(-1), 2)[:4].astype(jnp.uint32)
+        key = jax.random.wrap_key_data(raw, impl="rbg")
     keys = jax.random.split(key, cfg.engine.max_plays)
 
     def step(s, k):

@@ -24,6 +24,46 @@ F32 = jnp.float32
 I32 = jnp.int32
 
 
+def segments_of(reps: np.ndarray) -> Tuple[Tuple[float, float, float, int, int], ...]:
+    """Decompose a rep grid into piecewise-uniform segments.
+
+    Returns ((enter_boundary, start_value, step, base_idx, count), ...).
+    Index arithmetic replaces the O(n_reps) compare-sum binning with ~5 VPU
+    ops per segment; `enter_boundary` is the midpoint between the previous
+    segment's last rep and this segment's first rep, so nearest-rep
+    semantics are preserved exactly.
+    """
+    reps = np.asarray(reps, dtype=np.float64)
+    segs = []
+    i = 0
+    n = len(reps)
+    while i < n:
+        if i + 1 >= n:
+            step = 1.0
+            j = i + 1
+        else:
+            step = reps[i + 1] - reps[i]
+            j = i + 1
+            while j + 1 < n and abs((reps[j + 1] - reps[j]) - step) < 1e-9:
+                j += 1
+            j += 1
+        enter = -np.inf if i == 0 else (reps[i - 1] + reps[i]) / 2.0
+        segs.append((float(enter), float(reps[i]), float(step), i, j - i))
+        i = j
+    return tuple(segs)
+
+
+def _seg_bin(v: jnp.ndarray, segs) -> jnp.ndarray:
+    idx = jnp.zeros(v.shape, I32)
+    for enter, start, step, base, count in segs:
+        local = jnp.clip(jnp.round((v - start) / step), 0, count - 1).astype(I32) + base
+        if np.isinf(enter):
+            idx = local
+        else:
+            idx = jnp.where(v > enter, local, idx)
+    return idx
+
+
 @jax.tree_util.register_dataclass
 @dataclass(frozen=True)
 class ProfileIdx:
@@ -35,6 +75,10 @@ class ProfileIdx:
     ny: int = field(metadata=dict(static=True))
     ns: int = field(metadata=dict(static=True))
     nsd: int = field(metadata=dict(static=True), default=0)
+    dist_segs: tuple = field(metadata=dict(static=True), default=())
+    ytg_segs: tuple = field(metadata=dict(static=True), default=())
+    sec_segs: tuple = field(metadata=dict(static=True), default=())
+    sd_segs: tuple = field(metadata=dict(static=True), default=())
 
 
 @jax.tree_util.register_dataclass
@@ -77,6 +121,10 @@ def _profile_idx(prof) -> ProfileIdx:
                   if prof.sd is not None else None),
         nd=len(prof.dist), ny=len(prof.ytg), ns=len(prof.sec),
         nsd=len(prof.sd) if prof.sd is not None else 0,
+        dist_segs=segments_of(prof.dist),
+        ytg_segs=segments_of(prof.ytg),
+        sec_segs=segments_of(prof.sec),
+        sd_segs=segments_of(prof.sd) if prof.sd is not None else (),
     )
 
 
@@ -163,14 +211,14 @@ def make_table_heads_eval(cfg: SimConfig) -> HeadsEvalFn:
         idx = {}
         sd_idx = {}
         for name, prof in (("fine", th.fine), ("coarse", th.coarse)):
-            di = _bin(dist_f, prof.dist_edges)
-            yi = _bin(ytg_f, prof.ytg_edges)
-            si = _bin(sec_f, prof.sec_edges)
+            di = _seg_bin(dist_f, prof.dist_segs)
+            yi = _seg_bin(ytg_f, prof.ytg_segs)
+            si = _seg_bin(sec_f, prof.sec_segs)
             # flat state offset within one slot row: ((d*Nd + di)*Ny + yi)*Ns + si
             state = ((down_i * prof.nd + di) * prof.ny + yi) * prof.ns + si
             idx[name] = state
-            if prof.sd_edges is not None:
-                sd_idx[name] = (_bin(sd_f, prof.sd_edges), prof.nsd)
+            if prof.sd_segs:
+                sd_idx[name] = (_seg_bin(sd_f, prof.sd_segs), prof.nsd)
 
         def lookup(t: DeviceTable, slot_key: jnp.ndarray) -> jnp.ndarray:
             base = jnp.take(t.row_map.reshape(-1), slot_key)

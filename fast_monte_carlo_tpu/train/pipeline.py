@@ -249,6 +249,46 @@ def train_fumble(df: pd.DataFrame, out_dir: str | Path) -> Path:
                          out_dir, "run_fumble")
 
 
+def train_play_policy(df: pd.DataFrame, out_dir: str | Path,
+                      binary: bool = True) -> Path:
+    """Play-call policy head (train_run_pass.py binary recipe when
+    binary=True, else the 5-class train_play_model.py recipe), with the
+    temperature calibration step and features/label artifacts."""
+    import joblib
+    from sklearn.preprocessing import LabelEncoder
+
+    out_dir = Path(out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    data = df.copy()
+    if binary:
+        data = data[data["play_category"].isin(["run", "pass"])]
+    cats = ["head_coach"] if "head_coach" in data.columns else []
+    feats = NUM_FEATURES + cats
+    le = LabelEncoder()
+    y = le.fit_transform(data["play_category"].astype(str))
+    path = _train_multiclass(
+        data.assign(_label=data["play_category"]), data["play_category"],
+        cats, out_dir, "play_model")
+    joblib.dump(list(feats), out_dir / "features.pkl")
+    joblib.dump(np.asarray(le.classes_), out_dir / "label_encoder.pkl")
+
+    # temperature calibration on a held-out margin sample
+    from ..compat import load_sklearn_artifact
+    from ..models.sklearn_gbr import forest_from_gbc_pipeline
+    if path.suffix == ".joblib":
+        forest = forest_from_gbc_pipeline(load_sklearn_artifact(path))
+        sub = data.sample(min(len(data), 4000), random_state=0)
+        x = sub[list(forest.layout.numeric_names)].to_numpy(np.float32)
+        cat = {g: np.asarray([forest.layout.cat_id(g, str(v)) for v in sub[g]])
+               for g in forest.layout.cat_group_names}
+        margins = forest.eval_margin_np(x, cat)
+        t = temperature_calibrate(margins, le.transform(sub["play_category"].astype(str)))
+    else:
+        t = 1.0
+    (out_dir / "calibration.json").write_text(json.dumps({"temperature": t}))
+    return path
+
+
 def _have_xgboost() -> bool:
     try:
         import xgboost  # noqa: F401
