@@ -37,6 +37,9 @@ def main() -> int:
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--repeats", type=int, default=2)
     ap.add_argument("--rng", default="threefry", choices=["threefry", "rbg"])
+    ap.add_argument("--quality", default="default",
+                    choices=["default", "coarse", "slate"],
+                    help="table axis-resolution preset")
     args = ap.parse_args()
 
     if args.smoke:
@@ -49,6 +52,13 @@ def main() -> int:
     import jax
     if args.smoke:
         jax.config.update("jax_platforms", "cpu")
+    # persistent compile cache: the axon backend's first compile of the full
+    # scan program is minutes; cache it across processes
+    try:
+        jax.config.update("jax_compilation_cache_dir", str(REPO / ".jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass
     import jax.numpy as jnp
     import numpy as np
 
@@ -72,7 +82,8 @@ def main() -> int:
     heads = load_heads(REFERENCE_DIR) if args.mode != "analytic" else None
 
     t0 = time.perf_counter()
-    runner = MatchupRunner(a, b, heads, cfg, mode=args.mode)
+    runner = MatchupRunner(a, b, heads, cfg, mode=args.mode,
+                           table_quality=args.quality)
     build_s = time.perf_counter() - t0
     print(f"# setup (incl. table build): {build_s:.1f}s", file=sys.stderr)
 

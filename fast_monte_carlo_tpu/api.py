@@ -22,6 +22,8 @@ import jax.numpy as jnp
 import numpy as np
 import pandas as pd
 
+from functools import lru_cache
+
 from .config import SimConfig
 from .data import build_team_context_from_sp_flex, load_sp_flex, norm_team
 from .data.context import TeamContext
@@ -49,6 +51,7 @@ class MatchupRunner:
     mode: str = "table"
     coach_map: Optional[Dict[str, str]] = None
     shard: bool = False
+    table_quality: str = "default"   # 'default' (fine+coarse) | 'coarse' | 'slate'
 
     def __post_init__(self):
         self.pack, hp = build_packs(
@@ -56,44 +59,67 @@ class MatchupRunner:
             self.heads if self.heads is not None else _empty_heads(),
             self.cfg, self.coach_map)
         if self.mode == "table":
+            from .models.tables import coarse_profile, slate_profile
+            profs = {}
+            if self.table_quality == "coarse":
+                profs = dict(fine=coarse_profile(), coarse=coarse_profile())
+            elif self.table_quality == "slate":
+                profs = dict(fine=slate_profile(), coarse=slate_profile())
             self.heads_state = build_table_heads(
-                self.team_a, self.team_b, self.heads, self.cfg, self.coach_map)
-            self.heads_fn = make_table_heads_eval(self.cfg)
+                self.team_a, self.team_b, self.heads, self.cfg, self.coach_map,
+                **profs)
         elif self.mode == "exact":
             self.heads_state = hp
-            self.heads_fn = make_exact_heads_eval(self.cfg)
         elif self.mode == "analytic":
             self.heads_state = None
-            self.heads_fn = make_analytic_heads_eval(self.cfg)
         else:
             raise ValueError(f"unknown mode {self.mode!r}")
-        self._jit_cache: Dict[tuple, callable] = {}
+        # cached per (mode, cfg) so the function identity — and therefore the
+        # shared jit cache entry — is reused across matchups
+        self.heads_fn = _heads_fn_cached(self.mode, self.cfg)
 
     def _runner(self, n_games: int, collect_players: bool):
-        key = (n_games, collect_players, self.shard)
-        fn = self._jit_cache.get(key)
-        if fn is None:
-            if self.shard:
-                def fn(hs, k, fo):
-                    return simulate_games_sharded(
-                        self.pack, self.cfg, self.heads_fn, hs, k, n_games, fo,
-                        collect_players=collect_players)
-            else:
-                fn = jax.jit(lambda hs, k, fo: simulate_games(
+        if self.shard:
+            def fn(pack, hs, k, fo):
+                return simulate_games_sharded(
                     self.pack, self.cfg, self.heads_fn, hs, k, n_games, fo,
-                    collect_players=collect_players))
-            self._jit_cache[key] = fn
-        return fn
+                    collect_players=collect_players)
+            return fn
+        # one shared jit across matchups: pack/heads_state are pytree args,
+        # so a 60-game slate with same-shaped tables compiles exactly once
+        return _shared_sim_jit(self.cfg, self.heads_fn)
 
     def run_pairs(self, n_pairs: int, seed: int = 0,
                   collect_players: bool = True) -> GameState:
         """2*n_pairs games; even trials have team A on offense first."""
         n_games = 2 * n_pairs
         fo = jnp.asarray(np.arange(n_games) % 2, jnp.int32)
-        fn = self._runner(n_games, collect_players)
-        out = fn(self.heads_state, jax.random.PRNGKey(seed), fo)
+        if self.shard:
+            fn = self._runner(n_games, collect_players)
+            out = fn(self.pack, self.heads_state, jax.random.PRNGKey(seed), fo)
+        else:
+            fn = _shared_sim_jit(self.cfg, self.heads_fn)
+            out = fn(self.pack, self.heads_state, jax.random.PRNGKey(seed), fo,
+                     n_games, collect_players)
         jax.block_until_ready(out.score)
         return out
+
+
+@lru_cache(maxsize=32)
+def _heads_fn_cached(mode: str, cfg: SimConfig):
+    if mode == "table":
+        return make_table_heads_eval(cfg)
+    if mode == "exact":
+        return make_exact_heads_eval(cfg)
+    return make_analytic_heads_eval(cfg)
+
+
+@lru_cache(maxsize=32)
+def _shared_sim_jit(cfg: SimConfig, heads_fn):
+    return jax.jit(
+        lambda pack, hs, key, fo, n, collect: simulate_games(
+            pack, cfg, heads_fn, hs, key, n, fo, collect_players=collect),
+        static_argnums=(4, 5))
 
 
 def _empty_heads() -> ModelHeads:
