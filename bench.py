@@ -38,7 +38,7 @@ def main() -> int:
     ap.add_argument("--repeats", type=int, default=2)
     ap.add_argument("--rng", default="threefry", choices=["threefry", "rbg"])
     ap.add_argument("--quality", default="default",
-                    choices=["default", "coarse", "slate"],
+                    choices=["default", "coarse", "slate", "fused"],
                     help="table axis-resolution preset")
     args = ap.parse_args()
 

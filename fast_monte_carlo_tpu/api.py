@@ -64,7 +64,13 @@ class MatchupRunner:
             if self.table_quality == "coarse":
                 profs = dict(fine=coarse_profile(), coarse=coarse_profile())
             elif self.table_quality == "slate":
-                profs = dict(fine=slate_profile(), coarse=slate_profile())
+                profs = dict(fine=slate_profile(), coarse=slate_profile(),
+                             fused=slate_profile())
+            elif self.table_quality == "fused":
+                # single-gather fast path on the coarse grid (falls back to
+                # per-head tables automatically when a focus roster makes
+                # model outputs player-dependent)
+                profs = dict(fused=coarse_profile())
             self.heads_state = build_table_heads(
                 self.team_a, self.team_b, self.heads, self.cfg, self.coach_map,
                 **profs)

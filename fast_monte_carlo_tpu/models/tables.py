@@ -428,15 +428,107 @@ class HostTable:
 @dataclass
 class TableSet:
     """All head tables for ONE possession direction."""
-    stage1: HostTable
+    stage1: Optional[HostTable]
     stage2: Optional[HostTable]
-    pq: HostTable
-    rq: HostTable
-    sq: HostTable
+    pq: Optional[HostTable]
+    rq: Optional[HostTable]
+    sq: Optional[HostTable]
     fumble: Optional[HostTable]
     play: Optional[HostTable]
     fine: TableProfile
     coarse: TableProfile
+    # single-gather fusion of all per-play heads (present when every head's
+    # player rows collapse to one — e.g. no focus roster); channel layout in
+    # FUSED_CHANNELS order, stage-2 channels only when a stage2 forest exists
+    fused: Optional[HostTable] = None
+    fused_has_s2: bool = False
+    fused_has_fumble: bool = False
+
+
+FUSED_CHANNELS = ("p_complete", "pq_mu", "pq_sigma", "rq_mu", "rq_sigma",
+                  "sq_mu", "sq_sigma", "s2_cum1", "s2_cum2", "p_fumble")
+
+
+def build_fused_table(direction: DirectionContext, heads, cfg: SimConfig,
+                      prof: TableProfile) -> Optional[HostTable]:
+    """One multi-channel table over a single profile covering every per-play
+    head, valid only when each head's player slots deduplicate to one row.
+    The play step then costs ONE gather (channels are contiguous, so the
+    row fetch is one cache line) — the table-mode speed king for matchups
+    without focus rosters."""
+    d = direction
+
+    def single(ids, used):
+        rows, _ = dedupe_slots(ids, used)
+        return rows if len(rows) == 1 else None
+
+    r_s1 = single(d.qb_stage1, heads.stage1.used_cat_locals("passer_name"))
+    r_pq_q = single(d.qb_passq, heads.pass_quants[0].used_cat_locals("passer_name"))
+    r_pq_w = single(d.wr_passq, heads.pass_quants[0].used_cat_locals("target_name"))
+    r_rq = single(d.rb_rushq, heads.rush_quants[0].used_cat_locals("rusher_name"))
+    r_sq = single(d.qb_sackq, heads.sack_quants[0].used_cat_locals("passer_name"))
+    if any(r is None for r in (r_s1, r_pq_q, r_pq_w, r_rq, r_sq)):
+        return None
+
+    use_sd = prof.sd is not None
+
+    def grid(forest, slot_ids):
+        return eval_forest_on_grid(forest, prof, d, cfg, slot_ids,
+                                   use_sd_axis=use_sd)
+
+    sig = lambda m: 1.0 / (1.0 + np.exp(-m))
+    g1 = grid(heads.stage1, {"passer_name": r_s1})
+    ch = [np.clip(sig(g1[..., 0]) + d.bias,
+                  cfg.model.stage1_clip_lo, cfg.model.stage1_clip_hi)]
+
+    def q_ms(trio, slot_ids, floor):
+        gs = [grid(f, slot_ids)[..., 0] for f in trio]
+        sigma = np.maximum(floor, (gs[2] - gs[0]) / cfg.model.sigma_denom)
+        return gs[1], sigma
+
+    ch.extend(q_ms(heads.pass_quants,
+                   {"passer_name": r_pq_q, "target_name": r_pq_w},
+                   cfg.model.pass_sigma_floor))
+    ch.extend(q_ms(heads.rush_quants, {"rusher_name": r_rq},
+                   cfg.model.rush_sigma_floor))
+    ch.extend(q_ms(heads.sack_quants, {"passer_name": r_sq},
+                   cfg.model.sack_sigma_floor))
+
+    has_s2 = heads.stage2 is not None
+    if has_s2:
+        f2 = heads.stage2
+        ids2 = {"passer_name": single(d.qb_stage2, f2.used_cat_locals("passer_name"))}
+        if "target_name" in f2.layout.cat_group_names:
+            t2 = single(d.wr_stage2, f2.used_cat_locals("target_name"))
+            if t2 is None or ids2["passer_name"] is None:
+                return None
+            ids2["target_name"] = t2
+        elif ids2["passer_name"] is None:
+            return None
+        g2 = grid(f2, ids2)
+        order = {c: i for i, c in enumerate(heads.stage2_class_order)}
+        z = g2 - g2.max(axis=-1, keepdims=True)
+        e = np.exp(z)
+        p = e / e.sum(axis=-1, keepdims=True)
+        inc, itc, sck = (p[..., order[k]] for k in
+                         ("incomplete", "intercepted", "sack"))
+        inc, itc, sck = analytic.stage2_nudge(inc, itc, sck, cfg, np)
+        ch.extend([inc, inc + sck])
+
+    has_fum = heads.fumble is not None and cfg.model.enable_fumbles
+    if has_fum:
+        rf = single(d.rb_fumble, heads.fumble.used_cat_locals("rusher_name"))
+        if rf is None:
+            return None
+        ch.append(sig(grid(heads.fumble, {"rusher_name": rf})[..., 0]))
+
+    vals = np.stack(ch, axis=-1).astype(np.float32)
+    t = HostTable(values=vals.reshape(-1, vals.shape[-1]),
+                  shape=vals.shape[:-1], row_map=np.zeros(1, np.int64),
+                  profile="fused", channels=vals.shape[-1], has_sd=use_sd)
+    t.fused_has_s2 = has_s2           # type: ignore[attr-defined]
+    t.fused_has_fumble = has_fum      # type: ignore[attr-defined]
+    return t
 
 
 def _finalize(grid: np.ndarray, post: Callable[[np.ndarray], np.ndarray]) -> np.ndarray:

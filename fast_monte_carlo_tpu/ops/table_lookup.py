@@ -100,16 +100,21 @@ class TableHeads:
     offsetting direction-1 rows past direction-0's."""
     fine: ProfileIdx
     coarse: ProfileIdx
-    stage1: DeviceTable
+    stage1: Optional[DeviceTable]
     stage2: Optional[DeviceTable]
-    pq: DeviceTable
-    rq: DeviceTable
-    sq: DeviceTable
+    pq: Optional[DeviceTable]
+    rq: Optional[DeviceTable]
+    sq: Optional[DeviceTable]
     fumble: Optional[DeviceTable]
     play: Optional[DeviceTable]
     play_sd_edges: Optional[jnp.ndarray]
     play_nsd: int = field(metadata=dict(static=True), default=0)
     k: int = field(metadata=dict(static=True), default=8)
+    # single-gather fused path (all per-play heads, one table row per play)
+    fused: Optional[DeviceTable] = None
+    fused_prof: Optional[ProfileIdx] = None
+    fused_has_s2: bool = field(metadata=dict(static=True), default=False)
+    fused_has_fumble: bool = field(metadata=dict(static=True), default=False)
 
 
 def _profile_idx(prof) -> ProfileIdx:
@@ -151,20 +156,30 @@ def _merge_tables(t0, t1, k: int, is_pair: bool) -> DeviceTable:
     )
 
 
-def pack_tables(ts_a: TableSet, ts_b: TableSet, k: int) -> TableHeads:
+def pack_tables(ts_a: TableSet, ts_b: TableSet, k: int,
+                fused_prof=None) -> TableHeads:
     """ts_a: direction 0 (team A offense); ts_b: direction 1."""
     fine = _profile_idx(ts_a.fine)
     coarse = _profile_idx(ts_a.coarse)
+    fused = None
+    fp = None
+    if ts_a.fused is not None and ts_b.fused is not None and fused_prof is not None:
+        fused = _merge_tables(ts_a.fused, ts_b.fused, k, is_pair=False)
+        fp = _profile_idx(fused_prof)
 
     th = TableHeads(
         fine=fine, coarse=coarse,
-        stage1=_merge_tables(ts_a.stage1, ts_b.stage1, k, is_pair=False),
+        stage1=(_merge_tables(ts_a.stage1, ts_b.stage1, k, is_pair=False)
+                if ts_a.stage1 is not None else None),
         stage2=(_merge_tables(ts_a.stage2, ts_b.stage2, k,
                               is_pair=ts_a.stage2.row_map.size == k * k)
                 if ts_a.stage2 is not None else None),
-        pq=_merge_tables(ts_a.pq, ts_b.pq, k, is_pair=True),
-        rq=_merge_tables(ts_a.rq, ts_b.rq, k, is_pair=False),
-        sq=_merge_tables(ts_a.sq, ts_b.sq, k, is_pair=False),
+        pq=(_merge_tables(ts_a.pq, ts_b.pq, k, is_pair=True)
+            if ts_a.pq is not None else None),
+        rq=(_merge_tables(ts_a.rq, ts_b.rq, k, is_pair=False)
+            if ts_a.rq is not None else None),
+        sq=(_merge_tables(ts_a.sq, ts_b.sq, k, is_pair=False)
+            if ts_a.sq is not None else None),
         fumble=(_merge_tables(ts_a.fumble, ts_b.fumble, k, is_pair=False)
                 if ts_a.fumble is not None else None),
         play=(_merge_tables(ts_a.play, ts_b.play, k, is_pair=False)
@@ -173,21 +188,53 @@ def pack_tables(ts_a: TableSet, ts_b: TableSet, k: int) -> TableHeads:
                        if ts_a.play is not None else None),
         play_nsd=len(sd_reps_default()) if ts_a.play is not None else 0,
         k=k,
+        fused=fused,
+        fused_prof=fp,
+        fused_has_s2=bool(getattr(ts_a.fused, "fused_has_s2", False)),
+        fused_has_fumble=bool(getattr(ts_a.fused, "fused_has_fumble", False)),
     )
     return th
 
 
 def build_table_heads(team_a, team_b, heads, cfg: SimConfig, coach_map=None,
-                      fine=None, coarse=None) -> TableHeads:
-    """Build + device-pack both directions' tables for one matchup."""
+                      fine=None, coarse=None, fused=None) -> TableHeads:
+    """Build + device-pack both directions' tables for one matchup.
+
+    `fused`: an optional TableProfile; when given AND every head's player
+    rows collapse to one, a single-gather fused table is built and used as
+    the per-play path (players are still sampled and tracked for stats —
+    only the model *outputs* are player-independent in that case, which is
+    exactly when fusion is valid)."""
     from ..matchup import build_direction
-    from ..models.tables import build_tables
+    from ..models.tables import build_fused_table, build_tables
+
+    from ..models.tables import TableSet, coarse_profile, fine_profile
 
     da = build_direction(team_a, team_b, heads, cfg, coach_map)
     db = build_direction(team_b, team_a, heads, cfg, coach_map)
+    if fused is not None:
+        fa = build_fused_table(da, heads, cfg, fused)
+        fb = build_fused_table(db, heads, cfg, fused)
+        if fa is not None and fb is not None:
+            # fusion succeeded: skip the (unused) per-head tables entirely
+            ts_a = TableSet(stage1=None, stage2=None, pq=None, rq=None,
+                            sq=None, fumble=None, play=None,
+                            fine=fine or fine_profile(),
+                            coarse=coarse or coarse_profile(), fused=fa)
+            ts_b = TableSet(stage1=None, stage2=None, pq=None, rq=None,
+                            sq=None, fumble=None, play=None,
+                            fine=ts_a.fine, coarse=ts_a.coarse, fused=fb)
+            if cfg.model.use_play_model and heads.play is not None:
+                full_a = build_tables(da, heads, cfg, fine, coarse)
+                full_b = build_tables(db, heads, cfg, fine, coarse)
+                ts_a.play, ts_b.play = full_a.play, full_b.play
+            return pack_tables(ts_a, ts_b, k=team_a.qb.k, fused_prof=fused)
     ts_a = build_tables(da, heads, cfg, fine, coarse)
     ts_b = build_tables(db, heads, cfg, fine, coarse)
-    return pack_tables(ts_a, ts_b, k=team_a.qb.k)
+    if fused is not None:
+        ts_a.fused = build_fused_table(da, heads, cfg, fused)
+        ts_b.fused = build_fused_table(db, heads, cfg, fused)
+    return pack_tables(ts_a, ts_b, k=team_a.qb.k, fused_prof=fused)
 
 
 def _bin(v: jnp.ndarray, edges: jnp.ndarray) -> jnp.ndarray:
@@ -206,8 +253,11 @@ def make_table_heads_eval(cfg: SimConfig) -> HeadsEvalFn:
         ytg_f = obs.ytg
         sec_f = obs.sec.astype(F32)
         K = th.k
-
         sd_f = obs.x[:, 4]
+
+        if th.fused is not None:
+            return _fused_eval(th, obs, pack, down_i, dist_f, ytg_f, sec_f, sd_f, cfg)
+
         idx = {}
         sd_idx = {}
         for name, prof in (("fine", th.fine), ("coarse", th.coarse)):
@@ -272,3 +322,47 @@ def make_table_heads_eval(cfg: SimConfig) -> HeadsEvalFn:
         )
 
     return heads_eval
+
+
+def _fused_eval(th: TableHeads, obs: StepObs, pack: MatchupPack,
+                down_i, dist_f, ytg_f, sec_f, sd_f, cfg: SimConfig) -> HeadOut:
+    """Single-gather path: one fused table row carries every head output."""
+    prof = th.fused_prof
+    di = _seg_bin(dist_f, prof.dist_segs)
+    yi = _seg_bin(ytg_f, prof.ytg_segs)
+    si = _seg_bin(sec_f, prof.sec_segs)
+    state = ((down_i * prof.nd + di) * prof.ny + yi) * prof.ns + si
+    if th.fused.has_sd:
+        state = state * prof.nsd + _seg_bin(sd_f, prof.sd_segs)
+    base = jnp.take(th.fused.row_map.reshape(-1), obs.off)
+    row = jnp.take(th.fused.values, base + state, axis=0)   # (B, C)
+
+    p_c = row[:, 0]
+    pq = row[:, 1:3]
+    rq = row[:, 3:5]
+    sq = row[:, 5:7]
+    c = 7
+    if th.fused_has_s2:
+        s2_cum = row[:, c:c + 2]
+        c += 2
+    else:
+        inc, itc, sck = analytic.stage2_fallback_probs(
+            obs.down.astype(F32), obs.dist, cfg, jnp)
+        inc, itc, sck = analytic.stage2_nudge(inc, itc, sck, cfg, jnp)
+        s2_cum = jnp.stack([inc, inc + sck], axis=1)
+    p_f = row[:, c] if th.fused_has_fumble else jnp.zeros_like(p_c)
+
+    p_pass_ml = None
+    if th.play is not None and cfg.model.use_play_model:
+        sdi = _bin(sd_f, th.play_sd_edges)
+        cp = th.coarse
+        dci = _seg_bin(dist_f, cp.dist_segs)
+        yci = _seg_bin(ytg_f, cp.ytg_segs)
+        sci = _seg_bin(sec_f, cp.sec_segs)
+        cstate = ((down_i * cp.nd + dci) * cp.ny + yci) * cp.ns + sci
+        pbase = jnp.take(th.play.row_map.reshape(-1), obs.off)
+        p_pass_ml = jnp.take(th.play.values,
+                             pbase + cstate * th.play_nsd + sdi, axis=0)[:, 0]
+
+    return HeadOut(p_complete=p_c, s2_cum=s2_cum, pass_ms=pq, rush_ms=rq,
+                   sack_ms=sq, p_fumble=p_f, p_pass_ml=p_pass_ml)
