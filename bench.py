@@ -99,6 +99,9 @@ def main() -> int:
     for r in range(args.repeats):
         t0 = time.perf_counter()
         out = runner.run_pairs(n_pairs, seed=args.seed + 1 + r, collect_players=False)
+        # force a (tiny) host transfer inside the timed region: the axon
+        # backend's block_until_ready has been observed not to wait
+        _ = np.asarray(out.score[:16])
         dt = time.perf_counter() - t0
         best = dt if best is None else min(best, dt)
         print(f"# run {r}: {dt:.3f}s -> {n_games/dt:,.0f} games/s", file=sys.stderr)

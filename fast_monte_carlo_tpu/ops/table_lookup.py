@@ -196,8 +196,49 @@ def pack_tables(ts_a: TableSet, ts_b: TableSet, k: int,
     return th
 
 
+def _table_cache_key(team_a, team_b, heads, cfg, fine, coarse, fused) -> str:
+    import hashlib
+    import json as _json
+
+    def prof_sig(p):
+        if p is None:
+            return None
+        return [p.dist.tolist(), p.ytg.tolist(), p.sec.tolist(),
+                None if p.sd is None else p.sd.tolist()]
+
+    def ctx_sig(t):
+        return [t.name, t.sp_rating, t.sp_offense, t.sp_defense,
+                t.qb.names, t.qb.share.tolist(),
+                t.rush.names, t.rush.share.tolist(),
+                t.target.names, t.target.share.tolist()]
+
+    def forest_sig(f):
+        if f is None:
+            return None
+        return [f.name, f.n_trees, f.n_nodes, float(f.leaf.sum()),
+                float(f.thresh.sum())]
+
+    payload = _json.dumps([
+        ctx_sig(team_a), ctx_sig(team_b),
+        prof_sig(fine), prof_sig(coarse), prof_sig(fused),
+        forest_sig(heads.stage1), forest_sig(heads.stage2),
+        [forest_sig(f) for f in (heads.pass_quants or ())],
+        [forest_sig(f) for f in (heads.rush_quants or ())],
+        [forest_sig(f) for f in (heads.sack_quants or ())],
+        forest_sig(heads.fumble), forest_sig(heads.play),
+        cfg.model.enable_fumbles, cfg.model.use_play_model,
+        cfg.model.stage1_clip_lo, cfg.model.stage1_clip_hi,
+        cfg.model.stage2_sack_scale, cfg.model.stage2_int_scale,
+    ], sort_keys=True)
+    return hashlib.sha256(payload.encode()).hexdigest()[:24]
+
+
+TABLE_CACHE_DIR: Optional[str] = ".table_cache"
+
+
 def build_table_heads(team_a, team_b, heads, cfg: SimConfig, coach_map=None,
-                      fine=None, coarse=None, fused=None) -> TableHeads:
+                      fine=None, coarse=None, fused=None,
+                      cache_dir: Optional[str] = "auto") -> TableHeads:
     """Build + device-pack both directions' tables for one matchup.
 
     `fused`: an optional TableProfile; when given AND every head's player
@@ -209,6 +250,37 @@ def build_table_heads(team_a, team_b, heads, cfg: SimConfig, coach_map=None,
     from ..models.tables import build_fused_table, build_tables
 
     from ..models.tables import TableSet, coarse_profile, fine_profile
+
+    # disk cache: table builds are host-side and deterministic in
+    # (contexts, profiles, forests, model constants)
+    import pickle
+    from pathlib import Path as _P
+
+    cache_path = None
+    if cache_dir == "auto":
+        cache_dir = TABLE_CACHE_DIR
+    if cache_dir:
+        key = _table_cache_key(team_a, team_b, heads, cfg, fine, coarse, fused)
+        cache_path = _P(cache_dir) / f"tables_{key}.pkl"
+        if cache_path.exists():
+            try:
+                with open(cache_path, "rb") as fh:
+                    ts_a, ts_b = pickle.load(fh)
+                return pack_tables(ts_a, ts_b, k=team_a.qb.k, fused_prof=fused)
+            except Exception:
+                pass
+
+    def _save(ts_a, ts_b):
+        if cache_path is None:
+            return
+        try:
+            cache_path.parent.mkdir(parents=True, exist_ok=True)
+            tmp = cache_path.with_suffix(".tmp")
+            with open(tmp, "wb") as fh:
+                pickle.dump((ts_a, ts_b), fh)
+            tmp.rename(cache_path)
+        except Exception:
+            pass
 
     da = build_direction(team_a, team_b, heads, cfg, coach_map)
     db = build_direction(team_b, team_a, heads, cfg, coach_map)
@@ -228,12 +300,14 @@ def build_table_heads(team_a, team_b, heads, cfg: SimConfig, coach_map=None,
                 full_a = build_tables(da, heads, cfg, fine, coarse)
                 full_b = build_tables(db, heads, cfg, fine, coarse)
                 ts_a.play, ts_b.play = full_a.play, full_b.play
+            _save(ts_a, ts_b)
             return pack_tables(ts_a, ts_b, k=team_a.qb.k, fused_prof=fused)
     ts_a = build_tables(da, heads, cfg, fine, coarse)
     ts_b = build_tables(db, heads, cfg, fine, coarse)
     if fused is not None:
         ts_a.fused = build_fused_table(da, heads, cfg, fused)
         ts_b.fused = build_fused_table(db, heads, cfg, fused)
+    _save(ts_a, ts_b)
     return pack_tables(ts_a, ts_b, k=team_a.qb.k, fused_prof=fused)
 
 
