@@ -37,7 +37,7 @@ def main() -> int:
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--repeats", type=int, default=2)
     ap.add_argument("--rng", default="threefry", choices=["threefry", "rbg"])
-    ap.add_argument("--quality", default="default",
+    ap.add_argument("--quality", default="fused",
                     choices=["default", "coarse", "slate", "fused"],
                     help="table axis-resolution preset")
     args = ap.parse_args()

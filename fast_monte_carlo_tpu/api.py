@@ -51,7 +51,7 @@ class MatchupRunner:
     mode: str = "table"
     coach_map: Optional[Dict[str, str]] = None
     shard: bool = False
-    table_quality: str = "default"   # 'default' (fine+coarse) | 'coarse' | 'slate'
+    table_quality: str = "default"   # 'default' | 'coarse' | 'slate' | 'fused'
 
     def __post_init__(self):
         self.pack, hp = build_packs(
@@ -361,10 +361,15 @@ def simulate_slate(
     artifact_dir: str = "/root/reference",
     focus_csv: Optional[str] = None,
     mode: str = "table",
+    table_quality: str = "fused",
     cfg: Optional[SimConfig] = None,
     seed: int = 0,
 ) -> pd.DataFrame:
-    """Simulate a weekly slate; returns one summary row per matchup."""
+    """Simulate a weekly slate; returns one summary row per matchup.
+
+    Defaults to the fused single-gather tables: one compiled program is
+    reused across all matchups (same table shapes), builds hit the disk
+    cache on reuse."""
     cfg = cfg or SimConfig()
     heads = load_heads(artifact_dir)
     sp_df = load_sp_flex(sp_path)
@@ -374,8 +379,11 @@ def simulate_slate(
                                             player_slots=cfg.engine.player_slots)
         b = build_team_context_from_sp_flex(tb, year, week, sp_df, focus_csv=focus_csv,
                                             player_slots=cfg.engine.player_slots)
+        runner = MatchupRunner(a, b, heads, cfg, mode=mode,
+                               table_quality=table_quality)
         sims_df, _, _ = simulate_matchup(a, b, heads, n, cfg=cfg,
-                                         seed=seed + gi, mode=mode)
+                                         seed=seed + gi, mode=mode,
+                                         runner=runner)
         s = summary_frame(sims_df)
         margin = sims_df.loc[sims_df.team == ta, "pts"].values - \
             sims_df.loc[sims_df.team == ta, "opp_pts"].values

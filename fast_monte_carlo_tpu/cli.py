@@ -53,7 +53,8 @@ def _cmd_slate(args) -> int:
     games = [tuple(r) for r in pd.read_csv(args.games).iloc[:, :2].itertuples(index=False)]
     t0 = time.perf_counter()
     df = simulate_slate(games, sp_path=args.sp, year=args.year, week=args.week,
-                        n=args.n, artifact_dir=args.artifacts, mode=args.mode)
+                        n=args.n, artifact_dir=args.artifacts, mode=args.mode,
+                        table_quality=args.quality)
     print(df.to_string(index=False))
     total_games = int(df["n_games"].sum())
     dt = time.perf_counter() - t0
@@ -104,6 +105,7 @@ def main(argv=None) -> int:
     pl.add_argument("--year", type=int, default=2025)
     pl.add_argument("--week", type=int, default=1)
     pl.add_argument("--mode", default="table")
+    pl.add_argument("--quality", default="fused")
     pl.add_argument("--artifacts", default="/root/reference")
     pl.set_defaults(fn=_cmd_slate)
 

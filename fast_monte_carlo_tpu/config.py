@@ -182,6 +182,11 @@ class EngineConfig:
     """TPU engine shape/limits (new; no reference equivalent)."""
 
     max_plays: int = 360          # hard bound: min charge is 10s over 3600s
+    # early exit: run the scan in chunks inside a while_loop that stops once
+    # every game in the batch is finished (typical games end at ~140-180
+    # plays; the 360 bound is a worst-case guarantee)
+    early_exit: bool = True
+    play_chunk: int = 24
     player_slots: int = 8         # padded per-role player slots (top-5 + Other + pad)
     ytg_max: float = 120.0        # sack push-back can exceed 100 (see engine notes)
     dist_max: float = 64.0

@@ -515,12 +515,32 @@ def simulate_games(
         raw = key if jnp.issubdtype(key.dtype, jnp.integer) else jax.random.key_data(key)
         raw = jnp.tile(raw.reshape(-1), 2)[:4].astype(jnp.uint32)
         key = jax.random.wrap_key_data(raw, impl="rbg")
-    keys = jax.random.split(key, cfg.engine.max_plays)
 
     def step(s, k):
         return play_step(s, k, pack, cfg, heads_eval, heads_state, collect_players), None
 
-    final, _ = jax.lax.scan(step, init, keys)
+    if cfg.engine.early_exit:
+        # chunked while_loop: stop as soon as every game in the batch is done
+        # (identical semantics — finished games no-op; this only skips steps
+        # that would have been all-no-op anyway)
+        ch = cfg.engine.play_chunk
+        n_chunks = -(-cfg.engine.max_plays // ch)
+
+        def cond(carry):
+            s, ci = carry
+            return (ci < n_chunks) & jnp.any(s.sec > 0)
+
+        def body(carry):
+            s, ci = carry
+            def chunk_step(s2, j):
+                return step(s2, jax.random.fold_in(key, ci * ch + j))
+            s, _ = jax.lax.scan(chunk_step, s, jnp.arange(ch))
+            return (s, ci + 1)
+
+        final, _ = jax.lax.while_loop(cond, body, (init, jnp.asarray(0, I32)))
+    else:
+        keys = jax.random.split(key, cfg.engine.max_plays)
+        final, _ = jax.lax.scan(step, init, keys)
     final_stats = final.stats.at[:, 0, TS["points"]].set(final.score[:, 0].astype(F32))
     final_stats = final_stats.at[:, 1, TS["points"]].set(final.score[:, 1].astype(F32))
     return final._replace(stats=final_stats)
