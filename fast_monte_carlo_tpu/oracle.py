@@ -130,7 +130,7 @@ class OracleMatchup:
             ]
             pos = {n: i for n, i in cols}
             xp = np.asarray([[x[0, pos[n]] for n in lay.numeric_names]], dtype=np.float32)
-            return float(self.heads.play_pass_prob(xp, np.asarray([d.coach_id]), cfg))
+            return float(self.heads.play_pass_prob(xp, np.asarray([d.coach_id]), cfg)[0])
 
         return self._cached(side, "play", key, compute)
 
