@@ -242,32 +242,28 @@ def eval_forest_on_grid(
             return (np.mod(reps, cfg.clock.half_seconds) <= 120).astype(np.float32)
         raise KeyError(name)
 
-    # Per tree: reduce each single-axis feature to "levels" (distinct branch
-    # behaviors of THIS tree along that axis), walk the tree on the tiny
-    # level grid, then broadcast-add through the per-axis level maps.
-    # Multi-axis features (goal_to_go, fourth_and_short) keep their axes
-    # unreduced for that tree.
+    # Two-tier evaluation:
+    #   tier A ("simple" trees: single-axis predicates only, the vast
+    #   majority) accumulates on a FOREST-level union grid — per axis, the
+    #   distinct branch-behavior levels across all tier-A predicates — and
+    #   upsamples to the full grid ONCE per class at the end.
+    #   tier B (trees touching a multi-axis feature like goal_to_go or
+    #   fourth_and_short) keeps the per-tree level grid + per-tree upsample.
+    # This turns the dominant cost (per-tree full-grid broadcast-adds, ~4k
+    # trees x millions of cells) into ~n_classes full-grid adds.
     slices = _tree_slices(f)
     const_zero = np.float32(0.0)
 
-    for t, (lo, hi) in enumerate(slices):
-        cls = int(f.tree_class[t])
+    def classify_tree(lo, hi):
         nodes = [i for i in range(lo, hi) if f.feat[i] >= 0]
-        if not nodes:
-            out[..., cls] += float(f.leaf[lo])
-            continue
-
-        # node -> (axes, go_left provider)
-        multi_axes: set = set()
-        node_axis: Dict[int, Optional[str]] = {}
-        node_desc: Dict[int, tuple] = {}
-        used_axes: set = set()
+        node_axis, node_desc = {}, {}
+        multi_axes, used_axes = set(), set()
         for i in nodes:
             desc, ax = node_feature_info(int(f.feat[i]))
             ax = tuple(a for a in ax if a != "sd" or use_sd_axis)
             node_desc[i] = desc
             if len(ax) == 0:
-                node_axis[i] = None          # constant feature
+                node_axis[i] = None
             elif len(ax) == 1:
                 node_axis[i] = ax[0]
                 used_axes.add(ax[0])
@@ -275,58 +271,90 @@ def eval_forest_on_grid(
                 node_axis[i] = "__multi__"
                 multi_axes.update(ax)
                 used_axes.update(ax)
+        return nodes, node_axis, node_desc, multi_axes, used_axes
 
-        sig = tuple(a for a in full_axes if a in used_axes)
-
-        def go_left_vec(i) -> np.ndarray | bool:
-            """go_left outcome per rep of the node's axis (or scalar)."""
-            kind, name, local = node_desc[i]
-            a = node_axis[i]
-            if kind == "cat":
-                val = (slot_cat_ids[name] == local).astype(np.float32)
-            elif a is None:
-                if name == "score_diff":
-                    val = const_zero
-                else:
-                    val = np.float32(_feature_values(name, (), {}, prof, direction, cfg))
-            elif a == "__multi__":
-                return None  # handled on the level grid
+    def go_left_vec(i, node_desc, node_axis):
+        """go_left outcome per rep of the node's axis (or scalar)."""
+        kind, name, local = node_desc[i]
+        a = node_axis[i]
+        if kind == "cat":
+            val = (slot_cat_ids[name] == local).astype(np.float32)
+        elif a is None:
+            if name == "score_diff":
+                val = const_zero
             else:
-                val = full_feature_vec(name, a)
-            th = np.float32(f.thresh[i])
-            gl = (val < th) if f.cmp == "lt" else (val <= th)
-            if f.zero_as_missing:
-                gl = np.where(val == 0.0, bool(f.default_left[i]), gl)
-            return gl
+                val = np.float32(_feature_values(name, (), {}, prof, direction, cfg))
+        elif a == "__multi__":
+            return None
+        else:
+            val = full_feature_vec(name, a)
+        th = np.float32(f.thresh[i])
+        gl = (val < th) if f.cmp == "lt" else (val <= th)
+        if f.zero_as_missing:
+            gl = np.where(val == 0.0, bool(f.default_left[i]), gl)
+        return gl
 
-        # levels per axis: unique branch-behavior columns
-        level_map: Dict[str, np.ndarray] = {}
-        level_rep_idx: Dict[str, np.ndarray] = {}
+    info = [classify_tree(lo, hi) for lo, hi in slices]
+
+    # ---- forest-level union levels over tier-A predicates -------------------
+    union_preds: Dict[str, list] = {}
+    for t, (nodes, node_axis, node_desc, multi_axes, used_axes) in enumerate(info):
+        if multi_axes:
+            continue
+        for i in nodes:
+            a = node_axis[i]
+            if a is not None:
+                union_preds.setdefault(a, []).append(
+                    np.broadcast_to(go_left_vec(i, node_desc, node_axis),
+                                    (sizes[a],)))
+    union_axes = tuple(a for a in full_axes if a in union_preds)
+    u_map: Dict[str, np.ndarray] = {}
+    u_rep: Dict[str, np.ndarray] = {}
+    for a in union_axes:
+        mat = np.stack(union_preds[a])
+        _, first_idx, inv = np.unique(mat, axis=1, return_index=True,
+                                      return_inverse=True)
+        u_map[a] = inv.astype(np.int64)
+        u_rep[a] = first_idx.astype(np.int64)
+    u_sizes = {a: len(u_rep[a]) for a in union_axes}
+    acc_u = np.zeros(tuple(u_sizes[a] for a in union_axes) + (f.n_classes,),
+                     dtype=np.float64)
+
+    def eval_tree_on_levels(t, target_axes, target_sizes, rep_idx):
+        """Existing per-tree algorithm generalized: returns (sub_array, sig,
+        level_maps) where level_maps map target-axis positions -> tree levels."""
+        lo, _ = slices[t]
+        nodes, node_axis, node_desc, multi_axes, used_axes = info[t]
+        sig = tuple(a for a in target_axes if a in used_axes)
+
+        level_map, level_rep_idx = {}, {}
         for a in sig:
             if a in multi_axes:
-                n = sizes[a]
+                n = target_sizes[a]
                 level_map[a] = np.arange(n)
-                level_rep_idx[a] = np.arange(n)
+                level_rep_idx[a] = rep_idx[a] if rep_idx else np.arange(n)
                 continue
-            preds = [go_left_vec(i) for i in nodes if node_axis[i] == a]
+            preds = [go_left_vec(i, node_desc, node_axis)
+                     for i in nodes if node_axis[i] == a]
             mat = np.stack([np.broadcast_to(p, (sizes[a],)) for p in preds])
+            if rep_idx:  # restrict to the target axis positions
+                mat = mat[:, rep_idx[a]]
             _, first_idx, inv = np.unique(mat, axis=1, return_index=True,
                                           return_inverse=True)
             level_map[a] = inv.astype(np.int64)
-            level_rep_idx[a] = first_idx.astype(np.int64)
+            src = rep_idx[a] if rep_idx else np.arange(sizes[a])
+            level_rep_idx[a] = np.asarray(src)[first_idx]
 
-        lv_sizes = {a: len(level_rep_idx[a]) for a in sig}
+        lv_sizes = {a: len(np.unique(level_map[a])) for a in sig}
         sub_shape = tuple(lv_sizes[a] for a in sig)
         acc = np.zeros(sub_shape, dtype=np.float64)
 
-        # per-node go_left over the level grid
         def node_go_left_grid(i):
             a = node_axis[i]
             if a is None:
-                return bool(go_left_vec(i))
+                return bool(go_left_vec(i, node_desc, node_axis))
             if a == "__multi__":
                 kind, name, local = node_desc[i]
-                # evaluate on the level-rep cross product of its axes
                 axs = _FEATURE_AXES[name]
                 vals = {}
                 for ax2 in axs:
@@ -344,8 +372,8 @@ def eval_forest_on_grid(
                 if f.zero_as_missing:
                     gl = np.where(val == 0.0, bool(f.default_left[i]), gl)
                 return np.broadcast_to(gl, sub_shape)
-            gl = go_left_vec(i)
-            gl_lv = np.broadcast_to(gl, (sizes[a],))[level_rep_idx[a]]
+            gl = np.broadcast_to(go_left_vec(i, node_desc, node_axis), (sizes[a],))
+            gl_lv = gl[level_rep_idx[a]]
             shape = tuple(lv_sizes[a3] if a3 == a else 1 for a3 in sig)
             return np.broadcast_to(gl_lv.reshape(shape), sub_shape)
 
@@ -368,14 +396,45 @@ def eval_forest_on_grid(
                 recurse(int(f.right[i]), rm)
 
         recurse(lo, np.ones(sub_shape, dtype=bool) if sub_shape else True)
+        return acc, sig, level_map
 
-        # upsample: gather levels back to full reps and broadcast-add
-        if sub_shape:
-            gathered = acc[np.ix_(*[level_map[a] for a in sig])]
-            shape = tuple(sizes[a] if a in sig else 1 for a in full_axes)
-            out[..., cls] += gathered.reshape(shape)
+    for t, (lo, hi) in enumerate(slices):
+        cls = int(f.tree_class[t])
+        nodes, node_axis, node_desc, multi_axes, used_axes = info[t]
+        if not nodes:
+            out[..., cls] += float(f.leaf[lo])
+            continue
+        if not multi_axes:
+            # tier A: accumulate on the union grid
+            acc, sig, level_map = eval_tree_on_levels(
+                t, union_axes, u_sizes, u_rep)
+            if sig:
+                gathered = acc[np.ix_(*[level_map[a] for a in sig])]
+                shape = tuple(u_sizes[a] if a in sig else 1 for a in union_axes)
+                acc_u[..., cls] += gathered.reshape(shape)
+            else:
+                acc_u[..., cls] += acc
         else:
-            out[..., cls] += acc
+            # tier B: per-tree full-grid upsample (rare)
+            acc, sig, level_map = eval_tree_on_levels(
+                t, full_axes, sizes, None)
+            if sig:
+                gathered = acc[np.ix_(*[level_map[a] for a in sig])]
+                shape = tuple(sizes[a] if a in sig else 1 for a in full_axes)
+                out[..., cls] += gathered.reshape(shape)
+            else:
+                out[..., cls] += acc
+
+    # one full-grid upsample of the union accumulator per class
+    if union_axes:
+        gathered = acc_u[np.ix_(*[u_map[a] for a in union_axes])]
+        shape = tuple(sizes[a] if a in union_axes else 1 for a in full_axes) \
+            + (f.n_classes,)
+        out += gathered.reshape(
+            tuple(sizes[a] if a in union_axes else 1 for a in full_axes)
+            + (f.n_classes,))
+    else:
+        out += acc_u.reshape((1,) * len(full_axes) + (f.n_classes,))
 
     return out.astype(np.float32)
 
