@@ -33,10 +33,10 @@ from .ops.game import (
 )
 from .ops.pack import build_packs
 from .ops.table_lookup import build_table_heads, make_table_heads_eval
-from .parallel import simulate_games_sharded, summarize_scores, trial_mesh
+from .parallel import simulate_games_sharded
 from .stats import (
     PC_ATT, PC_COMP, PC_INT, PC_SACKS, PC_TD, PC_YDS, PLAYER_COLS, ROLE_LABEL,
-    ROLE_PASS, ROLE_REC, ROLE_RUSH, TS,
+    ROLE_PASS, ROLE_REC, ROLE_RUSH,
 )
 
 

@@ -13,14 +13,12 @@ fast_monte_carlo_cfb.py:1727-1759; this replaces that workflow.)
 from __future__ import annotations
 
 import argparse
-import json
 import sys
 import time
 
 
 def _cmd_sim(args) -> int:
     from .api import csv_base_from, simulate_upcoming_matchup
-    from .boxscore import mean_boxscore
 
     save = csv_base_from(args.team_a, args.team_b, args.week) if args.save else None
     sims_df, players_df, summary, a, b, meta = simulate_upcoming_matchup(

@@ -22,9 +22,7 @@ Reference artifacts this understands (reference file list, /root/reference):
 """
 from __future__ import annotations
 
-import io
 import pickle
-import sys
 import warnings
 from pathlib import Path
 from typing import Any

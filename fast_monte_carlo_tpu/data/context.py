@@ -17,7 +17,7 @@ Slot layout per role (K = config.engine.player_slots, default 8):
 """
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import List, Optional, Set
 
 import numpy as np

@@ -12,9 +12,9 @@ fast_monte_carlo_cfb.py:676-682).
 from __future__ import annotations
 
 import json
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from pathlib import Path
-from typing import Dict, Optional, Tuple
+from typing import Optional, Tuple
 
 import numpy as np
 
@@ -23,7 +23,7 @@ from ..config import SimConfig
 from . import analytic
 from .forest import FlatForest
 from .sklearn_gbr import forest_from_gbr_pipeline, layout_from_column_transformer
-from .xgb_json import forest_from_xgb_json, forest_from_xgb_raw, load_xgb_json
+from .xgb_json import forest_from_xgb_json, load_xgb_json
 
 ST1_FEATURES = (
     "down", "distance", "yardsToGoal", "is_red_zone", "score_diff",

@@ -14,8 +14,6 @@ folded into the leaf values at compile time.
 from __future__ import annotations
 
 from pathlib import Path
-from typing import Sequence
-
 import numpy as np
 
 from ..compat import load_sklearn_artifact

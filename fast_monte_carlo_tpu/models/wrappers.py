@@ -13,7 +13,6 @@ import numpy as np
 
 from ..compat import load_sklearn_artifact
 from .forest import FlatForest
-from .heads import ST1_FEATURES
 from .sklearn_gbr import forest_from_gbr_pipeline, layout_from_column_transformer
 from .xgb_json import forest_from_xgb_json, load_xgb_json
 

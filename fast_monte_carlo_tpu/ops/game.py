@@ -24,7 +24,6 @@ fixed 13 uniforms + 4 normals regardless of its branch.
 """
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable, NamedTuple, Optional
 
 import jax
@@ -34,8 +33,7 @@ from ..config import SimConfig
 from ..models import analytic
 from ..models.heads import ST1_FEATURES
 from ..stats import (
-    N_PLAYER_STATS, N_TEAM_STATS, PC_ATT, PC_COMP, PC_INT, PC_SACKS, PC_TD,
-    PC_YDS, ROLE_PASS, ROLE_REC, ROLE_RUSH, TS,
+    N_PLAYER_STATS, N_TEAM_STATS, ROLE_PASS, ROLE_REC, ROLE_RUSH, TS,
 )
 from .forest_eval import predict
 from .pack import HeadsPack, MatchupPack

@@ -17,7 +17,7 @@ import numpy as np
 from ..config import SimConfig
 from ..models import analytic
 from ..models.tables import TableSet, edges_from_reps, sd_reps_default
-from .game import HeadOut, HeadsEvalFn, StepObs, _gather2k
+from .game import HeadOut, HeadsEvalFn, StepObs
 from .pack import MatchupPack
 
 F32 = jnp.float32

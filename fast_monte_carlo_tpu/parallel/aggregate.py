@@ -12,9 +12,8 @@ small summaries transfer to the host:
 """
 from __future__ import annotations
 
-from typing import Dict, NamedTuple, Optional
+from typing import Dict, NamedTuple
 
-import jax
 import jax.numpy as jnp
 
 MAX_PTS = 128          # per-team score histogram support [0, 128)

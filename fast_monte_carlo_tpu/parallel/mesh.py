@@ -15,12 +15,12 @@ SURVEY §7.1.
 from __future__ import annotations
 
 from functools import partial
-from typing import Callable, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from ..config import SimConfig
 from ..ops.game import GameState, HeadsEvalFn, simulate_games
