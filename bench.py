@@ -38,7 +38,7 @@ def main() -> int:
     ap.add_argument("--repeats", type=int, default=2)
     ap.add_argument("--rng", default="threefry", choices=["threefry", "rbg"])
     ap.add_argument("--quality", default="fused",
-                    choices=["default", "coarse", "slate", "fused"],
+                    choices=["default", "coarse", "slate", "fused", "turbo"],
                     help="table axis-resolution preset")
     args = ap.parse_args()
 

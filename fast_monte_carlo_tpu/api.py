@@ -59,13 +59,16 @@ class MatchupRunner:
             self.heads if self.heads is not None else _empty_heads(),
             self.cfg, self.coach_map)
         if self.mode == "table":
-            from .models.tables import coarse_profile, slate_profile
+            from .models.tables import coarse_profile, slate_profile, turbo_profile
             profs = {}
             if self.table_quality == "coarse":
                 profs = dict(fine=coarse_profile(), coarse=coarse_profile())
             elif self.table_quality == "slate":
                 profs = dict(fine=slate_profile(), coarse=slate_profile(),
                              fused=slate_profile())
+            elif self.table_quality == "turbo":
+                # fused table sized for VMEM-resident gathers
+                profs = dict(fused=turbo_profile())
             elif self.table_quality == "fused":
                 # single-gather fast path on the coarse grid (falls back to
                 # per-head tables automatically when a focus roster makes
