@@ -411,31 +411,35 @@ def play_step(
     score_f = s.score + oh_side * pts[:, None]
 
     # ---- team stats -----------------------------------------------------------
-    ds = jnp.zeros((B, N_TEAM_STATS), F32)
-    def add(col, val):
-        nonlocal ds
-        ds = ds.at[:, TS[col]].add(val.astype(F32))
-    add("plays", scrim)
-    add("pass_att", complete | o_inc | o_int)
-    add("comp", complete)
-    add("pass_yds", jnp.where(pass_td, ytg0, jnp.where(pass_gain, yards_p, 0.0)))
-    add("pass_td", pass_td)
-    add("INT", o_int)
-    add("sacks", o_sck)
-    add("rush_att", is_run)
-    add("rush_yds", jnp.where(run_td, ytg0, jnp.where(run_gain, yards_r, 0.0)))
-    add("rush_td", run_td)
-    add("FG", fg_good)
-    add("FGA", fg_att)
-    add("punts", punt)
-    add("rz_trips", trip1.astype(F32) + trip2.astype(F32))
-    add("rz_TD", run_td & (ytg0 <= 20))  # quirk: rushing TDs only (:1237)
-    add("fourth_go", go)
+    # one stacked delta (chained .at[].add would copy the whole (B,N) array
+    # per field: ~20x the HBM traffic)
     conv = (td & was_going) \
         | (pass_gain & was_going & (yards_p + 1e-6 >= dist0)) \
         | (run_gain & was_going & (yards_r + 1e-6 >= dist0))
-    add("fourth_conv", conv)
-    add("fumbles_lost", fum)
+    zeros = jnp.zeros((B,), F32)
+    cols = {
+        "plays": scrim.astype(F32),
+        "pass_att": (complete | o_inc | o_int).astype(F32),
+        "comp": complete.astype(F32),
+        "pass_yds": jnp.where(pass_td, ytg0, jnp.where(pass_gain, yards_p, 0.0)),
+        "pass_td": pass_td.astype(F32),
+        "INT": o_int.astype(F32),
+        "sacks": o_sck.astype(F32),
+        "rush_att": is_run.astype(F32),
+        "rush_yds": jnp.where(run_td, ytg0, jnp.where(run_gain, yards_r, 0.0)),
+        "rush_td": run_td.astype(F32),
+        "FG": fg_good.astype(F32),
+        "FGA": fg_att.astype(F32),
+        "punts": punt.astype(F32),
+        "rz_trips": trip1.astype(F32) + trip2.astype(F32),
+        "rz_TD": (run_td & (ytg0 <= 20)).astype(F32),  # quirk: rushing TDs only (:1237)
+        "fourth_go": go.astype(F32),
+        "fourth_conv": conv.astype(F32),
+        "points": zeros,  # final score written after the scan
+        "fumbles_lost": fum.astype(F32),
+    }
+    from ..stats import TEAM_STAT_FIELDS
+    ds = jnp.stack([cols[name] for name in TEAM_STAT_FIELDS], axis=1)
     stats_f = s.stats + oh_side.astype(F32)[:, :, None] * ds[:, None, :]
 
     # ---- player stats ----------------------------------------------------------
@@ -458,6 +462,7 @@ def play_step(
             run_td.astype(F32), jnp.zeros((B,), F32), jnp.zeros((B,), F32),
         ], axis=1)
         oh_f = oh_side.astype(F32)
+        role_upds = {}
         for role, slot, delta, tracked in (
             (ROLE_PASS, qb, qb_delta, pack.qb_tracked),
             (ROLE_REC, wr, wr_delta, pack.wr_tracked),
@@ -465,8 +470,10 @@ def play_step(
         ):
             gate = _gather2k(tracked, off, slot).astype(F32)
             oh_slot = jax.nn.one_hot(slot, K, dtype=F32) * gate[:, None]
-            upd = jnp.einsum("bs,bk,bc->bskc", oh_f, oh_slot, delta)
-            pstats_f = pstats_f.at[:, :, role].add(upd)
+            role_upds[role] = jnp.einsum("bs,bk,bc->bskc", oh_f, oh_slot, delta)
+        # single add: chained .at[].add would copy the (B,2,3,K,6) carry per role
+        pstats_f = pstats_f + jnp.stack(
+            [role_upds[r] for r in (ROLE_PASS, ROLE_RUSH, ROLE_REC)], axis=2)
 
     return GameState(
         off=off_c.astype(I32), sec=sec_b.astype(I32), down=down_c.astype(I32),
