@@ -106,20 +106,23 @@ def eval_margin(jf: JaxForest, x_num: jnp.ndarray, cat_ids: Dict[str, jnp.ndarra
     node = jnp.broadcast_to(jf.roots[None, :], (B, T)).astype(jnp.int32)
 
     def body(_, node):
-        f_num = jf.num_idx[node]                       # (B,T)
+        f_num = jnp.take(jf.num_idx, node, mode="clip")        # (B,T)
         numv = jnp.take_along_axis(x_num, f_num, axis=1)
-        grp = jf.cat_group[node]
+        grp = jnp.take(jf.cat_group, node, mode="clip")
         trial_cat = jnp.take_along_axis(cid, grp, axis=1)
-        catv = (trial_cat == jf.cat_local[node]).astype(x_num.dtype)
+        catv = (trial_cat == jnp.take(jf.cat_local, node, mode="clip")).astype(x_num.dtype)
         val = jnp.where(jf.is_cat[node], catv, numv)
-        th = jf.thresh[node]
+        th = jnp.take(jf.thresh, node, mode="clip")
         go_left = (val < th) if jf.cmp_lt else (val <= th)
         if jf.zero_as_missing:
-            go_left = jnp.where(val == 0.0, jf.default_left[node], go_left)
-        return jnp.where(go_left, jf.left[node], jf.right[node])
+            go_left = jnp.where(val == 0.0,
+                                jnp.take(jf.default_left, node, mode="clip"),
+                                go_left)
+        return jnp.where(go_left, jnp.take(jf.left, node, mode="clip"),
+                         jnp.take(jf.right, node, mode="clip"))
 
     node = jax.lax.fori_loop(0, jf.max_depth, body, node)
-    leaf_vals = jf.leaf[node]                           # (B, T)
+    leaf_vals = jnp.take(jf.leaf, node, mode="clip")    # (B, T)
     margins = jnp.dot(leaf_vals, jf.class_matrix,
                       preferred_element_type=jnp.float32)
     return margins + jf.base_margin[None, :]

@@ -103,7 +103,7 @@ HeadsEvalFn = Callable[[object, StepObs, MatchupPack], HeadOut]
 def _gather2k(arr2k: jnp.ndarray, off: jnp.ndarray, slot: jnp.ndarray) -> jnp.ndarray:
     """arr (2,K) gathered at (off, slot) per trial."""
     k = arr2k.shape[1]
-    return jnp.take(arr2k.reshape(-1), off * k + slot)
+    return jnp.take(arr2k.reshape(-1), off * k + slot, mode="clip")
 
 
 def make_exact_heads_eval(cfg: SimConfig) -> HeadsEvalFn:
@@ -113,7 +113,7 @@ def make_exact_heads_eval(cfg: SimConfig) -> HeadsEvalFn:
     def heads_eval(hp: HeadsPack, obs: StepObs, pack: MatchupPack) -> HeadOut:
         x, off, qb, wr, rb = obs.x, obs.off, obs.qb, obs.wr, obs.rb
         p_raw = predict(hp.stage1, x, {"passer_name": _gather2k(pack.ids_qb_stage1, off, qb)})
-        p_c = jnp.clip(p_raw + jnp.take(pack.bias, off),
+        p_c = jnp.clip(p_raw + jnp.take(pack.bias, off, mode="clip"),
                        cfg.model.stage1_clip_lo, cfg.model.stage1_clip_hi)
         if hp.stage2 is not None:
             probs = predict(hp.stage2, x, {
@@ -146,7 +146,7 @@ def make_exact_heads_eval(cfg: SimConfig) -> HeadsEvalFn:
             p_f = jnp.zeros_like(p_c)
         p_pass_ml = None
         if hp.play is not None and cfg.model.use_play_model:
-            p_pass_ml = _play_pass_prob(hp, x, jnp.take(pack.coach_id, off), cfg)
+            p_pass_ml = _play_pass_prob(hp, x, jnp.take(pack.coach_id, off, mode="clip"), cfg)
         return HeadOut(p_c, s2_cum, pass_ms, rush_ms, sack_ms, p_f, p_pass_ml)
 
     return heads_eval
@@ -159,7 +159,7 @@ def make_analytic_heads_eval(cfg: SimConfig) -> HeadsEvalFn:
     heads_state is unused (pass None)."""
 
     def heads_eval(heads_state, obs: StepObs, pack: MatchupPack) -> HeadOut:
-        bias = jnp.take(pack.bias, obs.off)
+        bias = jnp.take(pack.bias, obs.off, mode="clip")
         p_c = jnp.clip(
             0.68 - 0.022 * jnp.maximum(0.0, obs.dist - 3.0) + bias,
             cfg.model.stage1_clip_lo, cfg.model.stage1_clip_hi)
@@ -195,7 +195,7 @@ def _play_pass_prob(hp: HeadsPack, x: jnp.ndarray, coach: jnp.ndarray, cfg: SimC
 
 def _sample_slot(cum2k: jnp.ndarray, off: jnp.ndarray, u: jnp.ndarray) -> jnp.ndarray:
     """Inverse-CDF slot sampling against (2,K) cumulative shares."""
-    cum = jnp.take(cum2k, off, axis=0)                 # (B,K)
+    cum = jnp.take(cum2k, off, axis=0, mode="clip")   # (B,K)
     slot = jnp.sum(u[:, None] >= cum, axis=1)
     return jnp.minimum(slot, cum2k.shape[1] - 1).astype(I32)
 
@@ -203,7 +203,7 @@ def _sample_slot(cum2k: jnp.ndarray, off: jnp.ndarray, u: jnp.ndarray) -> jnp.nd
 def _state_features(pack: MatchupPack, cfg: SimConfig, off, down, dist, ytg, sec, sd):
     half_s = cfg.clock.half_seconds
     sec_f = sec.astype(F32)
-    sp = jnp.take(pack.sp, off, axis=0)                # (B,4)
+    sp = jnp.take(pack.sp, off, axis=0, mode="clip")  # (B,4)
     cols = [
         down.astype(F32), dist, ytg,
         (ytg <= 20).astype(F32),
@@ -239,10 +239,10 @@ def play_step(
     score_def = jnp.take_along_axis(s.score, (1 - off)[:, None], axis=1)[:, 0]
     sd = score_off - score_def
 
-    off_o = jnp.take(pack.off_offense, off)
-    def_d = jnp.take(pack.def_defense, off)
-    ymult = jnp.take(pack.ymult, off)
-    mz = jnp.take(pack.mz, off)
+    off_o = jnp.take(pack.off_offense, off, mode="clip")
+    def_d = jnp.take(pack.def_defense, off, mode="clip")
+    ymult = jnp.take(pack.ymult, off, mode="clip")
+    mz = jnp.take(pack.mz, off, mode="clip")
 
     # ---- 4th-down decision --------------------------------------------------
     p_go = jnp.minimum(1.0, analytic.go_for_it_prob(

@@ -345,14 +345,14 @@ def make_table_heads_eval(cfg: SimConfig) -> HeadsEvalFn:
                 sd_idx[name] = (_seg_bin(sd_f, prof.sd_segs), prof.nsd)
 
         def lookup(t: DeviceTable, slot_key: jnp.ndarray) -> jnp.ndarray:
-            base = jnp.take(t.row_map.reshape(-1), slot_key)
+            base = jnp.take(t.row_map.reshape(-1), slot_key, mode="clip")
             pname = t.profile if t.profile in idx else "coarse"
             state = idx[pname]
             if t.has_sd:
                 sdi, nsd = sd_idx[pname]
                 state = state * nsd + sdi
             rows = base + state
-            return jnp.take(t.values, rows, axis=0)
+            return jnp.take(t.values, rows, axis=0, mode="clip")
 
         slot_qb = off * K + qb
         slot_rb = off * K + rb
@@ -384,8 +384,9 @@ def make_table_heads_eval(cfg: SimConfig) -> HeadsEvalFn:
             score_diff = obs.x[:, 4]
             sdi = _bin(score_diff, th.play_sd_edges)
             state = idx["coarse"] * th.play_nsd + sdi
-            base = jnp.take(th.play.row_map.reshape(-1), off)  # one row per direction
-            p_pass_ml = jnp.take(th.play.values, base + state, axis=0)[:, 0]
+            base = jnp.take(th.play.row_map.reshape(-1), off, mode="clip")  # one row per direction
+            p_pass_ml = jnp.take(th.play.values, base + state, axis=0,
+                                 mode="clip")[:, 0]
 
         return HeadOut(
             p_complete=p_c_biased,
@@ -408,8 +409,8 @@ def _fused_eval(th: TableHeads, obs: StepObs, pack: MatchupPack,
     state = ((down_i * prof.nd + di) * prof.ny + yi) * prof.ns + si
     if th.fused.has_sd:
         state = state * prof.nsd + _seg_bin(sd_f, prof.sd_segs)
-    base = jnp.take(th.fused.row_map.reshape(-1), obs.off)
-    row = jnp.take(th.fused.values, base + state, axis=0)   # (B, C)
+    base = jnp.take(th.fused.row_map.reshape(-1), obs.off, mode="clip")
+    row = jnp.take(th.fused.values, base + state, axis=0, mode="clip")  # (B, C)
 
     p_c = row[:, 0]
     pq = row[:, 1:3]
@@ -434,9 +435,10 @@ def _fused_eval(th: TableHeads, obs: StepObs, pack: MatchupPack,
         yci = _seg_bin(ytg_f, cp.ytg_segs)
         sci = _seg_bin(sec_f, cp.sec_segs)
         cstate = ((down_i * cp.nd + dci) * cp.ny + yci) * cp.ns + sci
-        pbase = jnp.take(th.play.row_map.reshape(-1), obs.off)
+        pbase = jnp.take(th.play.row_map.reshape(-1), obs.off, mode="clip")
         p_pass_ml = jnp.take(th.play.values,
-                             pbase + cstate * th.play_nsd + sdi, axis=0)[:, 0]
+                             pbase + cstate * th.play_nsd + sdi, axis=0,
+                             mode="clip")[:, 0]
 
     return HeadOut(p_complete=p_c, s2_cum=s2_cum, pass_ms=pq, rush_ms=rq,
                    sack_ms=sq, p_fumble=p_f, p_pass_ml=p_pass_ml)
