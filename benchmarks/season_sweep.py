@@ -44,9 +44,13 @@ for gi, (ta, tb) in enumerate(games):
     total = sc.sum(axis=1)
     w = float((sc[:, 0] > sc[:, 1]).mean())
     spread = -round(margin.mean() * 2) / 2  # market-style half-point line
+    # the simulator responds to offense-vs-defense splits (matchup_bias /
+    # yardage tilt use off.OFFENSE - def.DEFENSE), not overall RATING
+    net_split = (a.sp_offense - b.sp_defense) - (b.sp_offense - a.sp_defense)
     rows.append({
         "team_a": ta, "team_b": tb,
         "sp_gap": round(a.sp_rating - b.sp_rating, 1),
+        "net_split_gap": round(net_split, 1),
         "win_a": round(w, 4), "ml_a": prob_to_american(w),
         "mean_margin": round(float(margin.mean()), 2),
         "mean_total": round(float(total.mean()), 2),
@@ -62,8 +66,12 @@ df = pd.DataFrame(rows)
 df.to_csv("season_sweep.csv", index=False)
 print(f"\n{len(games)} matchups, {total_games:,} games in {dt:.0f}s "
       f"({total_games/dt:,.0f} games/s end-to-end)")
-# calibration sanity: win prob should be monotone-ish in SP+ gap
-corr = np.corrcoef(df.sp_gap, df.win_a)[0, 1]
-print(f"corr(SP+ gap, win prob) = {corr:.3f}")
+# calibration sanity: win prob should track the off-vs-def split gap (the
+# quantity the simulator's tilts actually consume)
+corr = np.corrcoef(df.net_split_gap, df.win_a)[0, 1]
+print(f"corr(net off-def split gap, win prob) = {corr:.3f}")
+print(f"corr(overall RATING gap, win prob) = "
+      f"{np.corrcoef(df.sp_gap, df.win_a)[0, 1]:.3f}  (weak by design: the "
+      f"reference's tilts use offense/defense splits)")
 print(f"cover prob at own mean line ~ 50%: "
       f"{df.p_cover_at_line.mean():.3f} ± {df.p_cover_at_line.std():.3f}")
