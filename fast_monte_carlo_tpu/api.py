@@ -311,6 +311,98 @@ def _save_frames(save_csv: str, sims_df: pd.DataFrame,
             players_df.to_csv(f"players_{save_csv}.csv", index=False)
 
 
+@dataclass
+class SlateRunner:
+    """Many matchups in ONE compiled program: the ('game','trial') layout.
+
+    Games select direction rows in a shared pack/table (dirx = gid*2+off);
+    trials are the (optionally device-sharded) batch axis.  One compile, one
+    launch for the whole slate — vs the per-matchup loop in simulate_slate.
+    Requires table mode with a single shared profile (fused preset)."""
+
+    matchups: List[Tuple[TeamContext, TeamContext]]
+    heads: ModelHeads
+    cfg: SimConfig = field(default_factory=SimConfig)
+    coach_map: Optional[Dict[str, str]] = None
+    quality: str = "fused"
+    shard: bool = False
+
+    def __post_init__(self):
+        from .matchup import build_direction
+        from .models.tables import build_fused_table, coarse_profile, turbo_profile, TableSet, fine_profile
+        from .ops.pack import pack_matchups
+        from .ops.table_lookup import pack_tables_multi
+
+        prof = turbo_profile() if self.quality == "turbo" else coarse_profile()
+        dirs = []
+        ts_pairs = []
+        for a, b in self.matchups:
+            da = build_direction(a, b, self.heads, self.cfg, self.coach_map)
+            db = build_direction(b, a, self.heads, self.cfg, self.coach_map)
+            fa = build_fused_table(da, self.heads, self.cfg, prof)
+            fb = build_fused_table(db, self.heads, self.cfg, prof)
+            if fa is None or fb is None:
+                raise ValueError(
+                    "SlateRunner needs fusible matchups (player-independent "
+                    "model outputs); use simulate_slate for focus rosters")
+            mk = lambda f: TableSet(stage1=None, stage2=None, pq=None, rq=None,
+                                    sq=None, fumble=None, play=None,
+                                    fine=fine_profile(), coarse=prof, fused=f)
+            ts_pairs.append((mk(fa), mk(fb)))
+            dirs.extend([da, db])
+        self.pack = pack_matchups(dirs)
+        self.heads_state = pack_tables_multi(
+            ts_pairs, k=self.matchups[0][0].qb.k, fused_prof=prof)
+        self.heads_fn = _heads_fn_cached("table", self.cfg)
+
+    def run(self, n_pairs_per_game: int, seed: int = 0) -> GameState:
+        """Returns the final GameState for G * 2*n_pairs games; trial t is
+        game t // (2*n_pairs), alternating first offense within a game."""
+        g = len(self.matchups)
+        per = 2 * n_pairs_per_game
+        n = g * per
+        idx = np.arange(n)
+        gid = jnp.asarray(idx // per, jnp.int32)
+        fo = jnp.asarray(idx % 2, jnp.int32)
+        if self.shard:
+            out = simulate_games_sharded(
+                self.pack, self.cfg, self.heads_fn, self.heads_state,
+                jax.random.PRNGKey(seed), n, fo, game_id=gid)
+        else:
+            fn = _shared_slate_jit(self.cfg, self.heads_fn)
+            out = fn(self.pack, self.heads_state, jax.random.PRNGKey(seed),
+                     fo, gid, n)
+        jax.block_until_ready(out.score)
+        return out
+
+    def summaries(self, out: GameState) -> pd.DataFrame:
+        g = len(self.matchups)
+        sc = np.asarray(out.score, dtype=float)
+        per = sc.shape[0] // g
+        rows = []
+        for gi, (a, b) in enumerate(self.matchups):
+            s = sc[gi * per:(gi + 1) * per]
+            rows.append({
+                "team_a": a.name, "team_b": b.name,
+                "mean_a": s[:, 0].mean(), "mean_b": s[:, 1].mean(),
+                "win_a": (s[:, 0] > s[:, 1]).mean(),
+                "win_b": (s[:, 1] > s[:, 0]).mean(),
+                "mean_margin_a": (s[:, 0] - s[:, 1]).mean(),
+                "mean_total": s.sum(axis=1).mean(),
+                "n_games": per,
+            })
+        return pd.DataFrame(rows)
+
+
+@lru_cache(maxsize=8)
+def _shared_slate_jit(cfg: SimConfig, heads_fn):
+    return jax.jit(
+        lambda pack, hs, key, fo, gid, n: simulate_games(
+            pack, cfg, heads_fn, hs, key, n, fo, collect_players=False,
+            game_id=gid),
+        static_argnums=(5,))
+
+
 def simulate_matchup_batched(
     team_a: TeamContext,
     team_b: TeamContext,

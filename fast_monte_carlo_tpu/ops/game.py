@@ -51,6 +51,7 @@ N_NORMALS = 4
 
 
 class GameState(NamedTuple):
+    gid: jnp.ndarray      # (B,) i32 game (matchup) id — constant per trial
     off: jnp.ndarray      # (B,) i32 offense side 0/1
     sec: jnp.ndarray      # (B,) i32
     down: jnp.ndarray     # (B,) i32
@@ -67,6 +68,7 @@ class GameState(NamedTuple):
 class StepObs(NamedTuple):
     """What a heads-eval implementation sees: play-start state + sampled slots."""
     x: jnp.ndarray        # (B,17) ST1 feature rows
+    dirx: jnp.ndarray     # (B,) i32 direction row = gid*2 + off
     off: jnp.ndarray      # (B,) i32
     down: jnp.ndarray
     dist: jnp.ndarray
@@ -111,7 +113,7 @@ def make_exact_heads_eval(cfg: SimConfig) -> HeadsEvalFn:
     heads_state is a HeadsPack."""
 
     def heads_eval(hp: HeadsPack, obs: StepObs, pack: MatchupPack) -> HeadOut:
-        x, off, qb, wr, rb = obs.x, obs.off, obs.qb, obs.wr, obs.rb
+        x, off, qb, wr, rb = obs.x, obs.dirx, obs.qb, obs.wr, obs.rb
         p_raw = predict(hp.stage1, x, {"passer_name": _gather2k(pack.ids_qb_stage1, off, qb)})
         p_c = jnp.clip(p_raw + jnp.take(pack.bias, off, mode="clip"),
                        cfg.model.stage1_clip_lo, cfg.model.stage1_clip_hi)
@@ -159,7 +161,7 @@ def make_analytic_heads_eval(cfg: SimConfig) -> HeadsEvalFn:
     heads_state is unused (pass None)."""
 
     def heads_eval(heads_state, obs: StepObs, pack: MatchupPack) -> HeadOut:
-        bias = jnp.take(pack.bias, obs.off, mode="clip")
+        bias = jnp.take(pack.bias, obs.dirx, mode="clip")
         p_c = jnp.clip(
             0.68 - 0.022 * jnp.maximum(0.0, obs.dist - 3.0) + bias,
             cfg.model.stage1_clip_lo, cfg.model.stage1_clip_hi)
@@ -200,10 +202,10 @@ def _sample_slot(cum2k: jnp.ndarray, off: jnp.ndarray, u: jnp.ndarray) -> jnp.nd
     return jnp.minimum(slot, cum2k.shape[1] - 1).astype(I32)
 
 
-def _state_features(pack: MatchupPack, cfg: SimConfig, off, down, dist, ytg, sec, sd):
+def _state_features(pack: MatchupPack, cfg: SimConfig, dirx, down, dist, ytg, sec, sd):
     half_s = cfg.clock.half_seconds
     sec_f = sec.astype(F32)
-    sp = jnp.take(pack.sp, off, axis=0, mode="clip")  # (B,4)
+    sp = jnp.take(pack.sp, dirx, axis=0, mode="clip")  # (B,4)
     cols = [
         down.astype(F32), dist, ytg,
         (ytg <= 20).astype(F32),
@@ -235,14 +237,15 @@ def play_step(
 
     active = s.sec > 0
     off, down0, dist0, ytg0, sec0 = s.off, s.down, s.dist, s.ytg, s.sec
+    dirx = s.gid * 2 + off   # row into the (2G, ...) direction-indexed pack
     score_off = jnp.take_along_axis(s.score, off[:, None], axis=1)[:, 0]
     score_def = jnp.take_along_axis(s.score, (1 - off)[:, None], axis=1)[:, 0]
     sd = score_off - score_def
 
-    off_o = jnp.take(pack.off_offense, off, mode="clip")
-    def_d = jnp.take(pack.def_defense, off, mode="clip")
-    ymult = jnp.take(pack.ymult, off, mode="clip")
-    mz = jnp.take(pack.mz, off, mode="clip")
+    off_o = jnp.take(pack.off_offense, dirx, mode="clip")
+    def_d = jnp.take(pack.def_defense, dirx, mode="clip")
+    ymult = jnp.take(pack.ymult, dirx, mode="clip")
+    mz = jnp.take(pack.mz, dirx, mode="clip")
 
     # ---- 4th-down decision --------------------------------------------------
     p_go = jnp.minimum(1.0, analytic.go_for_it_prob(
@@ -275,12 +278,12 @@ def play_step(
     # ---- scrimmage play -----------------------------------------------------
     trip1 = scrim & ~s.in_rz & (ytg0 <= 20)
 
-    x = _state_features(pack, cfg, off, down0, dist0, ytg0, sec0, sd)
-    qb = _sample_slot(pack.qb_cum, off, u[:, U_QB])
-    wr = _sample_slot(pack.wr_cum, off, u[:, U_WR])
-    rb = _sample_slot(pack.rb_cum, off, u[:, U_RB])
-    obs = StepObs(x=x, off=off, down=down0, dist=dist0, ytg=ytg0, sec=sec0,
-                  qb=qb, wr=wr, rb=rb)
+    x = _state_features(pack, cfg, dirx, down0, dist0, ytg0, sec0, sd)
+    qb = _sample_slot(pack.qb_cum, dirx, u[:, U_QB])
+    wr = _sample_slot(pack.wr_cum, dirx, u[:, U_WR])
+    rb = _sample_slot(pack.rb_cum, dirx, u[:, U_RB])
+    obs = StepObs(x=x, dirx=dirx, off=off, down=down0, dist=dist0, ytg=ytg0,
+                  sec=sec0, qb=qb, wr=wr, rb=rb)
     ho = heads_eval(heads_state, obs, pack)
 
     if cfg.model.use_play_model and ho.p_pass_ml is not None:
@@ -468,7 +471,7 @@ def play_step(
             (ROLE_REC, wr, wr_delta, pack.wr_tracked),
             (ROLE_RUSH, rb, rb_delta, pack.rb_tracked),
         ):
-            gate = _gather2k(tracked, off, slot).astype(F32)
+            gate = _gather2k(tracked, dirx, slot).astype(F32)
             oh_slot = jax.nn.one_hot(slot, K, dtype=F32) * gate[:, None]
             role_upds[role] = jnp.einsum("bs,bk,bc->bskc", oh_f, oh_slot, delta)
         # single add: chained .at[].add would copy the (B,2,3,K,6) carry per role
@@ -476,16 +479,20 @@ def play_step(
             [role_upds[r] for r in (ROLE_PASS, ROLE_RUSH, ROLE_REC)], axis=2)
 
     return GameState(
+        gid=s.gid,
         off=off_c.astype(I32), sec=sec_b.astype(I32), down=down_c.astype(I32),
         dist=dist_c.astype(F32), ytg=ytg_c.astype(F32), period=period_b,
         in_rz=in_rz_f, going=going_f, score=score_f, stats=stats_f, pstats=pstats_f,
     )
 
 
-def initial_state(n: int, first_offense, cfg: SimConfig, k: int) -> GameState:
+def initial_state(n: int, first_offense, cfg: SimConfig, k: int,
+                  game_id=0) -> GameState:
     B = n
     fo = jnp.broadcast_to(jnp.asarray(first_offense, I32), (B,))
+    gid = jnp.broadcast_to(jnp.asarray(game_id, I32), (B,))
     return GameState(
+        gid=gid,
         off=fo,
         sec=jnp.full((B,), cfg.clock.game_seconds, I32),
         down=jnp.ones((B,), I32),
@@ -509,13 +516,16 @@ def simulate_games(
     n: int,
     first_offense,
     collect_players: bool = True,
+    game_id=0,
 ) -> GameState:
     """Run n independent games to completion; returns the final GameState.
 
     `first_offense` may be a scalar (all trials) or a (n,) array (e.g.
-    alternating home/away ordering within one batch).
+    alternating home/away ordering within one batch).  `game_id` selects
+    the matchup per trial when the pack carries a game axis (2G direction
+    rows); scalar 0 for a single matchup.
     """
-    init = initial_state(n, first_offense, cfg, pack.k)
+    init = initial_state(n, first_offense, cfg, pack.k, game_id)
     if cfg.engine.rng_impl == "rbg":
         raw = key if jnp.issubdtype(key.dtype, jnp.integer) else jax.random.key_data(key)
         raw = jnp.tile(raw.reshape(-1), 2)[:4].astype(jnp.uint32)

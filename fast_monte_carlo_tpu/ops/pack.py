@@ -50,8 +50,16 @@ class MatchupPack:
 
 
 def pack_matchup(dir_a: DirectionContext, dir_b: DirectionContext) -> MatchupPack:
+    return pack_matchups([dir_a, dir_b])
+
+
+def pack_matchups(dirs) -> MatchupPack:
+    """Direction-indexed pack: rows are [g0 A-off, g0 B-off, g1 A-off, ...]
+    for a multi-matchup slate sharing one compiled program (the
+    ('game','trial') layout of SURVEY §2.4/§7.1: games select table/pack
+    rows, trials are the sharded batch axis)."""
     def two(fn):
-        return jnp.asarray(np.stack([fn(dir_a), fn(dir_b)]))
+        return jnp.asarray(np.stack([fn(d) for d in dirs]))
 
     return MatchupPack(
         sp=two(lambda d: np.asarray([d.sp_rating_off, d.sp_offense_rating_off,

@@ -133,21 +133,23 @@ def _profile_idx(prof) -> ProfileIdx:
     )
 
 
-def _merge_tables(t0, t1, k: int, is_pair: bool) -> DeviceTable:
-    """Stack the two directions' host tables into one device table."""
-    assert t0.shape[1:] == t1.shape[1:]
-    vals = np.concatenate([t0.values, t1.values], axis=0)
-    rows0 = int(np.prod(t0.shape))
-    m0 = t0.row_map.reshape(1, -1)
-    m1 = t1.row_map.reshape(1, -1)
-    # row_map selects the slot-axis row; convert to flat row base offset
-    per_slot0 = rows0 // t0.shape[0]
-    per_slot1 = int(np.prod(t1.shape)) // t1.shape[0]
-    assert per_slot0 == per_slot1
-    rm = np.concatenate([m0 * per_slot0, rows0 + m1 * per_slot1], axis=0)
+def _merge_tables(*tables, k: int, is_pair: bool) -> DeviceTable:
+    """Stack N direction host tables (2 per matchup, in game order) into one
+    device table; row_map row d is the flat base offset of direction d."""
+    t0 = tables[0]
+    per_slot = int(np.prod(t0.shape)) // t0.shape[0]
+    vals, rms = [], []
+    offset = 0
+    for t in tables:
+        assert t.shape[1:] == t0.shape[1:], "direction tables must share axes"
+        ps = int(np.prod(t.shape)) // t.shape[0]
+        assert ps == per_slot
+        vals.append(t.values)
+        rms.append(offset + t.row_map.reshape(1, -1) * per_slot)
+        offset += int(np.prod(t.shape))
     return DeviceTable(
-        values=jnp.asarray(vals),
-        row_map=jnp.asarray(rm.astype(np.int32)),
+        values=jnp.asarray(np.concatenate(vals, axis=0)),
+        row_map=jnp.asarray(np.concatenate(rms, axis=0).astype(np.int32)),
         n_slots=int(t0.shape[0]),
         profile=t0.profile,
         is_pair=is_pair,
@@ -158,40 +160,48 @@ def _merge_tables(t0, t1, k: int, is_pair: bool) -> DeviceTable:
 
 def pack_tables(ts_a: TableSet, ts_b: TableSet, k: int,
                 fused_prof=None) -> TableHeads:
-    """ts_a: direction 0 (team A offense); ts_b: direction 1."""
-    fine = _profile_idx(ts_a.fine)
-    coarse = _profile_idx(ts_a.coarse)
+    """Single matchup: directions [A-offense, B-offense]."""
+    return pack_tables_multi([(ts_a, ts_b)], k, fused_prof)
+
+
+def pack_tables_multi(ts_pairs, k: int, fused_prof=None) -> TableHeads:
+    """Many matchups in one TableHeads: direction rows are interleaved
+    [g0 A-off, g0 B-off, g1 A-off, ...] and addressed by dirx = gid*2+off."""
+    dirs = [t for pair in ts_pairs for t in pair]
+    ts0 = dirs[0]
+    fine = _profile_idx(ts0.fine)
+    coarse = _profile_idx(ts0.coarse)
+
+    def merge(attr, is_pair=False):
+        tables = [getattr(t, attr) for t in dirs]
+        if any(t is None for t in tables):
+            return None
+        return _merge_tables(*tables, k=k, is_pair=is_pair)
+
     fused = None
     fp = None
-    if ts_a.fused is not None and ts_b.fused is not None and fused_prof is not None:
-        fused = _merge_tables(ts_a.fused, ts_b.fused, k, is_pair=False)
+    if fused_prof is not None and all(t.fused is not None for t in dirs):
+        fused = _merge_tables(*[t.fused for t in dirs], k=k, is_pair=False)
         fp = _profile_idx(fused_prof)
 
+    s2_pair = (ts0.stage2 is not None and ts0.stage2.row_map.size == k * k)
     th = TableHeads(
         fine=fine, coarse=coarse,
-        stage1=(_merge_tables(ts_a.stage1, ts_b.stage1, k, is_pair=False)
-                if ts_a.stage1 is not None else None),
-        stage2=(_merge_tables(ts_a.stage2, ts_b.stage2, k,
-                              is_pair=ts_a.stage2.row_map.size == k * k)
-                if ts_a.stage2 is not None else None),
-        pq=(_merge_tables(ts_a.pq, ts_b.pq, k, is_pair=True)
-            if ts_a.pq is not None else None),
-        rq=(_merge_tables(ts_a.rq, ts_b.rq, k, is_pair=False)
-            if ts_a.rq is not None else None),
-        sq=(_merge_tables(ts_a.sq, ts_b.sq, k, is_pair=False)
-            if ts_a.sq is not None else None),
-        fumble=(_merge_tables(ts_a.fumble, ts_b.fumble, k, is_pair=False)
-                if ts_a.fumble is not None else None),
-        play=(_merge_tables(ts_a.play, ts_b.play, k, is_pair=False)
-              if ts_a.play is not None else None),
+        stage1=merge("stage1"),
+        stage2=merge("stage2", is_pair=s2_pair),
+        pq=merge("pq", is_pair=True),
+        rq=merge("rq"),
+        sq=merge("sq"),
+        fumble=merge("fumble"),
+        play=merge("play"),
         play_sd_edges=(jnp.asarray(edges_from_reps(sd_reps_default()), F32)
-                       if ts_a.play is not None else None),
-        play_nsd=len(sd_reps_default()) if ts_a.play is not None else 0,
+                       if ts0.play is not None else None),
+        play_nsd=len(sd_reps_default()) if ts0.play is not None else 0,
         k=k,
         fused=fused,
         fused_prof=fp,
-        fused_has_s2=bool(getattr(ts_a.fused, "fused_has_s2", False)),
-        fused_has_fumble=bool(getattr(ts_a.fused, "fused_has_fumble", False)),
+        fused_has_s2=bool(getattr(ts0.fused, "fused_has_s2", False)),
+        fused_has_fumble=bool(getattr(ts0.fused, "fused_has_fumble", False)),
     )
     return th
 
@@ -321,7 +331,7 @@ def make_table_heads_eval(cfg: SimConfig) -> HeadsEvalFn:
     """Table mode heads-eval; heads_state is a TableHeads pytree."""
 
     def heads_eval(th: TableHeads, obs: StepObs, pack: MatchupPack) -> HeadOut:
-        off, qb, wr, rb = obs.off, obs.qb, obs.wr, obs.rb
+        off, qb, wr, rb = obs.dirx, obs.qb, obs.wr, obs.rb
         down_i = jnp.clip(obs.down - 1, 0, 4).astype(I32)  # down>=5 one class
         dist_f = obs.dist
         ytg_f = obs.ytg
@@ -384,7 +394,7 @@ def make_table_heads_eval(cfg: SimConfig) -> HeadsEvalFn:
             score_diff = obs.x[:, 4]
             sdi = _bin(score_diff, th.play_sd_edges)
             state = idx["coarse"] * th.play_nsd + sdi
-            base = jnp.take(th.play.row_map.reshape(-1), off, mode="clip")  # one row per direction
+            base = jnp.take(th.play.row_map.reshape(-1), off, mode="clip")  # per direction row
             p_pass_ml = jnp.take(th.play.values, base + state, axis=0,
                                  mode="clip")[:, 0]
 
@@ -409,7 +419,7 @@ def _fused_eval(th: TableHeads, obs: StepObs, pack: MatchupPack,
     state = ((down_i * prof.nd + di) * prof.ny + yi) * prof.ns + si
     if th.fused.has_sd:
         state = state * prof.nsd + _seg_bin(sd_f, prof.sd_segs)
-    base = jnp.take(th.fused.row_map.reshape(-1), obs.off, mode="clip")
+    base = jnp.take(th.fused.row_map.reshape(-1), obs.dirx, mode="clip")
     row = jnp.take(th.fused.values, base + state, axis=0, mode="clip")  # (B, C)
 
     p_c = row[:, 0]
@@ -435,7 +445,7 @@ def _fused_eval(th: TableHeads, obs: StepObs, pack: MatchupPack,
         yci = _seg_bin(ytg_f, cp.ytg_segs)
         sci = _seg_bin(sec_f, cp.sec_segs)
         cstate = ((down_i * cp.nd + dci) * cp.ny + yci) * cp.ns + sci
-        pbase = jnp.take(th.play.row_map.reshape(-1), obs.off, mode="clip")
+        pbase = jnp.take(th.play.row_map.reshape(-1), obs.dirx, mode="clip")
         p_pass_ml = jnp.take(th.play.values,
                              pbase + cstate * th.play_nsd + sdi, axis=0,
                              mode="clip")[:, 0]

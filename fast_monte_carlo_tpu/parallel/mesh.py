@@ -42,6 +42,7 @@ def simulate_games_sharded(
     first_offense: int | jnp.ndarray,
     mesh: Optional[Mesh] = None,
     collect_players: bool = False,
+    game_id=0,
 ) -> GameState:
     """Run n games sharded over the trial axis of `mesh`.
 
@@ -60,17 +61,22 @@ def simulate_games_sharded(
         fo = jnp.full((n,), first_offense, jnp.int32)
     else:
         fo = jnp.asarray(first_offense, jnp.int32)
+    if isinstance(game_id, (int, np.integer)):
+        gid = jnp.full((n,), game_id, jnp.int32)
+    else:
+        gid = jnp.asarray(game_id, jnp.int32)
 
     @partial(
         jax.shard_map,
         mesh=mesh,
-        in_specs=(P("trial"), P("trial")),
+        in_specs=(P("trial"), P("trial"), P("trial")),
         out_specs=P("trial"),
         check_vma=False,
     )
-    def run(local_keys, local_fo):
+    def run(local_keys, local_fo, local_gid):
         return simulate_games(pack, cfg, heads_eval, heads_state,
                               local_keys[0], n_local, local_fo,
-                              collect_players=collect_players)
+                              collect_players=collect_players,
+                              game_id=local_gid)
 
-    return run(keys, fo)
+    return run(keys, fo, gid)

@@ -1,0 +1,50 @@
+"""Game-axis batched slates: one program, many matchups, sharded trials."""
+import jax
+import numpy as np
+import pytest
+
+from fast_monte_carlo_tpu.api import MatchupRunner, SlateRunner
+from fast_monte_carlo_tpu.config import SimConfig
+from fast_monte_carlo_tpu.data import build_team_context_from_sp_flex, load_sp_flex
+from fast_monte_carlo_tpu.models.heads import load_heads
+
+
+@pytest.fixture(scope="module")
+def slate(reference_dir):
+    cfg = SimConfig()
+    sp = load_sp_flex(str(reference_dir / "PregameSPPlus2025_1.csv"))
+    teams = [("Kansas State", "Iowa State"), ("Alabama", "Georgia"),
+             ("Oregon", "Washington")]
+    ms = [(build_team_context_from_sp_flex(a, 2025, 1, sp),
+           build_team_context_from_sp_flex(b, 2025, 1, sp)) for a, b in teams]
+    heads = load_heads(reference_dir)
+    return cfg, ms, heads
+
+
+def test_slate_runner_matches_per_matchup(slate):
+    cfg, ms, heads = slate
+    sr = SlateRunner(ms, heads, cfg)
+    out = sr.run(384, seed=0)
+    df = sr.summaries(out)
+    assert len(df) == 3 and (df.n_games == 768).all()
+
+    # game 0 must match the single-matchup fused runner distributionally
+    single = MatchupRunner(ms[0][0], ms[0][1], heads, cfg, mode="table",
+                           table_quality="fused")
+    s_out = single.run_pairs(384, seed=1, collect_players=False)
+    s_sc = np.asarray(s_out.score, dtype=float)
+    row = df.iloc[0]
+    assert abs(row.mean_a - s_sc[:, 0].mean()) < 2.0
+    assert abs(row.win_a - (s_sc[:, 0] > s_sc[:, 1]).mean()) < 0.08
+    # games differ from each other (different packs actually selected)
+    assert abs(df.iloc[2].win_a - df.iloc[0].win_a) > 0.02  # Oregon ~0.80
+
+
+def test_slate_runner_sharded(slate):
+    cfg, ms, heads = slate
+    sr = SlateRunner(ms, heads, cfg, shard=True)
+    out = sr.run(128, seed=3)
+    assert len(out.score.sharding.device_set) == 8
+    df = sr.summaries(out)
+    assert (df.n_games == 256).all()
+    assert 0 <= df.win_a.min() and df.win_a.max() <= 1
