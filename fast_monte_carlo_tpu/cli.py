@@ -46,13 +46,27 @@ def _cmd_edges(args) -> int:
 
 def _cmd_slate(args) -> int:
     import pandas as pd
-    from .api import simulate_slate
 
     games = [tuple(r) for r in pd.read_csv(args.games).iloc[:, :2].itertuples(index=False)]
     t0 = time.perf_counter()
-    df = simulate_slate(games, sp_path=args.sp, year=args.year, week=args.week,
-                        n=args.n, artifact_dir=args.artifacts, mode=args.mode,
-                        table_quality=args.quality)
+    if args.batched:
+        from .api import SlateRunner
+        from .data import build_team_context_from_sp_flex, load_sp_flex
+        from .models.heads import load_heads
+
+        sp = load_sp_flex(args.sp)
+        ms = [(build_team_context_from_sp_flex(a, args.year, args.week, sp),
+               build_team_context_from_sp_flex(b, args.year, args.week, sp))
+              for a, b in games]
+        sr = SlateRunner(ms, load_heads(args.artifacts),
+                         quality="turbo" if args.quality == "turbo" else "fused")
+        out = sr.run(args.n)
+        df = sr.summaries(out)
+    else:
+        from .api import simulate_slate
+        df = simulate_slate(games, sp_path=args.sp, year=args.year, week=args.week,
+                            n=args.n, artifact_dir=args.artifacts, mode=args.mode,
+                            table_quality=args.quality)
     print(df.to_string(index=False))
     total_games = int(df["n_games"].sum())
     dt = time.perf_counter() - t0
@@ -104,6 +118,9 @@ def main(argv=None) -> int:
     pl.add_argument("--week", type=int, default=1)
     pl.add_argument("--mode", default="table")
     pl.add_argument("--quality", default="fused")
+    pl.add_argument("--batched", action="store_true",
+                    help="run the whole slate as one compiled program "
+                         "(('game','trial') layout)")
     pl.add_argument("--artifacts", default="/root/reference")
     pl.set_defaults(fn=_cmd_slate)
 
