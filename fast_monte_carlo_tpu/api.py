@@ -333,14 +333,40 @@ class SlateRunner:
         from .ops.pack import pack_matchups
         from .ops.table_lookup import pack_tables_multi
 
+        from .ops.table_lookup import TABLE_CACHE_DIR, _table_cache_key
+
         prof = turbo_profile() if self.quality == "turbo" else coarse_profile()
         dirs = []
         ts_pairs = []
         for a, b in self.matchups:
             da = build_direction(a, b, self.heads, self.cfg, self.coach_map)
             db = build_direction(b, a, self.heads, self.cfg, self.coach_map)
-            fa = build_fused_table(da, self.heads, self.cfg, prof)
-            fb = build_fused_table(db, self.heads, self.cfg, prof)
+            fa = fb = None
+            cache_path = None
+            if TABLE_CACHE_DIR:
+                import pickle
+                from pathlib import Path as _P
+                key = _table_cache_key(a, b, self.heads, self.cfg,
+                                       None, None, prof)
+                cache_path = _P(TABLE_CACHE_DIR) / f"fusedpair_{key}.pkl"
+                if cache_path.exists():
+                    try:
+                        with open(cache_path, "rb") as fh:
+                            fa, fb = pickle.load(fh)
+                    except Exception:
+                        fa = fb = None
+            if fa is None or fb is None:
+                fa = build_fused_table(da, self.heads, self.cfg, prof)
+                fb = build_fused_table(db, self.heads, self.cfg, prof)
+                if fa is not None and fb is not None and cache_path is not None:
+                    try:
+                        cache_path.parent.mkdir(parents=True, exist_ok=True)
+                        tmp = cache_path.with_suffix(".tmp")
+                        with open(tmp, "wb") as fh:
+                            pickle.dump((fa, fb), fh)
+                        tmp.rename(cache_path)
+                    except Exception:
+                        pass
             if fa is None or fb is None:
                 raise ValueError(
                     "SlateRunner needs fusible matchups (player-independent "
