@@ -14,10 +14,11 @@ print("devices:", jax.devices(), "B:", B, flush=True)
 
 
 def timed(name, fn, *args):
-    out = jax.jit(fn)(*args)
-    jax.block_until_ready(out)
+    g = jax.jit(fn)                 # ONE jit wrapper: a fresh jax.jit per
+    out = g(*args)                  # call would recompile and poison timing
+    _ = np.asarray(out).ravel()[:4]
     t0 = time.perf_counter()
-    out = jax.jit(fn)(*args)
+    out = g(*args)
     _ = np.asarray(out).ravel()[:4]
     dt = time.perf_counter() - t0
     print(f"{name:28s} {dt:7.3f}s  ({dt/STEPS*1e3:6.2f} ms/step)", flush=True)
