@@ -371,6 +371,16 @@ class SlateRunner:
                 raise ValueError(
                     "SlateRunner needs fusible matchups (player-independent "
                     "model outputs); use simulate_slate for focus rosters")
+            if self.cfg.engine.sd_mode != "axis":
+                from .models.tables import marginalize_sd
+                for nm, f in (("a", fa), ("b", fb)):
+                    m = marginalize_sd(f, prof, self.cfg.engine.sd_mode)
+                    m.fused_has_s2 = getattr(f, "fused_has_s2", False)
+                    m.fused_has_fumble = getattr(f, "fused_has_fumble", False)
+                    if nm == "a":
+                        fa = m
+                    else:
+                        fb = m
             mk = lambda f: TableSet(stage1=None, stage2=None, pq=None, rq=None,
                                     sq=None, fumble=None, play=None,
                                     fine=fine_profile(), coarse=prof, fused=f)

@@ -194,6 +194,18 @@ class EngineConfig:
     dist_bin: float = 0.5
     sec_bin: int = 30
     table_dtype: str = "float32"
+    # score_diff handling for the pass/yardage table heads (the reference's
+    # memo caches key WITHOUT score_diff, freezing each state bin at its
+    # first-seen sd, fast_monte_carlo_cfb.py:68-88):
+    #   'axis'     live score_diff lookup (default): what the models compute
+    #              when called fresh each play — i.e. the reference WITHOUT
+    #              its cache speed-hack; margin sd ~20.1
+    #   'frozen'   per-cell sampled sd draw, approximating first-write-wins;
+    #              per-cell noise averages out over a game (margin sd ~17.3)
+    #   'marginal' weighted mean over sd (margin sd ~17.2)
+    # the as-executed cached reference measures ~18.8, between 'axis' and
+    # the collapsed modes; win prob and totals agree across all three
+    sd_mode: str = "axis"
     # 'threefry' (jax default, strongest guarantees) or 'rbg' (XLA
     # RngBitGenerator: ~4x cheaper per draw on TPU, still counter-based and
     # fine for Monte-Carlo; streams differ from threefry)

@@ -119,6 +119,48 @@ def sd_reps_default() -> np.ndarray:
     return np.concatenate([[-35.0], np.arange(-24.0, 25.0, 2.0), [35.0]])
 
 
+def sd_marginal_weights(reps: np.ndarray, sigma: float = 9.0) -> np.ndarray:
+    """Weights for marginalizing a table's score_diff axis.
+
+    The reference's memo caches key WITHOUT score_diff, so each state bin's
+    model output is frozen at whatever sd the first call carried
+    (fast_monte_carlo_cfb.py:68-88) — i.e. the as-executed reference has NO
+    within-game score feedback on the pass/yardage heads, and its effective
+    model is sd-marginalized over a roughly-centered sd distribution.
+    Contracting the sd axis with these weights reproduces that (and the
+    live-sd 'axis' mode remains available as the truer-to-the-raw-models
+    alternative — it widens margin sd by ~7%, see VALIDATION.md)."""
+    w = np.exp(-0.5 * (np.asarray(reps, dtype=np.float64) / sigma) ** 2)
+    return w / w.sum()
+
+
+def marginalize_sd(t: "HostTable", prof: TableProfile,
+                   mode: str = "frozen") -> "HostTable":
+    """Collapse a HostTable's trailing sd axis.
+
+    mode='marginal': weighted mean over sd (expectation) — smooths away the
+    reference cache's per-bin variability and under-disperses margins.
+    mode='frozen' (default): per-cell SAMPLE one sd rep with the weight
+    distribution — reproduces the reference's first-write-wins semantics,
+    where each state bin keeps the output of a random-ish score_diff draw
+    (fast_monte_carlo_cfb.py:68-94).  Deterministic (fixed-seed) so builds
+    and caches are reproducible."""
+    if not t.has_sd:
+        return t
+    nsd = len(prof.sd)
+    w = sd_marginal_weights(prof.sd)
+    vals = t.values.reshape(-1, nsd, t.values.shape[-1])
+    if mode == "marginal":
+        out = np.tensordot(w, vals.transpose(1, 0, 2), axes=1).astype(np.float32)
+    else:
+        rng = np.random.default_rng(20250816)
+        pick = rng.choice(nsd, size=vals.shape[0], p=w)
+        out = vals[np.arange(vals.shape[0]), pick].astype(np.float32)
+    return HostTable(values=out, shape=t.shape[:-1] if t.shape[-1] == nsd else t.shape,
+                     row_map=t.row_map, profile=t.profile, has_sd=False,
+                     channels=t.channels)
+
+
 def edges_from_reps(reps: np.ndarray) -> np.ndarray:
     """Midpoint edges: index(v) = sum(v > edges) maps v to its nearest rep
     (ties toward the lower rep)."""

@@ -246,6 +246,27 @@ def _table_cache_key(team_a, team_b, heads, cfg, fine, coarse, fused) -> str:
 TABLE_CACHE_DIR: Optional[str] = ".table_cache"
 
 
+def _apply_sd_mode(ts: TableSet, cfg: SimConfig, fused_prof) -> None:
+    """In 'marginal' sd mode, contract every sd axis with the first-seen
+    weight distribution (reference memo-cache semantics, tables.py notes)."""
+    if cfg.engine.sd_mode == "axis":
+        return
+    mode = cfg.engine.sd_mode  # 'frozen' | 'marginal'
+    from ..models.tables import marginalize_sd
+
+    if ts.stage1 is not None and ts.stage1.has_sd:
+        ts.stage1 = marginalize_sd(ts.stage1, ts.fine, mode)
+    if ts.pq is not None and ts.pq.has_sd:
+        ts.pq = marginalize_sd(ts.pq, ts.coarse, mode)
+    if ts.fused is not None and ts.fused.has_sd and fused_prof is not None:
+        fa = marginalize_sd(ts.fused, fused_prof, mode)
+        fa.fused_has_s2 = getattr(ts.fused, "fused_has_s2", False)
+        fa.fused_has_fumble = getattr(ts.fused, "fused_has_fumble", False)
+        ts.fused = fa
+    # the play-policy table keeps its sd axis: the reference's play-call
+    # cache DOES key on score_diff (fast_monte_carlo_cfb.py:343-357)
+
+
 def build_table_heads(team_a, team_b, heads, cfg: SimConfig, coach_map=None,
                       fine=None, coarse=None, fused=None,
                       cache_dir: Optional[str] = "auto") -> TableHeads:
@@ -276,6 +297,8 @@ def build_table_heads(team_a, team_b, heads, cfg: SimConfig, coach_map=None,
             try:
                 with open(cache_path, "rb") as fh:
                     ts_a, ts_b = pickle.load(fh)
+                _apply_sd_mode(ts_a, cfg, fused)
+                _apply_sd_mode(ts_b, cfg, fused)
                 return pack_tables(ts_a, ts_b, k=team_a.qb.k, fused_prof=fused)
             except Exception:
                 pass
@@ -311,6 +334,8 @@ def build_table_heads(team_a, team_b, heads, cfg: SimConfig, coach_map=None,
                 full_b = build_tables(db, heads, cfg, fine, coarse)
                 ts_a.play, ts_b.play = full_a.play, full_b.play
             _save(ts_a, ts_b)
+            _apply_sd_mode(ts_a, cfg, fused)
+            _apply_sd_mode(ts_b, cfg, fused)
             return pack_tables(ts_a, ts_b, k=team_a.qb.k, fused_prof=fused)
     ts_a = build_tables(da, heads, cfg, fine, coarse)
     ts_b = build_tables(db, heads, cfg, fine, coarse)
@@ -318,6 +343,8 @@ def build_table_heads(team_a, team_b, heads, cfg: SimConfig, coach_map=None,
         ts_a.fused = build_fused_table(da, heads, cfg, fused)
         ts_b.fused = build_fused_table(db, heads, cfg, fused)
     _save(ts_a, ts_b)
+    _apply_sd_mode(ts_a, cfg, fused)
+    _apply_sd_mode(ts_b, cfg, fused)
     return pack_tables(ts_a, ts_b, k=team_a.qb.k, fused_prof=fused)
 
 
