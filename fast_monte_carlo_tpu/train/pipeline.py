@@ -158,6 +158,73 @@ def time_safe_split(df: pd.DataFrame, train_years=(2022, 2023), test_years=(2024
     return tr, te
 
 
+def fbs_sanity_check(df: pd.DataFrame, team_col: str = "offense",
+                     conference_col: str = "offenseConference") -> pd.DataFrame:
+    """Warn-and-drop rows outside FBS conferences (process_cfb_data.py:29-35
+    semantics: the training set must not mix FCS opponents into the SP+
+    feature space)."""
+    if conference_col not in df.columns:
+        return df
+    bad = df[conference_col].isna() | (df[conference_col].astype(str) == "")
+    if bad.any():
+        import warnings
+        warnings.warn(
+            f"{int(bad.sum())} plays have no {conference_col}; dropping "
+            f"(non-FBS contamination, e.g. {df.loc[bad, team_col].head(3).tolist()})")
+    return df[~bad]
+
+
+def primary_coaches(coaches: pd.DataFrame) -> pd.DataFrame:
+    """Primary coach per (school, year): the one with the most games that
+    season (pull_cfb_data_with_play_type.py:124-144 semantics — interim
+    coaches with fewer games lose the tie).
+
+    Accepts either the CFBD /coaches shape (first_name/last_name +
+    `seasons` list of {school, year, games}) or an already-flat frame with
+    columns (school, year, coach, games)."""
+    if "seasons" in coaches.columns:
+        rows = []
+        for _, r in coaches.iterrows():
+            name = f"{r.get('first_name', '')} {r.get('last_name', '')}".strip()
+            for s in (r["seasons"] or []):
+                rows.append({"school": s.get("school"), "year": s.get("year"),
+                             "coach": name, "games": s.get("games", 0)})
+        flat = pd.DataFrame(rows)
+    else:
+        flat = coaches.rename(columns={"team": "school"})[
+            ["school", "year", "coach", "games"]].copy()
+    flat = flat.sort_values("games", ascending=False)
+    return flat.drop_duplicates(["school", "year"]).rename(
+        columns={"coach": "head_coach"})[["school", "year", "head_coach"]]
+
+
+def merge_primary_coaches(plays: pd.DataFrame, coaches: pd.DataFrame,
+                          team_col: str = "offense") -> pd.DataFrame:
+    """Attach head_coach of the offense's primary coach that season."""
+    pc = primary_coaches(coaches)
+    out = plays.merge(pc, how="left",
+                      left_on=[team_col, "year"], right_on=["school", "year"])
+    return out.drop(columns=["school"], errors="ignore")
+
+
+def merge_sp(plays: pd.DataFrame, sp: pd.DataFrame) -> pd.DataFrame:
+    """Attach SP+ for both sides by (team, year, week): offense rows get
+    (sp_rating_off, sp_offense_rating_off), defense rows get
+    (sp_defense_rating_def, sp_rating_def) — process_cfb_data.py:135-148.
+
+    `sp` is schema A: columns team, RATING, OFFENSE, DEFENSE, year, week."""
+    key = ["team", "year", "week"]
+    off = sp[key + ["RATING", "OFFENSE"]].rename(columns={
+        "team": "offense", "RATING": "sp_rating_off",
+        "OFFENSE": "sp_offense_rating_off"})
+    deff = sp[key + ["RATING", "DEFENSE"]].rename(columns={
+        "team": "defense", "RATING": "sp_rating_def",
+        "DEFENSE": "sp_defense_rating_def"})
+    out = plays.merge(off, how="left", on=["offense", "year", "week"])
+    out = out.merge(deff, how="left", on=["defense", "year", "week"])
+    return out
+
+
 def temperature_calibrate(margins: np.ndarray, y: np.ndarray,
                           grid: Sequence[float] = tuple(np.round(np.arange(0.5, 2.01, 0.05), 2))
                           ) -> float:
@@ -178,6 +245,85 @@ def temperature_calibrate(margins: np.ndarray, y: np.ndarray,
 # ---------------------------------------------------------------------------
 # training (sklearn path; xgboost used when importable)
 # ---------------------------------------------------------------------------
+
+def balanced_class_weights(y: np.ndarray, mode: str = "balanced",
+                           clip=(1.0 / 3.0, 3.0),
+                           tamp: Optional[Dict] = None) -> np.ndarray:
+    """Per-sample weights.
+
+    mode='balanced': n/(k*count_c) (train_pass_outcome_stage2.py:82-87,
+    train_run_fumble.py semantics).
+    mode='softened': sqrt-shrunk balanced weights clipped to [1/3, 3], with
+    optional per-class tamp factors (the reference tamps the rare 'timeout'
+    class) — train_play_model.py:112-125."""
+    classes, counts = np.unique(y, return_counts=True)
+    w = len(y) / (len(classes) * counts.astype(float))
+    if mode == "softened":
+        w = np.clip(np.sqrt(w), *clip)
+        if tamp:
+            for cls, f in tamp.items():
+                w[classes == cls] *= f
+    m = dict(zip(classes.tolist(), w.tolist()))
+    return np.asarray([m[v] for v in y], dtype=float)
+
+
+def _logloss(y: np.ndarray, proba: np.ndarray) -> float:
+    p = np.clip(proba[np.arange(len(y)), y], 1e-12, None)
+    return float(-np.mean(np.log(p)))
+
+
+def _early_stop_truncate(gbc, Xte, yte, patience: int = 20) -> int:
+    """True early stopping against a held-out set for a fitted sklearn
+    GradientBoostingClassifier: walk staged probabilities, keep the
+    best-logloss iteration, truncate the ensemble there (the reference uses
+    xgboost early_stopping_rounds — train_pass_outcome_stage1.py:96-103)."""
+    best_i, best_nll, since = 0, math.inf, 0
+    for i, proba in enumerate(gbc.staged_predict_proba(Xte)):
+        nll = _logloss(yte, proba)
+        if nll < best_nll - 1e-7:
+            best_nll, best_i, since = nll, i, 0
+        else:
+            since += 1
+            if since >= patience:
+                break
+    gbc.estimators_ = gbc.estimators_[:best_i + 1]
+    return best_i + 1
+
+
+def _eval_dump(out_dir: Path, stem: str, y: np.ndarray, proba: np.ndarray,
+               classes: Sequence, extra: Optional[dict] = None) -> dict:
+    """Held-out eval metrics, dumped next to the artifact like the
+    reference's train-time prints (train_play_model.py:195-209)."""
+    pred = proba.argmax(axis=1)
+    k = proba.shape[1]
+    metrics = {
+        "n_test": int(len(y)),
+        "accuracy": float((pred == y).mean()),
+        "logloss": _logloss(y, proba),
+        "brier": float(np.mean(np.sum(
+            (proba - np.eye(k)[y]) ** 2, axis=1))),
+        "classes": [str(c) for c in classes],
+        "confusion": [[int(((y == i) & (pred == j)).sum()) for j in range(k)]
+                      for i in range(k)],
+    }
+    if k == 2:
+        order = np.argsort(proba[:, 1], kind="stable")
+        ranks = np.empty(len(y))
+        ranks[order] = np.arange(len(y))
+        pos, neg = (y == 1).sum(), (y == 0).sum()
+        if pos and neg:
+            metrics["auc"] = float(
+                (ranks[y == 1].sum() - pos * (pos - 1) / 2) / (pos * neg))
+    if k > 2:
+        top2 = np.argsort(proba, axis=1)[:, -2:]
+        metrics["top2_accuracy"] = float(np.mean(
+            (top2 == y[:, None]).any(axis=1)))
+    if extra:
+        metrics.update(extra)
+    (Path(out_dir) / f"{stem}_eval.json").write_text(
+        json.dumps(metrics, indent=1))
+    return metrics
+
 
 def _ohe_pre(cat_features: List[str], num_features: List[str]):
     from sklearn.compose import ColumnTransformer
@@ -230,30 +376,39 @@ def train_quantile_heads(df: pd.DataFrame, kind: str, out_dir: str | Path,
 
 
 def train_stage1(df: pd.DataFrame, out_dir: str | Path) -> Path:
-    """Binary complete-vs-not head (train_pass_outcome_stage1.py recipe)."""
-    return _train_binary(df, (df["pass_outcome"] == "complete").astype(int),
-                         ["passer_name"], out_dir, "pass_stage1")
+    """Binary complete-vs-not head (train_pass_outcome_stage1.py recipe):
+    time-safe split (:31-39), minority-class reweight (:67-76), early
+    stopping (:96-103), eval dump (:106-111)."""
+    y = (df["pass_outcome"] == "complete").astype(int)
+    return _train_binary(df.assign(_y=y), "_y", ["passer_name"], out_dir,
+                         "pass_stage1", weight_mode="minority")
 
 
 def train_stage2(df: pd.DataFrame, out_dir: str | Path) -> Path:
     """3-class {incomplete,intercepted,sack} head over not-complete rows —
-    the artifact missing from the snapshot (train_pass_outcome_stage2.py)."""
+    the artifact missing from the snapshot (train_pass_outcome_stage2.py),
+    with full balanced class weights (:82-87), time-safe split, early
+    stopping, eval dump."""
     sub = df[df["pass_outcome"] != "complete"].copy()
     cats = [c for c in ("passer_name", "target_name") if c in sub.columns]
-    return _train_multiclass(sub, sub["pass_outcome"], cats, out_dir, "pass_stage2")
+    return _train_multiclass(sub, sub["pass_outcome"], cats, out_dir,
+                             "pass_stage2", filename="pass_stage2_notcomplete",
+                             weight_mode="balanced")
 
 
 def train_fumble(df: pd.DataFrame, out_dir: str | Path) -> Path:
-    """Binary fumble_lost head (train_run_fumble.py recipe)."""
-    return _train_binary(df, df["fumble_lost"].astype(int), ["rusher_name"],
-                         out_dir, "run_fumble")
+    """Binary fumble_lost head with balanced weights (train_run_fumble.py)."""
+    return _train_binary(df, "fumble_lost", ["rusher_name"], out_dir,
+                         "run_fumble", weight_mode="balanced")
 
 
 def train_play_policy(df: pd.DataFrame, out_dir: str | Path,
                       binary: bool = True) -> Path:
     """Play-call policy head (train_run_pass.py binary recipe when
-    binary=True, else the 5-class train_play_model.py recipe), with the
-    temperature calibration step and features/label artifacts."""
+    binary=True, else the 5-class train_play_model.py recipe): softened
+    balanced class weights with the rare-class tamp (:112-125), early
+    stopping, eval dump (:195-209), temperature calibration (:173-187),
+    features/label artifacts."""
     import joblib
     from sklearn.preprocessing import LabelEncoder
 
@@ -263,13 +418,13 @@ def train_play_policy(df: pd.DataFrame, out_dir: str | Path,
     if binary:
         data = data[data["play_category"].isin(["run", "pass"])]
     cats = ["head_coach"] if "head_coach" in data.columns else []
-    feats = NUM_FEATURES + cats
     le = LabelEncoder()
-    y = le.fit_transform(data["play_category"].astype(str))
+    le.fit(data["play_category"].astype(str))
     path = _train_multiclass(
-        data.assign(_label=data["play_category"]), data["play_category"],
-        cats, out_dir, "play_model")
-    joblib.dump(list(feats), out_dir / "features.pkl")
+        data, data["play_category"], cats, out_dir, "play_model",
+        filename="play_model", weight_mode="softened",
+        tamp={"timeout": 0.5})
+    joblib.dump(list(NUM_FEATURES + cats), out_dir / "features.pkl")
     joblib.dump(np.asarray(le.classes_), out_dir / "label_encoder.pkl")
 
     # temperature calibration on a held-out margin sample
@@ -282,6 +437,8 @@ def train_play_policy(df: pd.DataFrame, out_dir: str | Path,
         cat = {g: np.asarray([forest.layout.cat_id(g, str(v)) for v in sub[g]])
                for g in forest.layout.cat_group_names}
         margins = forest.eval_margin_np(x, cat)
+        if margins.shape[1] == 1:  # binary forest: single logit column
+            margins = np.concatenate([np.zeros_like(margins), margins], axis=1)
         t = temperature_calibrate(margins, le.transform(sub["play_category"].astype(str)))
     else:
         t = 1.0
@@ -297,29 +454,73 @@ def _have_xgboost() -> bool:
         return False
 
 
-def _train_binary(df, y, cat_features, out_dir, stem) -> Path:
-    out_dir = Path(out_dir)
-    out_dir.mkdir(parents=True, exist_ok=True)
+def _prep_xy(df, y_col_or_series, cat_features):
     X = df[NUM_FEATURES + cat_features].copy()
     for c in cat_features:
         X[c] = X[c].fillna("Unknown").astype(str)
+    y = (df[y_col_or_series] if isinstance(y_col_or_series, str)
+         else y_col_or_series)
+    return X, np.asarray(y)
+
+
+def _split_frames(df):
+    """Time-safe split indices when a year column exists, else all-train."""
+    if "year" in df.columns:
+        tr, te = time_safe_split(df)
+        return df.index.isin(tr.index), df.index.isin(te.index)
+    n = len(df)
+    msk = np.random.default_rng(42).random(n) < 0.85
+    return msk, ~msk
+
+
+def _sample_weights(y, weight_mode, tamp=None):
+    if weight_mode == "none":
+        return None
+    if weight_mode == "minority":
+        # upweight the minority class to parity
+        # (train_pass_outcome_stage1.py:67-76 scale_pos_weight semantics)
+        pos = max(1, int((y == 1).sum()))
+        neg = max(1, int((y == 0).sum()))
+        if pos <= neg:
+            return np.where(y == 1, neg / pos, 1.0)
+        return np.where(y == 0, pos / neg, 1.0)
+    return balanced_class_weights(
+        y, mode="softened" if weight_mode == "softened" else "balanced",
+        tamp=tamp)
+
+
+def _train_binary(df, y_col, cat_features, out_dir, stem,
+                  weight_mode: str = "none") -> Path:
+    out_dir = Path(out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    X, y = _prep_xy(df, y_col, cat_features)
+    tr_m, te_m = _split_frames(df)
+    Xtr, ytr = X[tr_m], y[tr_m]
+    Xte, yte = X[te_m], y[te_m]
     import joblib
     pre = _ohe_pre(cat_features, NUM_FEATURES)
+    w = _sample_weights(ytr, weight_mode)
     if _have_xgboost():
         import scipy.sparse as sp
         import xgboost as xgb
-        Xc = pre.fit_transform(X)
+        Xc = pre.fit_transform(Xtr)
         Xc = Xc if sp.isspmatrix_csr(Xc) else Xc.tocsr()
+        dtr = xgb.DMatrix(Xc, label=ytr, weight=w)
+        dte = xgb.DMatrix(pre.transform(Xte), label=yte)
         bst = xgb.train(
             {"objective": "binary:logistic", "eval_metric": "logloss",
              "max_depth": 7, "eta": 0.06, "subsample": 0.8,
              "colsample_bytree": 0.8, "min_child_weight": 2,
              "reg_lambda": 1.0, "tree_method": "hist", "seed": 42},
-            xgb.DMatrix(Xc, label=np.asarray(y)), num_boost_round=500)
+            dtr, num_boost_round=2500, evals=[(dte, "test")],
+            early_stopping_rounds=120, verbose_eval=False)
         joblib.dump(pre, out_dir / f"{stem}_preprocessor.joblib")
         path = out_dir / (f"{stem}_complete_vs_not.json" if stem == "pass_stage1"
                           else f"{stem}.json")
         bst.save_model(str(path))
+        proba1 = bst.predict(dte, iteration_range=(0, bst.best_iteration + 1))
+        _eval_dump(out_dir, stem, yte, np.stack([1 - proba1, proba1], axis=1),
+                   [0, 1], {"best_iteration": int(bst.best_iteration)})
         return path
     # sklearn fallback: one pipeline artifact compiled by
     # models.sklearn_gbr.forest_from_gbc_pipeline at load time
@@ -331,45 +532,62 @@ def _train_binary(df, y, cat_features, out_dir, stem) -> Path:
         ("gbc", GradientBoostingClassifier(
             n_estimators=200, max_depth=5, learning_rate=0.06, random_state=42)),
     ])
-    model.fit(X, np.asarray(y))
+    model.fit(Xtr, ytr, gbc__sample_weight=w)
+    extra = {}
+    if len(Xte):
+        Xte_t = model.named_steps["pre"].transform(Xte)
+        extra["best_iteration"] = _early_stop_truncate(
+            model.named_steps["gbc"], Xte_t, yte)
     path = out_dir / f"{stem}_sklearn.joblib"
     joblib.dump(model, path)
+    if len(Xte):
+        _eval_dump(out_dir, stem, yte, model.predict_proba(Xte), [0, 1], extra)
     return path
 
 
-def _train_multiclass(df, y_labels, cat_features, out_dir, stem) -> Path:
+def _train_multiclass(df, y_labels, cat_features, out_dir, stem,
+                      filename: Optional[str] = None,
+                      weight_mode: str = "none",
+                      tamp: Optional[Dict[str, float]] = None) -> Path:
     from sklearn.preprocessing import LabelEncoder
 
     out_dir = Path(out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
+    filename = filename or stem
     le = LabelEncoder()
-    y = le.fit_transform(y_labels.astype(str))
-    X = df[NUM_FEATURES + cat_features].copy()
-    for c in cat_features:
-        X[c] = X[c].fillna("Unknown").astype(str)
+    y_all = le.fit_transform(np.asarray(y_labels.astype(str)))
+    tamp_enc = ({int(le.transform([k])[0]): v for k, v in tamp.items()
+                 if k in le.classes_} if tamp else None)
+    X, _ = _prep_xy(df, pd.Series(y_all, index=df.index), cat_features)
+    tr_m, te_m = _split_frames(df)
+    Xtr, ytr = X[tr_m], y_all[tr_m]
+    Xte, yte = X[te_m], y_all[te_m]
     import joblib
     pre = _ohe_pre(cat_features, NUM_FEATURES)
     pd.Series(le.classes_).to_csv(out_dir / f"{stem}_classes.csv",
                                   index=False, header=False)
+    w = _sample_weights(ytr, weight_mode, tamp_enc)
     if _have_xgboost():
         import scipy.sparse as sp
         import xgboost as xgb
-        from sklearn.utils.class_weight import compute_class_weight
 
-        Xc = pre.fit_transform(X)
+        Xc = pre.fit_transform(Xtr)
         Xc = Xc if sp.isspmatrix_csr(Xc) else Xc.tocsr()
-        classes = np.unique(y)
-        cw = compute_class_weight("balanced", classes=classes, y=y)
-        w = np.asarray([cw[c] for c in y], dtype=float)
+        dtr = xgb.DMatrix(Xc, label=ytr, weight=w)
+        dte = xgb.DMatrix(pre.transform(Xte), label=yte)
         bst = xgb.train(
             {"objective": "multi:softprob", "eval_metric": "mlogloss",
              "num_class": len(le.classes_), "max_depth": 7, "eta": 0.06,
              "subsample": 0.8, "colsample_bytree": 0.8, "min_child_weight": 2,
              "reg_lambda": 1.0, "tree_method": "hist", "seed": 42},
-            xgb.DMatrix(Xc, label=y, weight=w), num_boost_round=500)
+            dtr, num_boost_round=2000, evals=[(dte, "test")],
+            early_stopping_rounds=100, verbose_eval=False)
         joblib.dump(pre, out_dir / f"{stem}_preprocessor.joblib")
-        path = out_dir / f"{stem}_notcomplete.json"
+        path = out_dir / f"{filename}.json"
         bst.save_model(str(path))
+        proba = bst.predict(dte, iteration_range=(0, bst.best_iteration + 1))
+        _eval_dump(out_dir, stem, yte, proba, list(le.classes_),
+                   {"best_iteration": int(bst.best_iteration)})
         return path
     from sklearn.ensemble import GradientBoostingClassifier
     from sklearn.pipeline import Pipeline
@@ -379,7 +597,15 @@ def _train_multiclass(df, y_labels, cat_features, out_dir, stem) -> Path:
         ("gbc", GradientBoostingClassifier(
             n_estimators=200, max_depth=5, learning_rate=0.06, random_state=42)),
     ])
-    model.fit(X, y)
+    model.fit(Xtr, ytr, gbc__sample_weight=w)
+    extra = {}
+    if len(Xte):
+        Xte_t = model.named_steps["pre"].transform(Xte)
+        extra["best_iteration"] = _early_stop_truncate(
+            model.named_steps["gbc"], Xte_t, yte)
     path = out_dir / f"{stem}_sklearn.joblib"
     joblib.dump(model, path)
+    if len(Xte):
+        _eval_dump(out_dir, stem, yte, model.predict_proba(Xte),
+                   list(le.classes_), extra)
     return path

@@ -116,3 +116,136 @@ def test_pull_requires_api_key(monkeypatch):
     monkeypatch.delenv("CFBD_API_KEY", raising=False)
     with pytest.raises(RuntimeError, match="CFBD_API_KEY"):
         P.pull_plays([2022])
+
+
+def test_balanced_and_softened_weights():
+    y = np.asarray([0] * 90 + [1] * 10)
+    w = P.balanced_class_weights(y)
+    # balanced: class sums equal
+    assert abs(w[y == 0].sum() - w[y == 1].sum()) < 1e-9
+    ws = P.balanced_class_weights(y, mode="softened")
+    # sqrt-shrunk + clipped to [1/3, 3]
+    assert ws.max() <= 3.0 + 1e-9 and ws.min() >= 1 / 3 - 1e-9
+    assert ws[y == 1][0] < w[y == 1][0]  # softer than fully balanced
+    wt = P.balanced_class_weights(y, mode="softened", tamp={1: 0.5})
+    assert wt[y == 1][0] == pytest.approx(ws[y == 1][0] * 0.5)
+
+
+def test_stage1_early_stopping_and_eval_dump(synth_plays, tmp_path):
+    import json
+    path = P.train_stage1(synth_plays, tmp_path)
+    assert path.exists()
+    ev = json.loads((tmp_path / "pass_stage1_eval.json").read_text())
+    # time-safe split: test rows = 2024 season only
+    n2024 = int((synth_plays.year == 2024).sum())
+    assert ev["n_test"] == n2024
+    assert 0.0 < ev["logloss"] < 2.0 and "auc" in ev
+    # early stopping truncated the ensemble to best_iteration
+    pipe = load_sklearn_artifact(path)
+    assert len(pipe.named_steps["gbc"].estimators_) == ev["best_iteration"]
+
+
+def test_play_policy_artifacts_and_eval(synth_plays, tmp_path):
+    import json
+    df = synth_plays.copy()
+    rng = np.random.default_rng(3)
+    df["play_category"] = np.where(rng.random(len(df)) < 0.55, "pass", "run")
+    path = P.train_play_policy(df, tmp_path, binary=True)
+    # filename is play_model*, NOT the stage-2 style *_notcomplete
+    assert "notcomplete" not in path.name
+    assert (tmp_path / "features.pkl").exists()
+    assert (tmp_path / "label_encoder.pkl").exists()
+    assert (tmp_path / "calibration.json").exists()
+    ev = json.loads((tmp_path / "play_model_eval.json").read_text())
+    assert ev["classes"] == ["pass", "run"]
+    assert ev["accuracy"] > 0.4
+
+
+def test_primary_coach_merge():
+    coaches = pd.DataFrame([
+        {"first_name": "Al", "last_name": "Main",
+         "seasons": [{"school": "State U", "year": 2023, "games": 10}]},
+        {"first_name": "Bo", "last_name": "Interim",
+         "seasons": [{"school": "State U", "year": 2023, "games": 2}]},
+    ])
+    plays = pd.DataFrame({"offense": ["State U", "State U", "Other"],
+                          "year": [2023, 2023, 2023]})
+    out = P.merge_primary_coaches(plays, coaches)
+    assert (out.loc[out.offense == "State U", "head_coach"] == "Al Main").all()
+    assert out.loc[out.offense == "Other", "head_coach"].isna().all()
+
+
+def test_sp_merge_both_sides():
+    sp = pd.DataFrame({"team": ["A", "B"], "RATING": [10.0, -5.0],
+                       "OFFENSE": [35.0, 28.0], "DEFENSE": [20.0, 26.0],
+                       "year": [2023, 2023], "week": [1, 1]})
+    plays = pd.DataFrame({"offense": ["A"], "defense": ["B"],
+                          "year": [2023], "week": [1]})
+    out = P.merge_sp(plays, sp)
+    assert out.sp_rating_off[0] == 10.0
+    assert out.sp_offense_rating_off[0] == 35.0
+    assert out.sp_defense_rating_def[0] == 26.0
+    assert out.sp_rating_def[0] == -5.0
+
+
+def test_pipeline_stage2_drives_engine(synth_plays, tmp_path, reference_dir):
+    """VERDICT r1 #6: a pipeline-produced stage-2 forest wired into
+    load_heads heads drives the engine and stays within engine-vs-oracle
+    distributional bounds (replacing the analytic fallback)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from fast_monte_carlo_tpu.config import SimConfig
+    from fast_monte_carlo_tpu.data import (
+        build_team_context_from_sp_flex, load_sp_flex,
+    )
+    from fast_monte_carlo_tpu.ops.game import make_exact_heads_eval, simulate_games
+    from fast_monte_carlo_tpu.ops.pack import build_packs
+    from fast_monte_carlo_tpu.oracle import OracleMatchup
+    from fast_monte_carlo_tpu.stats import TS
+
+    P.train_stage2(synth_plays, tmp_path)
+    trained = load_heads(tmp_path)
+    assert trained.stage2 is not None
+
+    cfg = SimConfig()
+    sp = load_sp_flex(str(reference_dir / "PregameSPPlus2025_1.csv"))
+    a = build_team_context_from_sp_flex("Kansas State", 2025, 1, sp)
+    b = build_team_context_from_sp_flex("Iowa State", 2025, 1, sp)
+    heads = load_heads(reference_dir)
+    assert heads.stage2 is None, "snapshot has no stage2; fallback was analytic"
+    heads = dataclasses.replace(
+        heads, stage2=trained.stage2,
+        stage2_class_order=trained.stage2_class_order) \
+        if dataclasses.is_dataclass(heads) else heads
+    if heads.stage2 is None:  # plain class: assign
+        heads.stage2 = trained.stage2
+        heads.stage2_class_order = trained.stage2_class_order
+
+    pack, hp = build_packs(a, b, heads, cfg)
+    assert hp.stage2 is not None
+    he = make_exact_heads_eval(cfg)
+    n_engine, n_oracle = 768, 192
+    fo = jnp.asarray(np.arange(n_engine) % 2, jnp.int32)
+    out = jax.jit(lambda hs, k: simulate_games(
+        pack, cfg, he, hs, k, n_engine, fo, collect_players=False))(
+        hp, jax.random.PRNGKey(7))
+    e_sc = np.asarray(out.score, dtype=float)
+
+    m = OracleMatchup(a, b, heads, cfg)
+    rng = np.random.default_rng(11)
+    res = [m.simulate_game(i % 2, rng) for i in range(n_oracle)]
+    o_sc = np.asarray([r["score"] for r in res], dtype=float)
+
+    dw = abs((e_sc[:, 0] > e_sc[:, 1]).mean() - (o_sc[:, 0] > o_sc[:, 1]).mean())
+    assert dw < 0.13, dw
+    se = 12.5 * np.sqrt(1 / n_engine + 1 / n_oracle)
+    for t in (0, 1):
+        assert abs(e_sc[:, t].mean() - o_sc[:, t].mean()) < 4.0 * se + 0.5
+
+    # the trained head visibly changes INT/sack rates vs nothing-at-all
+    e_st = np.asarray(out.stats).mean(axis=0)
+    assert e_st[:, TS["sacks"]].sum() > 0.2
+    assert e_st[:, TS["INT"]].sum() > 0.05
