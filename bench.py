@@ -37,8 +37,9 @@ def main() -> int:
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--repeats", type=int, default=2)
     ap.add_argument("--rng", default="threefry", choices=["threefry", "rbg"])
-    ap.add_argument("--quality", default="fused",
-                    choices=["default", "coarse", "slate", "fused", "turbo"],
+    ap.add_argument("--quality", default="nano",
+                    choices=["default", "coarse", "slate", "fused", "turbo",
+                             "nano"],
                     help="table axis-resolution preset")
     args = ap.parse_args()
 

@@ -51,7 +51,7 @@ class MatchupRunner:
     mode: str = "table"
     coach_map: Optional[Dict[str, str]] = None
     shard: bool = False
-    table_quality: str = "default"   # 'default' | 'coarse' | 'slate' | 'fused'
+    table_quality: str = "default"   # 'default'|'coarse'|'slate'|'fused'|'turbo'|'nano'
 
     def __post_init__(self):
         self.pack, hp = build_packs(
@@ -59,7 +59,9 @@ class MatchupRunner:
             self.heads if self.heads is not None else _empty_heads(),
             self.cfg, self.coach_map)
         if self.mode == "table":
-            from .models.tables import coarse_profile, slate_profile, turbo_profile
+            from .models.tables import (
+                coarse_profile, nano_profile, slate_profile, turbo_profile,
+            )
             profs = {}
             if self.table_quality == "coarse":
                 profs = dict(fine=coarse_profile(), coarse=coarse_profile())
@@ -69,6 +71,9 @@ class MatchupRunner:
             elif self.table_quality == "turbo":
                 # fused table sized for VMEM-resident gathers
                 profs = dict(fused=turbo_profile())
+            elif self.table_quality == "nano":
+                # one gather under the row-count cliff; down/sd in channels
+                profs = dict(nano=nano_profile())
             elif self.table_quality == "fused":
                 # single-gather fast path on the coarse grid (falls back to
                 # per-head tables automatically when a focus roster makes
@@ -136,10 +141,11 @@ def _empty_heads() -> ModelHeads:
 
 
 def scores_frame(out: GameState, team_a: str, team_b: str) -> pd.DataFrame:
-    """Per-trial rows in the reference's scores schema: rows alternate the
-    'team' perspective with the first-offense team (reference :1489-1503)."""
+    """Per-trial rows in the reference's scores schema: the 'team'
+    perspective follows each trial's actual first-offense side, carried in
+    the GameState (reference :1489-1503)."""
     score = np.asarray(out.score)
-    fo = np.arange(score.shape[0]) % 2
+    fo = np.asarray(out.fo)
     team = np.where(fo == 0, team_a, team_b)
     opp = np.where(fo == 0, team_b, team_a)
     pts = np.where(fo == 0, score[:, 0], score[:, 1])

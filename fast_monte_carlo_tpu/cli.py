@@ -81,6 +81,42 @@ def _cmd_bench(args) -> int:
     return subprocess.call(cmd)
 
 
+def _cmd_train(args) -> int:
+    """Offline training pipeline entry (SURVEY §2.2 recipes): reads an
+    ml_*-style plays table, trains the requested heads, writes artifacts
+    (plus *_eval.json metric dumps) into --out."""
+    import pandas as pd
+
+    from .train import pipeline as P
+
+    df = pd.read_csv(args.data)
+    if "goal_to_go" not in df.columns:
+        df = P.derive_state_features(df)
+    heads = [h.strip() for h in args.heads.split(",") if h.strip()]
+    for h in heads:
+        if h == "stage1":
+            print("stage1 ->", P.train_stage1(df, args.out))
+        elif h == "stage2":
+            print("stage2 ->", P.train_stage2(df, args.out))
+        elif h == "fumble":
+            print("fumble ->", P.train_fumble(df, args.out))
+        elif h == "play":
+            print("play ->", P.train_play_policy(df, args.out,
+                                                 binary=not args.multiclass))
+        elif h in ("pass", "run", "sack"):
+            sub = df
+            if h == "sack" and "pass_outcome" in df.columns:
+                sub = df[df["pass_outcome"] == "sack"]
+            for pth in P.train_quantile_heads(sub, h, args.out,
+                                              n_estimators=args.trees):
+                print(f"{h} quantiles ->", pth)
+        else:
+            print(f"unknown head {h!r} (use stage1,stage2,fumble,play,"
+                  f"pass,run,sack)", file=sys.stderr)
+            return 2
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="fast_monte_carlo_tpu")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -128,6 +164,17 @@ def main(argv=None) -> int:
     pb.add_argument("--mode", default="table")
     pb.add_argument("-n", type=int, default=100000)
     pb.set_defaults(fn=_cmd_bench)
+
+    pt = sub.add_parser("train", help="train model heads from a plays csv")
+    pt.add_argument("--data", required=True, help="ml_*-style plays csv")
+    pt.add_argument("--out", required=True, help="artifact output directory")
+    pt.add_argument("--heads", default="stage1,stage2,fumble,play",
+                    help="comma list: stage1,stage2,fumble,play,pass,run,sack")
+    pt.add_argument("--multiclass", action="store_true",
+                    help="5-class play model (default binary run/pass)")
+    pt.add_argument("--trees", type=int, default=400,
+                    help="n_estimators for the quantile heads")
+    pt.set_defaults(fn=_cmd_train)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -3,6 +3,16 @@
 Full math parity with the reference's edge_finder.py (cited per function),
 operating either on saved sim files (filesystem-decoupled, like the
 reference) or directly on in-memory frames / device summaries.
+
+PARITY INTENT: this module's output dict schemas, rounding, sort orders,
+and report format strings deliberately track edge_finder.py closely — they
+ARE the component's observable behavior (downstream workflows parse the
+dicts, and the readable reports are the product a bettor eyeballs), and the
+odds math is forced (American-odds/EV identities).  The deviations are
+where behavior was wrong or host-bound: the packed-dict players-CSV repair
+drops the reference's `testings.csv` side effect (edge_finder.py:165),
+projected-score printing handles a zero margin, and the *_from_device
+variants consume on-device reductions instead of pandas files.
 """
 from __future__ import annotations
 

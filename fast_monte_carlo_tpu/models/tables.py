@@ -108,6 +108,26 @@ def turbo_profile() -> TableProfile:
     return TableProfile(dist=dist, ytg=ytg, sec=sec, sd=sd)
 
 
+def nano_profile() -> TableProfile:
+    """Single-gather fast path: the TPU's gather unit has a hard row-count
+    cliff (measured benchmarks/gather_cliff2.py: <=16k rows ~0.23 ms/step
+    at 131k batch, >=32k rows ~1.15 ms — and channels are nearly free up to
+    ~32).  So the nano layout keeps ROWS = dist x ytg x sec only
+    (16*32*16 = 8192 per direction, 16384 both) and folds the down axis
+    (and the sd axis in 'axis' mode) into CHANNELS, selected per lane with
+    a 5-way (x3-way) masked sum after ONE gather."""
+    dist = np.asarray([0.5, 1.0, 1.5, 2.0, 2.5, 3.0, 4.0, 5.0, 6.0, 7.0,
+                       8.5, 10.0, 12.0, 16.0, 25.0, 64.0])
+    ytg = np.unique(np.concatenate([
+        np.arange(1.0, 16.0),                       # goal-to-go + RZ, 1-yd
+        [17, 19, 21, 23, 25, 28, 31, 35, 40, 45, 51, 58, 66, 75, 85, 96, 120]]))
+    sec = np.asarray([15.0, 45.0, 90.0, 150.0, 350.0, 700.0, 1200.0, 1650.0,
+                      1762.0, 1850.0, 1950.0, 2100.0, 2500.0, 3000.0, 3400.0,
+                      3600.0])
+    sd = np.asarray([-8.0, 0.0, 8.0])
+    return TableProfile(dist=dist, ytg=ytg, sec=sec, sd=sd)
+
+
 def slate_profile() -> TableProfile:
     dist = np.unique(np.concatenate([_halfgrid(0.5, 6.0, 0.5), [8, 10, 13, 16, 20, 26, 40, 64]]))
     ytg = np.unique(np.concatenate([np.arange(0.0, 22.0), np.arange(22, 121, 4.0)]))
@@ -560,6 +580,8 @@ class TableSet:
     fused: Optional[HostTable] = None
     fused_has_s2: bool = False
     fused_has_fumble: bool = False
+    # single-gather nano layout (rows = dist*ytg*sec; down/sd in channels)
+    nano: Optional[HostTable] = None
 
 
 FUSED_CHANNELS = ("p_complete", "pq_mu", "pq_sigma", "rq_mu", "rq_sigma",
@@ -646,6 +668,27 @@ def build_fused_table(direction: DirectionContext, heads, cfg: SimConfig,
     t.fused_has_s2 = has_s2           # type: ignore[attr-defined]
     t.fused_has_fumble = has_fum      # type: ignore[attr-defined]
     return t
+
+
+def nano_from_fused(t: HostTable, prof: TableProfile) -> HostTable:
+    """Re-layout a fused HostTable for the single-gather nano path: rows =
+    dist*ytg*sec; the down axis and (when present) the sd axis move into
+    channels, ordered (down, sd, head_channel) — see nano_profile() for the
+    row-count rationale.  Values are bit-identical to the fused table's
+    (same grid evaluation, only the memory layout differs)."""
+    c = t.channels
+    nd, ny, ns = len(prof.dist), len(prof.ytg), len(prof.sec)
+    nsd = len(prof.sd) if t.has_sd else 1
+    grid = t.values.reshape(1, 5, nd, ny, ns, nsd, c)
+    vals = np.ascontiguousarray(grid[0].transpose(1, 2, 3, 0, 4, 5))
+    out = HostTable(values=vals.reshape(nd * ny * ns, 5 * nsd * c),
+                    shape=(1, nd, ny, ns), row_map=np.zeros(1, np.int64),
+                    profile="nano", channels=5 * nsd * c, has_sd=False)
+    out.nano_nsd = nsd                                        # type: ignore[attr-defined]
+    out.nano_c = c                                            # type: ignore[attr-defined]
+    out.fused_has_s2 = getattr(t, "fused_has_s2", False)      # type: ignore[attr-defined]
+    out.fused_has_fumble = getattr(t, "fused_has_fumble", False)  # type: ignore[attr-defined]
+    return out
 
 
 def _finalize(grid: np.ndarray, post: Callable[[np.ndarray], np.ndarray]) -> np.ndarray:

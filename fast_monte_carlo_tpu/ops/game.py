@@ -52,6 +52,7 @@ N_NORMALS = 4
 
 class GameState(NamedTuple):
     gid: jnp.ndarray      # (B,) i32 game (matchup) id — constant per trial
+    fo: jnp.ndarray       # (B,) i32 first offense side — constant per trial
     off: jnp.ndarray      # (B,) i32 offense side 0/1
     sec: jnp.ndarray      # (B,) i32
     down: jnp.ndarray     # (B,) i32
@@ -66,8 +67,14 @@ class GameState(NamedTuple):
 
 
 class StepObs(NamedTuple):
-    """What a heads-eval implementation sees: play-start state + sampled slots."""
-    x: jnp.ndarray        # (B,17) ST1 feature rows
+    """What a heads-eval implementation sees: play-start state + sampled slots.
+
+    `x` (the 17-col ST1 feature stack) is only materialized for heads that
+    declare `needs_x = True` (the exact compiled-forest path); table and
+    analytic heads read the scalar state fields directly — building x costs
+    ~20 VPU passes per step for nothing in those modes."""
+    x: Optional[jnp.ndarray]  # (B,17) ST1 feature rows, or None
+    sd: jnp.ndarray       # (B,) f32 score_diff from the offense's view
     dirx: jnp.ndarray     # (B,) i32 direction row = gid*2 + off
     off: jnp.ndarray      # (B,) i32
     down: jnp.ndarray
@@ -106,6 +113,24 @@ def _gather2k(arr2k: jnp.ndarray, off: jnp.ndarray, slot: jnp.ndarray) -> jnp.nd
     """arr (2,K) gathered at (off, slot) per trial."""
     k = arr2k.shape[1]
     return jnp.take(arr2k.reshape(-1), off * k + slot, mode="clip")
+
+
+def take_dir(t: jnp.ndarray, dirx: jnp.ndarray) -> jnp.ndarray:
+    """Per-direction constant fetch.
+
+    A (B,)-indexed jnp.take pays the gather unit's per-row latency (~0.23 ms
+    at B=131k on v5e) REGARDLESS of table size (benchmarks/gather_cliff2.py)
+    — so tiny first-axis tables lower to a masked-sum select chain instead
+    (~2 VPU passes per row).  Larger slates fall back to one real gather."""
+    n = t.shape[0]
+    if n <= 8:
+        out = None
+        for i in range(n):
+            g = (dirx == i).astype(t.dtype)
+            term = g * t[i] if t.ndim == 1 else g[:, None] * t[i]
+            out = term if out is None else out + term
+        return out
+    return jnp.take(t, dirx, axis=0, mode="clip")
 
 
 def make_exact_heads_eval(cfg: SimConfig) -> HeadsEvalFn:
@@ -151,6 +176,7 @@ def make_exact_heads_eval(cfg: SimConfig) -> HeadsEvalFn:
             p_pass_ml = _play_pass_prob(hp, x, jnp.take(pack.coach_id, off, mode="clip"), cfg)
         return HeadOut(p_c, s2_cum, pass_ms, rush_ms, sack_ms, p_f, p_pass_ml)
 
+    heads_eval.needs_x = True  # full ST1 feature rows feed the forests
     return heads_eval
 
 
@@ -161,7 +187,7 @@ def make_analytic_heads_eval(cfg: SimConfig) -> HeadsEvalFn:
     heads_state is unused (pass None)."""
 
     def heads_eval(heads_state, obs: StepObs, pack: MatchupPack) -> HeadOut:
-        bias = jnp.take(pack.bias, obs.dirx, mode="clip")
+        bias = take_dir(pack.bias, obs.dirx)
         p_c = jnp.clip(
             0.68 - 0.022 * jnp.maximum(0.0, obs.dist - 3.0) + bias,
             cfg.model.stage1_clip_lo, cfg.model.stage1_clip_hi)
@@ -177,6 +203,7 @@ def make_analytic_heads_eval(cfg: SimConfig) -> HeadsEvalFn:
         return HeadOut(p_c, s2_cum, pass_ms, rush_ms, sack_ms,
                        jnp.full((b,), 0.012, F32), None)
 
+    heads_eval.needs_x = False
     return heads_eval
 
 
@@ -197,7 +224,9 @@ def _play_pass_prob(hp: HeadsPack, x: jnp.ndarray, coach: jnp.ndarray, cfg: SimC
 
 def _sample_slot(cum2k: jnp.ndarray, off: jnp.ndarray, u: jnp.ndarray) -> jnp.ndarray:
     """Inverse-CDF slot sampling against (2,K) cumulative shares."""
-    cum = jnp.take(cum2k, off, axis=0, mode="clip")   # (B,K)
+    if cum2k.shape[1] == 1:  # single slot: no draw needed (and no gather)
+        return jnp.zeros(off.shape, I32)
+    cum = take_dir(cum2k, off)   # (B,K)
     slot = jnp.sum(u[:, None] >= cum, axis=1)
     return jnp.minimum(slot, cum2k.shape[1] - 1).astype(I32)
 
@@ -238,14 +267,14 @@ def play_step(
     active = s.sec > 0
     off, down0, dist0, ytg0, sec0 = s.off, s.down, s.dist, s.ytg, s.sec
     dirx = s.gid * 2 + off   # row into the (2G, ...) direction-indexed pack
-    score_off = jnp.take_along_axis(s.score, off[:, None], axis=1)[:, 0]
-    score_def = jnp.take_along_axis(s.score, (1 - off)[:, None], axis=1)[:, 0]
-    sd = score_off - score_def
+    # score from the offense's view: arithmetic select (take_along_axis is a
+    # real gather — ~0.23 ms per (B,) gather at 131k, see take_dir)
+    sd = (s.score[:, 0] - s.score[:, 1]) * (1 - 2 * off)
 
-    off_o = jnp.take(pack.off_offense, dirx, mode="clip")
-    def_d = jnp.take(pack.def_defense, dirx, mode="clip")
-    ymult = jnp.take(pack.ymult, dirx, mode="clip")
-    mz = jnp.take(pack.mz, dirx, mode="clip")
+    off_o = take_dir(pack.off_offense, dirx)
+    def_d = take_dir(pack.def_defense, dirx)
+    ymult = take_dir(pack.ymult, dirx)
+    mz = take_dir(pack.mz, dirx)
 
     # ---- 4th-down decision --------------------------------------------------
     p_go = jnp.minimum(1.0, analytic.go_for_it_prob(
@@ -278,12 +307,13 @@ def play_step(
     # ---- scrimmage play -----------------------------------------------------
     trip1 = scrim & ~s.in_rz & (ytg0 <= 20)
 
-    x = _state_features(pack, cfg, dirx, down0, dist0, ytg0, sec0, sd)
+    x = (_state_features(pack, cfg, dirx, down0, dist0, ytg0, sec0, sd)
+         if getattr(heads_eval, "needs_x", True) else None)
     qb = _sample_slot(pack.qb_cum, dirx, u[:, U_QB])
     wr = _sample_slot(pack.wr_cum, dirx, u[:, U_WR])
     rb = _sample_slot(pack.rb_cum, dirx, u[:, U_RB])
-    obs = StepObs(x=x, dirx=dirx, off=off, down=down0, dist=dist0, ytg=ytg0,
-                  sec=sec0, qb=qb, wr=wr, rb=rb)
+    obs = StepObs(x=x, sd=sd.astype(F32), dirx=dirx, off=off, down=down0,
+                  dist=dist0, ytg=ytg0, sec=sec0, qb=qb, wr=wr, rb=rb)
     ho = heads_eval(heads_state, obs, pack)
 
     if cfg.model.use_play_model and ho.p_pass_ml is not None:
@@ -479,7 +509,7 @@ def play_step(
             [role_upds[r] for r in (ROLE_PASS, ROLE_RUSH, ROLE_REC)], axis=2)
 
     return GameState(
-        gid=s.gid,
+        gid=s.gid, fo=s.fo,
         off=off_c.astype(I32), sec=sec_b.astype(I32), down=down_c.astype(I32),
         dist=dist_c.astype(F32), ytg=ytg_c.astype(F32), period=period_b,
         in_rz=in_rz_f, going=going_f, score=score_f, stats=stats_f, pstats=pstats_f,
@@ -492,7 +522,7 @@ def initial_state(n: int, first_offense, cfg: SimConfig, k: int,
     fo = jnp.broadcast_to(jnp.asarray(first_offense, I32), (B,))
     gid = jnp.broadcast_to(jnp.asarray(game_id, I32), (B,))
     return GameState(
-        gid=gid,
+        gid=gid, fo=fo,
         off=fo,
         sec=jnp.full((B,), cfg.clock.game_seconds, I32),
         down=jnp.ones((B,), I32),

@@ -115,6 +115,12 @@ class TableHeads:
     fused_prof: Optional[ProfileIdx] = None
     fused_has_s2: bool = field(metadata=dict(static=True), default=False)
     fused_has_fumble: bool = field(metadata=dict(static=True), default=False)
+    # nano path: rows = dist*ytg*sec only, (down, sd) folded into channels
+    # so the single gather stays under the TPU row-count cliff
+    nano: Optional[DeviceTable] = None
+    nano_prof: Optional[ProfileIdx] = None
+    nano_nsd: int = field(metadata=dict(static=True), default=1)
+    nano_c: int = field(metadata=dict(static=True), default=0)
 
 
 def _profile_idx(prof) -> ProfileIdx:
@@ -159,12 +165,13 @@ def _merge_tables(*tables, k: int, is_pair: bool) -> DeviceTable:
 
 
 def pack_tables(ts_a: TableSet, ts_b: TableSet, k: int,
-                fused_prof=None) -> TableHeads:
+                fused_prof=None, nano_prof=None) -> TableHeads:
     """Single matchup: directions [A-offense, B-offense]."""
-    return pack_tables_multi([(ts_a, ts_b)], k, fused_prof)
+    return pack_tables_multi([(ts_a, ts_b)], k, fused_prof, nano_prof)
 
 
-def pack_tables_multi(ts_pairs, k: int, fused_prof=None) -> TableHeads:
+def pack_tables_multi(ts_pairs, k: int, fused_prof=None,
+                      nano_prof=None) -> TableHeads:
     """Many matchups in one TableHeads: direction rows are interleaved
     [g0 A-off, g0 B-off, g1 A-off, ...] and addressed by dirx = gid*2+off."""
     dirs = [t for pair in ts_pairs for t in pair]
@@ -177,6 +184,17 @@ def pack_tables_multi(ts_pairs, k: int, fused_prof=None) -> TableHeads:
         if any(t is None for t in tables):
             return None
         return _merge_tables(*tables, k=k, is_pair=is_pair)
+
+    nano = None
+    np_idx = None
+    nano_nsd = 1
+    nano_c = 0
+    if nano_prof is not None and all(
+            getattr(t, "nano", None) is not None for t in dirs):
+        nano = _merge_tables(*[t.nano for t in dirs], k=k, is_pair=False)
+        np_idx = _profile_idx(nano_prof)  # sd segs drive the channel select
+        nano_nsd = int(getattr(ts0.nano, "nano_nsd", 1))
+        nano_c = int(getattr(ts0.nano, "nano_c", 0))
 
     fused = None
     fp = None
@@ -200,8 +218,14 @@ def pack_tables_multi(ts_pairs, k: int, fused_prof=None) -> TableHeads:
         k=k,
         fused=fused,
         fused_prof=fp,
-        fused_has_s2=bool(getattr(ts0.fused, "fused_has_s2", False)),
-        fused_has_fumble=bool(getattr(ts0.fused, "fused_has_fumble", False)),
+        fused_has_s2=bool(getattr(ts0.fused, "fused_has_s2", False)
+                          or getattr(ts0.nano, "fused_has_s2", False)),
+        fused_has_fumble=bool(getattr(ts0.fused, "fused_has_fumble", False)
+                              or getattr(ts0.nano, "fused_has_fumble", False)),
+        nano=nano,
+        nano_prof=np_idx,
+        nano_nsd=nano_nsd,
+        nano_c=nano_c,
     )
     return th
 
@@ -268,7 +292,7 @@ def _apply_sd_mode(ts: TableSet, cfg: SimConfig, fused_prof) -> None:
 
 
 def build_table_heads(team_a, team_b, heads, cfg: SimConfig, coach_map=None,
-                      fine=None, coarse=None, fused=None,
+                      fine=None, coarse=None, fused=None, nano=None,
                       cache_dir: Optional[str] = "auto") -> TableHeads:
     """Build + device-pack both directions' tables for one matchup.
 
@@ -276,11 +300,31 @@ def build_table_heads(team_a, team_b, heads, cfg: SimConfig, coach_map=None,
     rows collapse to one, a single-gather fused table is built and used as
     the per-play path (players are still sampled and tracked for stats —
     only the model *outputs* are player-independent in that case, which is
-    exactly when fusion is valid)."""
+    exactly when fusion is valid).
+
+    `nano`: an optional TableProfile for the nano layout (one gather from a
+    row-count-capped table, down/sd in channels).  Built through the same
+    fused-table pipeline (and disk cache) then re-laid-out."""
     from ..matchup import build_direction
     from ..models.tables import build_fused_table, build_tables
 
     from ..models.tables import TableSet, coarse_profile, fine_profile
+
+    if nano is not None:
+        assert fused is None, "nano and fused presets are mutually exclusive"
+        fused = nano
+
+    def _finish(ts_a, ts_b):
+        """Pack; when the nano preset is active, re-layout the fused tables
+        into the nano format first (pure transform, disk cache unchanged)."""
+        if nano is not None:
+            from ..models.tables import nano_from_fused
+            for ts in (ts_a, ts_b):
+                if ts.fused is not None:
+                    ts.nano = nano_from_fused(ts.fused, nano)
+                    ts.fused = None
+            return pack_tables(ts_a, ts_b, k=team_a.qb.k, nano_prof=nano)
+        return pack_tables(ts_a, ts_b, k=team_a.qb.k, fused_prof=fused)
 
     # disk cache: table builds are host-side and deterministic in
     # (contexts, profiles, forests, model constants)
@@ -299,7 +343,7 @@ def build_table_heads(team_a, team_b, heads, cfg: SimConfig, coach_map=None,
                     ts_a, ts_b = pickle.load(fh)
                 _apply_sd_mode(ts_a, cfg, fused)
                 _apply_sd_mode(ts_b, cfg, fused)
-                return pack_tables(ts_a, ts_b, k=team_a.qb.k, fused_prof=fused)
+                return _finish(ts_a, ts_b)
             except Exception:
                 pass
 
@@ -336,7 +380,7 @@ def build_table_heads(team_a, team_b, heads, cfg: SimConfig, coach_map=None,
             _save(ts_a, ts_b)
             _apply_sd_mode(ts_a, cfg, fused)
             _apply_sd_mode(ts_b, cfg, fused)
-            return pack_tables(ts_a, ts_b, k=team_a.qb.k, fused_prof=fused)
+            return _finish(ts_a, ts_b)
     ts_a = build_tables(da, heads, cfg, fine, coarse)
     ts_b = build_tables(db, heads, cfg, fine, coarse)
     if fused is not None:
@@ -345,7 +389,7 @@ def build_table_heads(team_a, team_b, heads, cfg: SimConfig, coach_map=None,
     _save(ts_a, ts_b)
     _apply_sd_mode(ts_a, cfg, fused)
     _apply_sd_mode(ts_b, cfg, fused)
-    return pack_tables(ts_a, ts_b, k=team_a.qb.k, fused_prof=fused)
+    return _finish(ts_a, ts_b)
 
 
 def _bin(v: jnp.ndarray, edges: jnp.ndarray) -> jnp.ndarray:
@@ -364,8 +408,10 @@ def make_table_heads_eval(cfg: SimConfig) -> HeadsEvalFn:
         ytg_f = obs.ytg
         sec_f = obs.sec.astype(F32)
         K = th.k
-        sd_f = obs.x[:, 4]
+        sd_f = obs.sd
 
+        if th.nano is not None:
+            return _nano_eval(th, obs, pack, down_i, dist_f, ytg_f, sec_f, sd_f, cfg)
         if th.fused is not None:
             return _fused_eval(th, obs, pack, down_i, dist_f, ytg_f, sec_f, sd_f, cfg)
 
@@ -418,8 +464,7 @@ def make_table_heads_eval(cfg: SimConfig) -> HeadsEvalFn:
 
         p_pass_ml = None
         if th.play is not None and cfg.model.use_play_model:
-            score_diff = obs.x[:, 4]
-            sdi = _bin(score_diff, th.play_sd_edges)
+            sdi = _bin(obs.sd, th.play_sd_edges)
             state = idx["coarse"] * th.play_nsd + sdi
             base = jnp.take(th.play.row_map.reshape(-1), off, mode="clip")  # per direction row
             p_pass_ml = jnp.take(th.play.values, base + state, axis=0,
@@ -433,22 +478,14 @@ def make_table_heads_eval(cfg: SimConfig) -> HeadsEvalFn:
             p_pass_ml=p_pass_ml,
         )
 
+    heads_eval.needs_x = False  # tables key on scalar state fields only
     return heads_eval
 
 
-def _fused_eval(th: TableHeads, obs: StepObs, pack: MatchupPack,
-                down_i, dist_f, ytg_f, sec_f, sd_f, cfg: SimConfig) -> HeadOut:
-    """Single-gather path: one fused table row carries every head output."""
-    prof = th.fused_prof
-    di = _seg_bin(dist_f, prof.dist_segs)
-    yi = _seg_bin(ytg_f, prof.ytg_segs)
-    si = _seg_bin(sec_f, prof.sec_segs)
-    state = ((down_i * prof.nd + di) * prof.ny + yi) * prof.ns + si
-    if th.fused.has_sd:
-        state = state * prof.nsd + _seg_bin(sd_f, prof.sd_segs)
-    base = jnp.take(th.fused.row_map.reshape(-1), obs.dirx, mode="clip")
-    row = jnp.take(th.fused.values, base + state, axis=0, mode="clip")  # (B, C)
-
+def _unpack_head_row(th: TableHeads, obs: StepObs, row, down_i, dist_f,
+                     ytg_f, sec_f, sd_f, cfg: SimConfig) -> HeadOut:
+    """Shared FUSED_CHANNELS unpack + ML-play-table lookup for the fused and
+    nano single-gather paths."""
     p_c = row[:, 0]
     pq = row[:, 1:3]
     rq = row[:, 3:5]
@@ -472,10 +509,64 @@ def _fused_eval(th: TableHeads, obs: StepObs, pack: MatchupPack,
         yci = _seg_bin(ytg_f, cp.ytg_segs)
         sci = _seg_bin(sec_f, cp.sec_segs)
         cstate = ((down_i * cp.nd + dci) * cp.ny + yci) * cp.ns + sci
-        pbase = jnp.take(th.play.row_map.reshape(-1), obs.dirx, mode="clip")
+        per_dir_p = th.play.values.shape[0] // th.play.row_map.size
+        pbase = obs.dirx * per_dir_p
         p_pass_ml = jnp.take(th.play.values,
                              pbase + cstate * th.play_nsd + sdi, axis=0,
                              mode="clip")[:, 0]
 
     return HeadOut(p_complete=p_c, s2_cum=s2_cum, pass_ms=pq, rush_ms=rq,
                    sack_ms=sq, p_fumble=p_f, p_pass_ml=p_pass_ml)
+
+
+def _fused_eval(th: TableHeads, obs: StepObs, pack: MatchupPack,
+                down_i, dist_f, ytg_f, sec_f, sd_f, cfg: SimConfig) -> HeadOut:
+    """Single-gather path: one fused table row carries every head output."""
+    prof = th.fused_prof
+    di = _seg_bin(dist_f, prof.dist_segs)
+    yi = _seg_bin(ytg_f, prof.ytg_segs)
+    si = _seg_bin(sec_f, prof.sec_segs)
+    state = ((down_i * prof.nd + di) * prof.ny + yi) * prof.ns + si
+    if th.fused.has_sd:
+        state = state * prof.nsd + _seg_bin(sd_f, prof.sd_segs)
+    per_dir = th.fused.values.shape[0] // th.fused.row_map.size
+    base = obs.dirx * per_dir
+    row = jnp.take(th.fused.values, base + state, axis=0, mode="clip")  # (B, C)
+    return _unpack_head_row(th, obs, row, down_i, dist_f, ytg_f, sec_f,
+                            sd_f, cfg)
+
+
+def _nano_eval(th: TableHeads, obs: StepObs, pack: MatchupPack,
+               down_i, dist_f, ytg_f, sec_f, sd_f, cfg: SimConfig) -> HeadOut:
+    """Nano path: ONE gather from a (dist*ytg*sec)-row table whose channels
+    carry every (down, sd, head) combination; down and sd are then selected
+    per lane with masked sums (5 + nsd cheap VPU passes) — keeps the table
+    under the TPU gather row-count cliff (see nano_profile())."""
+    prof = th.nano_prof
+    di = _seg_bin(dist_f, prof.dist_segs)
+    yi = _seg_bin(ytg_f, prof.ytg_segs)
+    si = _seg_bin(sec_f, prof.sec_segs)
+    state = (di * prof.ny + yi) * prof.ns + si
+    # direction base offsets are uniform (R rows per direction), so the
+    # row_map gather collapses to arithmetic — a (B,) take costs ~0.23 ms
+    # at 131k regardless of table size (benchmarks/gather_cliff2.py)
+    per_dir = th.nano.values.shape[0] // th.nano.row_map.size
+    base = obs.dirx * per_dir
+    row = jnp.take(th.nano.values, base + state, axis=0, mode="clip")
+    nsd, c = th.nano_nsd, th.nano_c
+    blk = nsd * c
+    sel = None
+    for d in range(5):
+        g = (down_i == d).astype(row.dtype)[:, None]
+        part = row[:, d * blk:(d + 1) * blk] * g
+        sel = part if sel is None else sel + part
+    if nsd > 1:
+        sdi = _seg_bin(sd_f, prof.sd_segs)
+        sel2 = None
+        for s in range(nsd):
+            g = (sdi == s).astype(sel.dtype)[:, None]
+            part = sel[:, s * c:(s + 1) * c] * g
+            sel2 = part if sel2 is None else sel2 + part
+        sel = sel2
+    return _unpack_head_row(th, obs, sel, down_i, dist_f, ytg_f, sec_f,
+                            sd_f, cfg)
