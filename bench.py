@@ -37,6 +37,8 @@ def main() -> int:
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--repeats", type=int, default=2)
     ap.add_argument("--rng", default="threefry", choices=["threefry", "rbg"])
+    ap.add_argument("--no-stats", action="store_true",
+                    help="score-only accrual (edge-scan / sweep workloads)")
     ap.add_argument("--quality", default="nano",
                     choices=["default", "coarse", "slate", "fused", "turbo",
                              "nano"],
@@ -91,15 +93,18 @@ def main() -> int:
     n_pairs = args.n if args.pairs else max(1, args.n // 2)
     n_games = 2 * n_pairs
 
+    stats = not args.no_stats
     t0 = time.perf_counter()
-    out = runner.run_pairs(n_pairs, seed=args.seed, collect_players=False)
+    out = runner.run_pairs(n_pairs, seed=args.seed, collect_players=False,
+                           collect_stats=stats)
     compile_s = time.perf_counter() - t0
     print(f"# compile+first run: {compile_s:.1f}s", file=sys.stderr)
 
     best = None
     for r in range(args.repeats):
         t0 = time.perf_counter()
-        out = runner.run_pairs(n_pairs, seed=args.seed + 1 + r, collect_players=False)
+        out = runner.run_pairs(n_pairs, seed=args.seed + 1 + r,
+                               collect_players=False, collect_stats=stats)
         # force a (tiny) host transfer inside the timed region: the axon
         # backend's block_until_ready has been observed not to wait
         _ = np.asarray(out.score[:16])

@@ -104,8 +104,10 @@ class MatchupRunner:
         return _shared_sim_jit(self.cfg, self.heads_fn)
 
     def run_pairs(self, n_pairs: int, seed: int = 0,
-                  collect_players: bool = True) -> GameState:
-        """2*n_pairs games; even trials have team A on offense first."""
+                  collect_players: bool = True,
+                  collect_stats: bool = True) -> GameState:
+        """2*n_pairs games; even trials have team A on offense first.
+        collect_stats=False skips box-score accrual (score-only sweeps)."""
         n_games = 2 * n_pairs
         fo = jnp.asarray(np.arange(n_games) % 2, jnp.int32)
         if self.shard:
@@ -114,7 +116,7 @@ class MatchupRunner:
         else:
             fn = _shared_sim_jit(self.cfg, self.heads_fn)
             out = fn(self.pack, self.heads_state, jax.random.PRNGKey(seed), fo,
-                     n_games, collect_players)
+                     n_games, collect_players, collect_stats)
         jax.block_until_ready(out.score)
         return out
 
@@ -131,9 +133,10 @@ def _heads_fn_cached(mode: str, cfg: SimConfig):
 @lru_cache(maxsize=32)
 def _shared_sim_jit(cfg: SimConfig, heads_fn):
     return jax.jit(
-        lambda pack, hs, key, fo, n, collect: simulate_games(
-            pack, cfg, heads_fn, hs, key, n, fo, collect_players=collect),
-        static_argnums=(4, 5))
+        lambda pack, hs, key, fo, n, collect, stats: simulate_games(
+            pack, cfg, heads_fn, hs, key, n, fo, collect_players=collect,
+            collect_stats=stats),
+        static_argnums=(4, 5, 6))
 
 
 def _empty_heads() -> ModelHeads:
@@ -438,10 +441,11 @@ class SlateRunner:
 
 @lru_cache(maxsize=8)
 def _shared_slate_jit(cfg: SimConfig, heads_fn):
+    # slate summaries consume scores only: skip player AND box-score accrual
     return jax.jit(
         lambda pack, hs, key, fo, gid, n: simulate_games(
             pack, cfg, heads_fn, hs, key, n, fo, collect_players=False,
-            game_id=gid),
+            game_id=gid, collect_stats=False),
         static_argnums=(5,))
 
 

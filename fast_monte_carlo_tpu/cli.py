@@ -37,10 +37,58 @@ def _cmd_sim(args) -> int:
 
 
 def _cmd_edges(args) -> int:
+    if args.device:
+        return _cmd_edges_device(args)
     from .edge import find_edges
     find_edges(csv_base=args.base, team_a=args.team_a, team_b=args.team_b,
                spread=args.spread, total=args.total, props_csv=args.props,
                directory=args.dir)
+    return 0
+
+
+def _cmd_edges_device(args) -> int:
+    """Device-resident edge scan: simulate and reduce on the accelerator —
+    spread/total/ML from on-device histograms, props from device pstats.
+    No sim files touch disk (reference equivalent: edge_finder.py:586-614
+    over saved CSVs)."""
+    import jax
+
+    from .api import MatchupRunner
+    from .data import build_team_context_from_sp_flex, load_sp_flex
+    from .edge import (
+        market_odds_from_summary, print_game_market_readable,
+        print_prop_table, scan_props_device,
+    )
+    from .models.heads import load_heads
+    from .parallel import summarize_scores
+
+    if not args.sp:
+        print("edges --device needs --sp (it simulates in-process)",
+              file=sys.stderr)
+        return 2
+    sp = load_sp_flex(args.sp)
+    a = build_team_context_from_sp_flex(args.team_a, args.year, args.week, sp,
+                                        focus_csv=args.focus)
+    b = build_team_context_from_sp_flex(args.team_b, args.year, args.week, sp,
+                                        focus_csv=args.focus)
+    heads = load_heads(args.artifacts)
+    runner = MatchupRunner(a, b, heads, mode=args.mode,
+                           table_quality=args.quality)
+    want_players = bool(args.props)
+    t0 = time.perf_counter()
+    out = runner.run_pairs(args.n, seed=args.seed,
+                           collect_players=want_players,
+                           collect_stats=False)
+    summary = jax.jit(summarize_scores)(out.score)
+    dt = time.perf_counter() - t0
+    res = market_odds_from_summary(summary, args.team_a, args.team_b,
+                                   spread=args.spread, total=args.total)
+    print_game_market_readable(res)
+    if args.props:
+        df = scan_props_device(out, a, b, args.props)
+        print_prop_table(df)
+    print(f"\n[{2*args.n} games simulated + reduced on "
+          f"{jax.devices()[0].platform} in {dt:.2f}s]")
     return 0
 
 
@@ -144,6 +192,17 @@ def main(argv=None) -> int:
     pe.add_argument("--total", type=float, default=None)
     pe.add_argument("--props", default=None)
     pe.add_argument("--dir", default=".")
+    pe.add_argument("--device", action="store_true",
+                    help="simulate + reduce on the accelerator (no files)")
+    pe.add_argument("--sp", default=None, help="SP+ csv (with --device)")
+    pe.add_argument("-n", type=int, default=65536, help="pairs (with --device)")
+    pe.add_argument("--year", type=int, default=2025)
+    pe.add_argument("--week", type=int, default=1)
+    pe.add_argument("--seed", type=int, default=0)
+    pe.add_argument("--mode", default="table")
+    pe.add_argument("--quality", default="nano")
+    pe.add_argument("--focus", default=None)
+    pe.add_argument("--artifacts", default="/root/reference")
     pe.set_defaults(fn=_cmd_edges)
 
     pl = sub.add_parser("slate", help="simulate a slate of matchups")

@@ -176,6 +176,16 @@ class ModelConfig:
     td_points: int = 7
     fg_points: int = 3
 
+    # mc-variant alternates (monte_carlo_cfb.py): piecewise-linear long-gain
+    # taper on sampled yards (mc:470,482; defined-but-disabled in fast,
+    # fast:133-145,830,842) and pass-quantile damping near the goal line
+    # (mc:462-464).  Off in the fast-variant defaults; classic_config()
+    # enables both.
+    taper_enabled: bool = False
+    pass_taper: tuple = (22.0, 42.0, 0.60, 0.40)   # (t1, t2, r1, r2)
+    rush_taper: tuple = (15.0, 30.0, 0.60, 0.35)
+    rz_pass_damping: bool = False   # q *= 0.8 + 0.2*ytg/15 for ytg < 15
+
 
 @dataclass(frozen=True)
 class EngineConfig:
@@ -248,5 +258,10 @@ def classic_config() -> SimConfig:
             rz_pass_base=0.30, rz_pass_down_bonus=0.03, rz_pass_tilt=0.07,
             rz_run_base=0.28, rz_run_down_bonus=0.04, rz_run_tilt=0.06,
             rz_pass_gate_ytg=10.0, rz_run_gate_ytg=7.0,
+        ),
+        model=dataclasses.replace(
+            c.model,
+            # active in mc, disabled in fast (monte_carlo_cfb.py:462-482)
+            taper_enabled=True, rz_pass_damping=True,
         ),
     )

@@ -325,6 +325,104 @@ def scan_props_for_matchup(csv_base: Optional[str], team_a: str, team_b: str,
     return df[df["abs_edge"] >= min_abs_edge_pct].drop(columns=["abs_edge"])
 
 
+_STAT_TO_ROLE_COL = {
+    # stat column -> (role name, pstats column index)
+    "pass_yds": ("pass", 2), "pass_td": ("pass", 3), "pass_att": ("pass", 0),
+    "pass_comp": ("pass", 1), "INT": ("pass", 4), "sacks": ("pass", 5),
+    "rush_yds": ("rush", 2), "rush_td": ("rush", 3), "rush_att": ("rush", 0),
+    "rec_yds": ("rec", 2), "rec_td": ("rec", 3), "rec": ("rec", 1),
+    "tgt": ("rec", 0),
+}
+
+
+def scan_props_device(out, team_a_ctx, team_b_ctx, prop_sheet_path: str,
+                      min_abs_edge_pct: float = 2.0) -> pd.DataFrame:
+    """Prop scan over DEVICE-resident player stats: same math and output
+    schema as scan_props_for_matchup (edge_finder.py:340-390), but the
+    per-prop reductions (P(over/under/push), mean/median/p75/p90) run on the
+    accelerator in one jitted pass over the GameState's pstats — no player
+    parquet round-trip, no pandas row explosion.
+
+    `out` is a GameState with collect_players=True; prop rows that name an
+    untracked player or unknown stat are skipped (reference behavior:
+    skip-on-error, edge_finder.py:380-382)."""
+    import jax
+    import jax.numpy as jnp
+
+    from .stats import ROLE_PASS, ROLE_REC, ROLE_RUSH
+
+    role_idx = {"pass": ROLE_PASS, "rush": ROLE_RUSH, "rec": ROLE_REC}
+    role_table = {
+        "pass": lambda tc: tc.qb, "rush": lambda tc: tc.rush,
+        "rec": lambda tc: tc.target,
+    }
+    sides = {_norm_team(team_a_ctx.name): (0, team_a_ctx),
+             _norm_team(team_b_ctx.name): (1, team_b_ctx)}
+
+    props = pd.read_csv(prop_sheet_path)
+    rows, meta = [], []
+    for _, r in props.iterrows():
+        key = _norm_team(r["team"])
+        if key not in sides:
+            continue
+        side, tc = sides[key]
+        stat_col = STAT_ALIASES.get(str(r["stat"]), str(r["stat"]))
+        rc = _STAT_TO_ROLE_COL.get(stat_col)
+        if rc is None:
+            continue
+        role_name, col = rc
+        table = role_table[role_name](tc)
+        want = str(r["player"]).lower()
+        slot = next((k for k, nm in enumerate(table.names)
+                     if str(nm).lower() == want and table.tracked[k]), None)
+        if slot is None:
+            continue
+        rows.append((side, role_idx[role_name], slot, col, float(r["yards"])))
+        meta.append({"team": r["team"], "player": r["player"],
+                     "stat": stat_col, "line": float(r["yards"])})
+    if not rows:
+        return pd.DataFrame()
+
+    idx = np.asarray(rows, dtype=np.float32)
+    side_i, role_i, slot_i, col_i = (idx[:, j].astype(np.int32) for j in range(4))
+    lines = idx[:, 4]
+
+    @jax.jit
+    def reduce_props(pstats, side_i, role_i, slot_i, col_i, lines):
+        vals = pstats[:, side_i, role_i, slot_i, col_i]     # (B, P)
+        return {
+            "p_over": (vals > lines[None, :]).mean(axis=0),
+            "p_under": (vals < lines[None, :]).mean(axis=0),
+            "push": (jnp.abs(vals - lines[None, :]) <= 1e-9).mean(axis=0),
+            "mean": vals.mean(axis=0),
+            "median": jnp.percentile(vals, 50.0, axis=0),
+            "p75": jnp.percentile(vals, 75.0, axis=0),
+            "p90": jnp.percentile(vals, 90.0, axis=0),
+        }
+
+    red = {k: np.asarray(v) for k, v in reduce_props(
+        out.pstats, side_i, role_i, slot_i, col_i, lines).items()}
+
+    results = []
+    for i, m in enumerate(meta):
+        p_over = float(red["p_over"][i])
+        rec = best_side_ev(p_over, price=-110)
+        results.append({
+            **m, "best_side": rec["side"],
+            "p_over": round(p_over, 4),
+            "p_under": round(float(red["p_under"][i]), 4),
+            "edge_pct": round(rec["edge"] * 100, 2),
+            "ev_$100": round(rec["ev"], 2),
+            "mean": float(red["mean"][i]), "median": float(red["median"][i]),
+            "p75": float(red["p75"][i]), "p90": float(red["p90"][i]),
+            "samples": int(out.pstats.shape[0]),
+        })
+    df = pd.DataFrame(results)
+    df["abs_edge"] = df["edge_pct"].abs()
+    df = df.sort_values(["abs_edge", "ev_$100"], ascending=[False, False])
+    return df[df["abs_edge"] >= min_abs_edge_pct].drop(columns=["abs_edge"])
+
+
 # ---------------------------------------------------------------------------
 # device-summary variants (on-device histogram -> edges without files)
 # ---------------------------------------------------------------------------

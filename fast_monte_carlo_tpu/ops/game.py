@@ -115,6 +115,15 @@ def _gather2k(arr2k: jnp.ndarray, off: jnp.ndarray, slot: jnp.ndarray) -> jnp.nd
     return jnp.take(arr2k.reshape(-1), off * k + slot, mode="clip")
 
 
+def _taper(y: jnp.ndarray, t1: float, t2: float, r1: float, r2: float):
+    """mc-variant piecewise-linear long-gain taper (monte_carlo_cfb.py:470,
+    482; definition fast_monte_carlo_cfb.py:133-145): unchanged to t1,
+    slope r1 to t2, slope r2 beyond."""
+    mid = t1 + (y - t1) * r1
+    hi = t1 + (t2 - t1) * r1 + (y - t2) * r2
+    return jnp.where(y <= t1, y, jnp.where(y <= t2, mid, hi))
+
+
 def take_dir(t: jnp.ndarray, dirx: jnp.ndarray) -> jnp.ndarray:
     """Per-direction constant fetch.
 
@@ -258,6 +267,7 @@ def play_step(
     heads_eval: HeadsEvalFn,
     heads_state,
     collect_players: bool,
+    collect_stats: bool = True,
 ) -> GameState:
     B = s.off.shape[0]
     ku, kn = jax.random.split(key)
@@ -332,8 +342,17 @@ def play_step(
     o_int = notc & ~o_inc & ~o_sck
 
     # pass yards (quirk: clip to ytg BEFORE the SP+ multiplier, :1091)
-    py = jnp.clip(ho.pass_ms[:, 0] + ho.pass_ms[:, 1] * n[:, N_YARDS],
-                  cfg.model.pass_clip_lo, ytg0)
+    pass_mu, pass_sg = ho.pass_ms[:, 0], ho.pass_ms[:, 1]
+    if cfg.model.rz_pass_damping:
+        # mc-variant goal-line damping (monte_carlo_cfb.py:462-464): scale
+        # the quantiles, then re-floor sigma
+        rz_scale = jnp.where(ytg0 < 15.0, 0.8 + 0.2 * (ytg0 / 15.0), 1.0)
+        pass_mu = pass_mu * rz_scale
+        pass_sg = jnp.maximum(cfg.model.pass_sigma_floor, pass_sg * rz_scale)
+    py_raw = pass_mu + pass_sg * n[:, N_YARDS]
+    if cfg.model.taper_enabled:
+        py_raw = _taper(py_raw, *cfg.model.pass_taper)
+    py = jnp.clip(py_raw, cfg.model.pass_clip_lo, ytg0)
     yards_p = py * ymult
     ep = analytic.explosive_prob(ytg0, off_o, def_d, cfg, jnp)
     exp_gate_p = (ytg0 > cfg.matchup.explosive_gate_ytg) & \
@@ -361,8 +380,10 @@ def play_step(
     int_spot = 100.0 - (ytg0 - ret)
 
     # rush yards (same structure)
-    ry = jnp.clip(ho.rush_ms[:, 0] + ho.rush_ms[:, 1] * n[:, N_YARDS],
-                  cfg.model.rush_clip_lo, ytg0)
+    ry_raw = ho.rush_ms[:, 0] + ho.rush_ms[:, 1] * n[:, N_YARDS]
+    if cfg.model.taper_enabled:
+        ry_raw = _taper(ry_raw, *cfg.model.rush_taper)
+    ry = jnp.clip(ry_raw, cfg.model.rush_clip_lo, ytg0)
     yards_r = ry * ymult
     exp_gate_r = (ytg0 > cfg.matchup.explosive_gate_ytg) & \
         (u[:, U_EXP] < cfg.matchup.explosive_run_scale * ep)
@@ -445,35 +466,39 @@ def play_step(
 
     # ---- team stats -----------------------------------------------------------
     # one stacked delta (chained .at[].add would copy the whole (B,N) array
-    # per field: ~20x the HBM traffic)
-    conv = (td & was_going) \
-        | (pass_gain & was_going & (yards_p + 1e-6 >= dist0)) \
-        | (run_gain & was_going & (yards_r + 1e-6 >= dist0))
-    zeros = jnp.zeros((B,), F32)
-    cols = {
-        "plays": scrim.astype(F32),
-        "pass_att": (complete | o_inc | o_int).astype(F32),
-        "comp": complete.astype(F32),
-        "pass_yds": jnp.where(pass_td, ytg0, jnp.where(pass_gain, yards_p, 0.0)),
-        "pass_td": pass_td.astype(F32),
-        "INT": o_int.astype(F32),
-        "sacks": o_sck.astype(F32),
-        "rush_att": is_run.astype(F32),
-        "rush_yds": jnp.where(run_td, ytg0, jnp.where(run_gain, yards_r, 0.0)),
-        "rush_td": run_td.astype(F32),
-        "FG": fg_good.astype(F32),
-        "FGA": fg_att.astype(F32),
-        "punts": punt.astype(F32),
-        "rz_trips": trip1.astype(F32) + trip2.astype(F32),
-        "rz_TD": (run_td & (ytg0 <= 20)).astype(F32),  # quirk: rushing TDs only (:1237)
-        "fourth_go": go.astype(F32),
-        "fourth_conv": conv.astype(F32),
-        "points": zeros,  # final score written after the scan
-        "fumbles_lost": fum.astype(F32),
-    }
-    from ..stats import TEAM_STAT_FIELDS
-    ds = jnp.stack([cols[name] for name in TEAM_STAT_FIELDS], axis=1)
-    stats_f = s.stats + oh_side.astype(F32)[:, :, None] * ds[:, None, :]
+    # per field: ~20x the HBM traffic).  Score-only workloads (edge scans,
+    # calibration sweeps) skip the whole block via collect_stats=False.
+    if not collect_stats:
+        stats_f = s.stats
+    else:
+      conv = (td & was_going) \
+          | (pass_gain & was_going & (yards_p + 1e-6 >= dist0)) \
+          | (run_gain & was_going & (yards_r + 1e-6 >= dist0))
+      zeros = jnp.zeros((B,), F32)
+      cols = {
+          "plays": scrim.astype(F32),
+          "pass_att": (complete | o_inc | o_int).astype(F32),
+          "comp": complete.astype(F32),
+          "pass_yds": jnp.where(pass_td, ytg0, jnp.where(pass_gain, yards_p, 0.0)),
+          "pass_td": pass_td.astype(F32),
+          "INT": o_int.astype(F32),
+          "sacks": o_sck.astype(F32),
+          "rush_att": is_run.astype(F32),
+          "rush_yds": jnp.where(run_td, ytg0, jnp.where(run_gain, yards_r, 0.0)),
+          "rush_td": run_td.astype(F32),
+          "FG": fg_good.astype(F32),
+          "FGA": fg_att.astype(F32),
+          "punts": punt.astype(F32),
+          "rz_trips": trip1.astype(F32) + trip2.astype(F32),
+          "rz_TD": (run_td & (ytg0 <= 20)).astype(F32),  # quirk: rushing TDs only (:1237)
+          "fourth_go": go.astype(F32),
+          "fourth_conv": conv.astype(F32),
+          "points": zeros,  # final score written after the scan
+          "fumbles_lost": fum.astype(F32),
+      }
+      from ..stats import TEAM_STAT_FIELDS
+      ds = jnp.stack([cols[name] for name in TEAM_STAT_FIELDS], axis=1)
+      stats_f = s.stats + oh_side.astype(F32)[:, :, None] * ds[:, None, :]
 
     # ---- player stats ----------------------------------------------------------
     pstats_f = s.pstats
@@ -547,6 +572,7 @@ def simulate_games(
     first_offense,
     collect_players: bool = True,
     game_id=0,
+    collect_stats: bool = True,
 ) -> GameState:
     """Run n independent games to completion; returns the final GameState.
 
@@ -562,7 +588,8 @@ def simulate_games(
         key = jax.random.wrap_key_data(raw, impl="rbg")
 
     def step(s, k):
-        return play_step(s, k, pack, cfg, heads_eval, heads_state, collect_players), None
+        return play_step(s, k, pack, cfg, heads_eval, heads_state,
+                         collect_players, collect_stats), None
 
     if cfg.engine.early_exit:
         # chunked while_loop: stop as soon as every game in the batch is done

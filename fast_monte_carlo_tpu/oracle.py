@@ -36,6 +36,15 @@ from .stats import (
 )
 
 
+
+def _taper_scalar(y, t1, t2, r1, r2):
+    """mc-variant long-gain taper (monte_carlo_cfb.py:470,482)."""
+    if y <= t1:
+        return y
+    if y <= t2:
+        return t1 + (y - t1) * r1
+    return t1 + (t2 - t1) * r1 + (y - t2) * r2
+
 def _state_vec(d: DirectionContext, down, dist, ytg, sec, to_off, to_def, score_diff, cfg):
     half = 1 if sec > cfg.clock.half_seconds else 2
     return np.asarray([[
@@ -308,8 +317,14 @@ class OracleMatchup:
 
             if rng.random() < p_c:  # completed
                 q10, q50, q90 = self._pass_quants(side, d, x, qb, wr, gs)
+                if cfg.model.rz_pass_damping and gs.ytg < 15:
+                    # mc-variant goal-line damping (monte_carlo_cfb.py:462-464)
+                    rz_scale = 0.8 + 0.2 * (gs.ytg / 15.0)
+                    q10, q50, q90 = q10 * rz_scale, q50 * rz_scale, q90 * rz_scale
                 sigma = max(cfg.model.pass_sigma_floor, (q90 - q10) / cfg.model.sigma_denom)
                 y = rng.normal(q50, sigma)
+                if cfg.model.taper_enabled:
+                    y = _taper_scalar(y, *cfg.model.pass_taper)
                 y = min(max(y, cfg.model.pass_clip_lo), gs.ytg)
                 yards = y * d.ymult  # quirk: clip before multiplier (:1091)
 
@@ -415,6 +430,8 @@ class OracleMatchup:
             q10, q50, q90 = self._rush_quants(side, d, x, rb, gs)
             sigma = max(cfg.model.rush_sigma_floor, (q90 - q10) / cfg.model.sigma_denom)
             y = rng.normal(q50, sigma)
+            if cfg.model.taper_enabled:
+                y = _taper_scalar(y, *cfg.model.rush_taper)
             y = min(max(y, cfg.model.rush_clip_lo), gs.ytg)
             yards = y * d.ymult  # quirk: clip before multiplier (:1220)
 

@@ -41,11 +41,11 @@ def focus_env(reference_dir, tmp_path_factory):
     sp = load_sp_flex(str(reference_dir / "PregameSPPlus2025_1.csv"))
     a = build_team_context_from_sp_flex("Kansas State", 2025, 1, sp, focus_csv=str(p))
     b = build_team_context_from_sp_flex("Iowa State", 2025, 1, sp, focus_csv=str(p))
-    return heads, a, b, (qb_a, qb_b)
+    return heads, a, b, (qb_a, qb_b), str(p)
 
 
 def test_multislot_tables_and_pair_map(focus_env):
-    heads, a, b, qbs = focus_env
+    heads, a, b, qbs, _ = focus_env
     cfg = SimConfig()
     prof = slate_profile()
     r = MatchupRunner(a, b, heads, cfg, mode="table", table_quality="slate")
@@ -69,7 +69,7 @@ def test_multislot_tables_and_pair_map(focus_env):
 
 
 def test_player_stats_match_oracle(focus_env):
-    heads, a, b, qbs = focus_env
+    heads, a, b, qbs, _ = focus_env
     cfg = SimConfig()
     r = MatchupRunner(a, b, heads, cfg, mode="table", table_quality="slate")
     out = r.run_pairs(768, seed=3, collect_players=True)
@@ -93,3 +93,37 @@ def test_player_stats_match_oracle(focus_env):
     e_tgt = e_ps[0, ROLE_REC, :, PC_ATT].sum()
     o_tgt = o_ps[0, ROLE_REC, :, PC_ATT].sum()
     assert abs(e_tgt - o_tgt) < max(3.0, 0.2 * o_tgt), (e_tgt, o_tgt)
+
+
+def test_scan_props_device(focus_env):
+    """On-device prop scan consumes device pstats directly and reproduces
+    the file-based player_prop_odds math (edge_finder.py:340-390)."""
+    import jax
+
+    from fast_monte_carlo_tpu.api import MatchupRunner, players_frame
+    from fast_monte_carlo_tpu.config import SimConfig
+    from fast_monte_carlo_tpu.edge import scan_props_device, scan_props_for_matchup
+
+    heads, a, b, qbs, focus_csv = focus_env
+    runner = MatchupRunner(a, b, heads, SimConfig(), mode="table")
+    out = runner.run_pairs(192, seed=5, collect_players=True)
+
+    df = scan_props_device(out, a, b, focus_csv, min_abs_edge_pct=0.0)
+    assert not df.empty
+    assert {"team", "player", "stat", "line", "best_side", "edge_pct",
+            "p_over", "p_under", "mean", "median"} <= set(df.columns)
+    assert ((df.p_over >= 0) & (df.p_over <= 1)).all()
+    assert ((df.p_over + df.p_under) <= 1.0 + 1e-9).all()
+
+    # parity with the pandas/file path on the same GameState
+    pdf = players_frame(out, a, b)
+    want = scan_props_for_matchup(None, a.name, b.name, focus_csv,
+                                  min_abs_edge_pct=0.0, players_df=pdf)
+    got = df.set_index(["team", "player", "stat"])
+    for _, w in want.iterrows():
+        g = got.loc[(w["team"], w["player"], w["stat"])]
+        # the file path rounds yardages to 1 decimal (players_frame, like the
+        # reference flatten); the device path compares raw f32 sums — trials
+        # within 0.05 of the line can flip side, so allow a small tolerance
+        assert abs(float(g.p_over) - float(w.p_over)) < 0.01, (w, g)
+        assert abs(float(g["mean"]) - float(w["mean"])) < 0.05

@@ -146,3 +146,53 @@ def test_down_five_quirk_reachable(m):
     gs = _GameState(off=0, down=4, dist=7.0, ytg=45.0)
     gs.down += 1  # the incomplete branch
     assert gs.down == 5 and gs.off == 0
+
+
+def test_taper_piecewise_engine_equals_oracle():
+    """mc-variant long-gain taper: engine (vector) and oracle (scalar)
+    implement the same piecewise map (monte_carlo_cfb.py:470,482)."""
+    import numpy as np
+
+    from fast_monte_carlo_tpu.ops.game import _taper
+    from fast_monte_carlo_tpu.oracle import _taper_scalar
+
+    ys = np.asarray([-5.0, 0.0, 10.0, 22.0, 23.0, 30.0, 42.0, 43.0, 80.0])
+    t1, t2, r1, r2 = 22.0, 42.0, 0.60, 0.40
+    got = np.asarray(_taper(ys, t1, t2, r1, r2))
+    want = np.asarray([_taper_scalar(float(y), t1, t2, r1, r2) for y in ys])
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+    # spot-check the definition: slope breaks at t1 and t2
+    assert float(_taper(np.asarray([32.0]), t1, t2, r1, r2)[0]) == 22.0 + 10 * 0.6
+    assert float(_taper(np.asarray([52.0]), t1, t2, r1, r2)[0]) == 22.0 + 20 * 0.6 + 10 * 0.4
+
+
+def test_classic_config_tapers_long_gains():
+    """classic_config enables the mc-variant taper + RZ damping; the
+    engine's long-gain tail must shrink vs the fast-variant default."""
+    import jax
+    import numpy as np
+
+    from fast_monte_carlo_tpu.config import SimConfig, classic_config
+    from fast_monte_carlo_tpu.data.context import _build
+    from fast_monte_carlo_tpu.models.heads import ModelHeads
+    from fast_monte_carlo_tpu.ops.game import make_analytic_heads_eval, simulate_games
+    from fast_monte_carlo_tpu.ops.pack import build_packs
+    from fast_monte_carlo_tpu.stats import TS
+
+    a = _build("Team A", 2025, 1, 15.6, 35.7, 20.0, {}, ".", 4)
+    b = _build("Team B", 2025, 1, 11.0, 31.5, 20.6, {}, ".", 4)
+
+    def mean_pass_yds(cfg):
+        pack, _ = build_packs(a, b, ModelHeads(), cfg)
+        he = make_analytic_heads_eval(cfg)
+        out = jax.jit(lambda k: simulate_games(
+            pack, cfg, he, None, k, 512, 0, collect_players=False))(
+            jax.random.PRNGKey(3))
+        st = np.asarray(out.stats).mean(axis=0)
+        return st[:, TS["pass_yds"]].sum()
+
+    fast_y = mean_pass_yds(SimConfig())
+    classic = classic_config()
+    assert classic.model.taper_enabled and classic.model.rz_pass_damping
+    classic_y = mean_pass_yds(classic)
+    assert classic_y < fast_y, (classic_y, fast_y)
