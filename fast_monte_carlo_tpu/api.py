@@ -338,13 +338,17 @@ class SlateRunner:
 
     def __post_init__(self):
         from .matchup import build_direction
-        from .models.tables import build_fused_table, coarse_profile, turbo_profile, TableSet, fine_profile
+        from .models.tables import (
+            TableSet, build_fused_table, coarse_profile, fine_profile,
+            nano_profile, turbo_profile,
+        )
         from .ops.pack import pack_matchups
         from .ops.table_lookup import pack_tables_multi
 
         from .ops.table_lookup import TABLE_CACHE_DIR, _table_cache_key
 
-        prof = turbo_profile() if self.quality == "turbo" else coarse_profile()
+        prof = {"turbo": turbo_profile, "nano": nano_profile}.get(
+            self.quality, coarse_profile)()
         dirs = []
         ts_pairs = []
         for a, b in self.matchups:
@@ -390,14 +394,28 @@ class SlateRunner:
                         fa = m
                     else:
                         fb = m
-            mk = lambda f: TableSet(stage1=None, stage2=None, pq=None, rq=None,
-                                    sq=None, fumble=None, play=None,
-                                    fine=fine_profile(), coarse=prof, fused=f)
+            if self.quality == "nano":
+                from .models.tables import nano_from_fused
+                fa, fb = nano_from_fused(fa, prof), nano_from_fused(fb, prof)
+
+                def mk(f):
+                    ts = TableSet(stage1=None, stage2=None, pq=None, rq=None,
+                                  sq=None, fumble=None, play=None,
+                                  fine=fine_profile(), coarse=prof)
+                    ts.nano = f
+                    return ts
+            else:
+                mk = lambda f: TableSet(
+                    stage1=None, stage2=None, pq=None, rq=None,
+                    sq=None, fumble=None, play=None,
+                    fine=fine_profile(), coarse=prof, fused=f)
             ts_pairs.append((mk(fa), mk(fb)))
             dirs.extend([da, db])
         self.pack = pack_matchups(dirs)
         self.heads_state = pack_tables_multi(
-            ts_pairs, k=self.matchups[0][0].qb.k, fused_prof=prof)
+            ts_pairs, k=self.matchups[0][0].qb.k,
+            fused_prof=None if self.quality == "nano" else prof,
+            nano_prof=prof if self.quality == "nano" else None)
         self.heads_fn = _heads_fn_cached("table", self.cfg)
 
     def run(self, n_pairs_per_game: int, seed: int = 0) -> GameState:

@@ -24,17 +24,15 @@ from ..models.forest import FlatForest
 @jax.tree_util.register_dataclass
 @dataclass(frozen=True)
 class JaxForest:
-    """Device representation of a FlatForest (metadata fields are static)."""
+    """Device representation of a FlatForest (metadata fields are static).
 
-    is_leaf: jnp.ndarray       # (N,) bool
-    num_idx: jnp.ndarray       # (N,) int32  numeric feature index (0 at cats/leaves)
-    is_cat: jnp.ndarray        # (N,) bool
-    cat_group: jnp.ndarray     # (N,) int32  categorical group id (0 at numerics)
-    cat_local: jnp.ndarray     # (N,) int32  local category id
-    thresh: jnp.ndarray        # (N,) float32
-    left: jnp.ndarray          # (N,) int32
-    right: jnp.ndarray         # (N,) int32
-    default_left: jnp.ndarray  # (N,) bool
+    All per-node metadata lives in ONE (N, 8) f32 table so each walk level
+    costs a single gather: per-row gather latency dominates on TPU
+    (benchmarks/gather_cliff2.py — extra CHANNELS are nearly free, extra
+    GATHERS are ~0.23 ms each at 131k indices), so 7 takes/level -> 1."""
+
+    nodes: jnp.ndarray         # (N, 8) f32: [num_idx, is_cat, cat_group,
+                               #  cat_local, thresh, left, right, default_left]
     leaf: jnp.ndarray          # (N,) float32
     roots: jnp.ndarray         # (T,) int32
     class_matrix: jnp.ndarray  # (T, C) float32 one-hot tree->class
@@ -67,16 +65,20 @@ def pack_forest(f: FlatForest) -> JaxForest:
     idx = np.arange(f.n_nodes, dtype=np.int32)
     left = np.where(internal, f.left, idx).astype(np.int32)
     right = np.where(internal, f.right, idx).astype(np.int32)
+    # one (N, 8) f32 node table -> one gather per walk level.  Exact int
+    # round-trip through f32 holds for every field (indices < 2^24).
+    nodes = np.stack([
+        num_idx.astype(np.float32),
+        is_cat.astype(np.float32),
+        cat_group.astype(np.float32),
+        cat_local.astype(np.float32),
+        f.thresh.astype(np.float32),
+        left.astype(np.float32),
+        right.astype(np.float32),
+        f.default_left.astype(np.float32),
+    ], axis=1)
     return JaxForest(
-        is_leaf=jnp.asarray(~internal),
-        num_idx=jnp.asarray(num_idx),
-        is_cat=jnp.asarray(is_cat),
-        cat_group=jnp.asarray(cat_group),
-        cat_local=jnp.asarray(cat_local),
-        thresh=jnp.asarray(f.thresh),
-        left=jnp.asarray(left),
-        right=jnp.asarray(right),
-        default_left=jnp.asarray(f.default_left),
+        nodes=jnp.asarray(nodes),
         leaf=jnp.asarray(f.leaf),
         roots=jnp.asarray(f.roots),
         class_matrix=jnp.asarray(class_matrix),
@@ -106,20 +108,25 @@ def eval_margin(jf: JaxForest, x_num: jnp.ndarray, cat_ids: Dict[str, jnp.ndarra
     node = jnp.broadcast_to(jf.roots[None, :], (B, T)).astype(jnp.int32)
 
     def body(_, node):
-        f_num = jnp.take(jf.num_idx, node, mode="clip")        # (B,T)
+        # ONE gather per level: all node metadata rides as channels
+        # (per-row gather latency dominates; channels are nearly free)
+        nd = jnp.take(jf.nodes, node.reshape(-1), axis=0,
+                      mode="clip").reshape(B, T, 8)
+        f_num = nd[..., 0].astype(jnp.int32)
+        is_cat = nd[..., 1] != 0.0
+        grp = nd[..., 2].astype(jnp.int32)
+        cat_local = nd[..., 3].astype(jnp.int32)
+        th = nd[..., 4]
+        left = nd[..., 5].astype(jnp.int32)
+        right = nd[..., 6].astype(jnp.int32)
         numv = jnp.take_along_axis(x_num, f_num, axis=1)
-        grp = jnp.take(jf.cat_group, node, mode="clip")
         trial_cat = jnp.take_along_axis(cid, grp, axis=1)
-        catv = (trial_cat == jnp.take(jf.cat_local, node, mode="clip")).astype(x_num.dtype)
-        val = jnp.where(jf.is_cat[node], catv, numv)
-        th = jnp.take(jf.thresh, node, mode="clip")
+        catv = (trial_cat == cat_local).astype(x_num.dtype)
+        val = jnp.where(is_cat, catv, numv)
         go_left = (val < th) if jf.cmp_lt else (val <= th)
         if jf.zero_as_missing:
-            go_left = jnp.where(val == 0.0,
-                                jnp.take(jf.default_left, node, mode="clip"),
-                                go_left)
-        return jnp.where(go_left, jnp.take(jf.left, node, mode="clip"),
-                         jnp.take(jf.right, node, mode="clip"))
+            go_left = jnp.where(val == 0.0, nd[..., 7] != 0.0, go_left)
+        return jnp.where(go_left, left, right)
 
     node = jax.lax.fori_loop(0, jf.max_depth, body, node)
     leaf_vals = jnp.take(jf.leaf, node, mode="clip")    # (B, T)

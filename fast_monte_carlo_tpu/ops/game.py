@@ -542,10 +542,17 @@ def play_step(
 
 
 def initial_state(n: int, first_offense, cfg: SimConfig, k: int,
-                  game_id=0) -> GameState:
+                  game_id=0, collect_players: bool = True,
+                  collect_stats: bool = True) -> GameState:
     B = n
     fo = jnp.broadcast_to(jnp.asarray(first_offense, I32), (B,))
     gid = jnp.broadcast_to(jnp.asarray(game_id, I32), (B,))
+    # disabled collectors carry 1-element dummies: the full pstats array is
+    # ~1.15 KB/game (K=8) and OOMs multi-million-game batches if allocated
+    # (stats ~152 B/game) — shapes are static per trace so this is free
+    stats_shape = (B, 2, N_TEAM_STATS) if collect_stats else (B, 1, 1)
+    pstats_shape = (B, 2, 3, k, N_PLAYER_STATS) if collect_players \
+        else (B, 1, 1, 1, 1)
     return GameState(
         gid=gid, fo=fo,
         off=fo,
@@ -557,8 +564,8 @@ def initial_state(n: int, first_offense, cfg: SimConfig, k: int,
         in_rz=jnp.zeros((B,), bool),
         going=jnp.zeros((B,), bool),
         score=jnp.zeros((B, 2), I32),
-        stats=jnp.zeros((B, 2, N_TEAM_STATS), F32),
-        pstats=jnp.zeros((B, 2, 3, k, N_PLAYER_STATS), F32),
+        stats=jnp.zeros(stats_shape, F32),
+        pstats=jnp.zeros(pstats_shape, F32),
     )
 
 
@@ -581,7 +588,8 @@ def simulate_games(
     the matchup per trial when the pack carries a game axis (2G direction
     rows); scalar 0 for a single matchup.
     """
-    init = initial_state(n, first_offense, cfg, pack.k, game_id)
+    init = initial_state(n, first_offense, cfg, pack.k, game_id,
+                         collect_players, collect_stats)
     if cfg.engine.rng_impl == "rbg":
         raw = key if jnp.issubdtype(key.dtype, jnp.integer) else jax.random.key_data(key)
         raw = jnp.tile(raw.reshape(-1), 2)[:4].astype(jnp.uint32)
@@ -613,6 +621,8 @@ def simulate_games(
     else:
         keys = jax.random.split(key, cfg.engine.max_plays)
         final, _ = jax.lax.scan(step, init, keys)
+    if not collect_stats:
+        return final
     final_stats = final.stats.at[:, 0, TS["points"]].set(final.score[:, 0].astype(F32))
     final_stats = final_stats.at[:, 1, TS["points"]].set(final.score[:, 1].astype(F32))
     return final._replace(stats=final_stats)
