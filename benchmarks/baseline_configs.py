@@ -1,20 +1,24 @@
 """BASELINE.json configs #3/#4/#5 at spec scale, on the real device.
 
-#3  weekly slate: ~60 matchups x 100k trials each, ONE compiled program
-    over the ('game','trial') layout; cold + warm table-build times and
-    end-to-end games/s recorded.
-#4  edge scan at 1M trials/game over the full slate: chunked launches of
-    the same compiled program, per-game margin/total histograms accumulated
-    on device, spread/total/ML edge table from the final histograms
-    (edge_finder.py:283-336 math).
+#3  weekly slate: ~60 matchups x 100k trials each.  One compiled program
+    REUSED across matchups (identical table shapes; pack/tables are jit
+    arguments) — measured 5.8x faster than the ('game','trial')
+    single-launch layout on ONE chip, because a shared 60-game nano table
+    (983k rows) sits far past the gather row-count cliff while per-matchup
+    tables (16k rows) stay under it.  The game-axis layout remains the
+    multi-chip scale-out path (games x trials mesh).
+#4  edge scan at 1M trials/game over the full slate: 10 chunks per
+    matchup, per-chunk margin/total histograms reduced on device, edge
+    table from the final histograms (edge_finder.py:283-336 math).
 #5  season-style calibration sweep from the same 1M-trial accumulation:
-    win-prob / ATS distribution table per matchup (every adjacent-SP+-rank
-    2025 pairing -- the snapshot has no schedule file).
+    win-prob / ATS distribution per matchup (adjacent-SP+-rank 2025
+    pairings; the snapshot has no schedule file).
 
 Usage: python benchmarks/baseline_configs.py [n_matchups] [out_md]
+Env: B3_PAIRS (default 50_000), B4_PAIRS (50_000), B4_CHUNKS (10)
 """
 import json
-import shutil
+import os
 import sys
 import time
 from pathlib import Path
@@ -31,7 +35,7 @@ import jax.numpy as jnp
 import numpy as np
 import pandas as pd
 
-from fast_monte_carlo_tpu.api import SlateRunner
+from fast_monte_carlo_tpu.api import MatchupRunner
 from fast_monte_carlo_tpu.config import SimConfig
 from fast_monte_carlo_tpu.data import build_team_context_from_sp_flex, load_sp_flex
 from fast_monte_carlo_tpu.edge import ev_per_100_at_minus110, prob_to_american
@@ -41,6 +45,9 @@ N_MATCHUPS = int(sys.argv[1]) if len(sys.argv) > 1 else 60
 OUT_MD = sys.argv[2] if len(sys.argv) > 2 else "benchmarks/BASELINE_RUNS.md"
 MARGIN_OFF, NBINS = 100, 200   # margin support [-100, 100)
 TOTAL_BINS = 160
+B3_PAIRS = int(os.environ.get("B3_PAIRS", 50_000))
+B4_PAIRS = int(os.environ.get("B4_PAIRS", 50_000))
+B4_CHUNKS = int(os.environ.get("B4_CHUNKS", 10))
 
 cfg = SimConfig()
 sp = load_sp_flex("/root/reference/PregameSPPlus2025_1.csv")
@@ -54,76 +61,78 @@ ms = [(build_team_context_from_sp_flex(a, 2025, 1, sp),
 results = {}
 cache = Path(".table_cache")
 cold_note = "cold (no table cache)" if not any(
-    cache.glob("fusedpair_*.pkl")) else "warm-ish (cache present)"
+    cache.glob("tables_*.pkl")) else "warm-ish (cache present)"
 t0 = time.perf_counter()
-sr = SlateRunner(ms, heads, cfg, quality="nano")
+runners = [MatchupRunner(a, b, heads, cfg, mode="table", table_quality="nano")
+           for a, b in ms]
 build_s = time.perf_counter() - t0
 print(f"[#3] table build for {len(games)} matchups: {build_s:.0f}s "
       f"({cold_note})", flush=True)
 t0 = time.perf_counter()
-sr2 = SlateRunner(ms, heads, cfg, quality="nano")
-build_warm_s = time.perf_counter() - t0
-print(f"[#3] warm rebuild (disk cache): {build_warm_s:.0f}s", flush=True)
+_ = MatchupRunner(*ms[0], heads, cfg, mode="table", table_quality="nano")
+build_warm_s = (time.perf_counter() - t0) * len(games)
+print(f"[#3] warm rebuild (disk cache): {build_warm_s:.0f}s "
+      f"projected for the slate", flush=True)
 
-import os
-n_pairs_3 = int(os.environ.get("B3_PAIRS", 50_000))  # 100k games per matchup
-out = sr.run(n_pairs_3, seed=0)
-_ = np.asarray(out.score[:4])      # compile + run
-t0 = time.perf_counter()
-out = sr.run(n_pairs_3, seed=1)
+# compile once (shapes shared across matchups), then the timed slate
+out = runners[0].run_pairs(B3_PAIRS, seed=0, collect_players=False,
+                           collect_stats=False)
 _ = np.asarray(out.score[:4])
+t0 = time.perf_counter()
+scores3 = []
+for gi, r in enumerate(runners):
+    o = r.run_pairs(B3_PAIRS, seed=1 + gi, collect_players=False,
+                    collect_stats=False)
+    scores3.append(o.score)   # stays on device
+_ = np.asarray(scores3[-1][:4])
 run3_s = time.perf_counter() - t0
-n3 = len(games) * 2 * n_pairs_3
-print(f"[#3] {len(games)} matchups x {2*n_pairs_3:,} games = {n3:,} games "
+n3 = len(games) * 2 * B3_PAIRS
+print(f"[#3] {len(games)} matchups x {2*B3_PAIRS:,} games = {n3:,} games "
       f"in {run3_s:.2f}s -> {n3/run3_s:,.0f} games/s", flush=True)
 results["config3"] = {
-    "matchups": len(games), "games_per_matchup": 2 * n_pairs_3,
+    "matchups": len(games), "games_per_matchup": 2 * B3_PAIRS,
     "build_s": round(build_s, 1), "build_note": cold_note,
     "build_warm_s": round(build_warm_s, 1),
     "sim_s": round(run3_s, 2), "games_per_s": round(n3 / run3_s),
 }
 
 # ---- configs #4/#5: 1M trials/game, device-accumulated histograms ---------
-G = len(games)
-
-
 @jax.jit
-def per_game_hists(score, gid):
+def hists(score):
     margin = jnp.clip(score[:, 0] - score[:, 1] + MARGIN_OFF, 0, NBINS - 1)
     total = jnp.clip(score[:, 0] + score[:, 1], 0, TOTAL_BINS - 1)
-    mh = jnp.bincount(gid * NBINS + margin, length=G * NBINS)
-    th = jnp.bincount(gid * TOTAL_BINS + total, length=G * TOTAL_BINS)
     s = score.astype(jnp.float32)
-    sums = jnp.zeros((G, 2)).at[gid].add(s)
-    sqs = jnp.zeros((G, 2)).at[gid].add(s * s)
-    return mh.reshape(G, NBINS), th.reshape(G, TOTAL_BINS), sums, sqs
+    return (jnp.bincount(margin, length=NBINS),
+            jnp.bincount(total, length=TOTAL_BINS),
+            s.sum(axis=0), (s * s).sum(axis=0))
 
-PAIRS_PER_CHUNK = int(os.environ.get("B4_PAIRS", 50_000))
-CHUNKS = int(os.environ.get("B4_CHUNKS", 10))  # 10 x 100k = 1M games per matchup
+
+G = len(games)
 mh = np.zeros((G, NBINS), np.int64)
 th = np.zeros((G, TOTAL_BINS), np.int64)
 sums = np.zeros((G, 2)); sqs = np.zeros((G, 2))
 t0 = time.perf_counter()
-for ci in range(CHUNKS):
-    o = sr.run(PAIRS_PER_CHUNK, seed=100 + ci)
-    per = 2 * PAIRS_PER_CHUNK
-    gid = jnp.asarray(np.arange(G * per) // per, jnp.int32)
-    m, t, s_, q_ = per_game_hists(o.score, gid)
-    mh += np.asarray(m); th += np.asarray(t)
-    sums += np.asarray(s_); sqs += np.asarray(q_)
-    print(f"[#4] chunk {ci+1}/{CHUNKS} done @ {time.perf_counter()-t0:.1f}s",
-          flush=True)
+for gi, r in enumerate(runners):
+    for ci in range(B4_CHUNKS):
+        o = r.run_pairs(B4_PAIRS, seed=1000 + gi * B4_CHUNKS + ci,
+                        collect_players=False, collect_stats=False)
+        m, t, s_, q_ = hists(o.score)
+        mh[gi] += np.asarray(m); th[gi] += np.asarray(t)
+        sums[gi] += np.asarray(s_); sqs[gi] += np.asarray(q_)
+    if (gi + 1) % 10 == 0:
+        print(f"[#4] matchup {gi+1}/{G} @ {time.perf_counter()-t0:.1f}s",
+              flush=True)
 run4_s = time.perf_counter() - t0
-n4 = G * CHUNKS * 2 * PAIRS_PER_CHUNK
+n4 = G * B4_CHUNKS * 2 * B4_PAIRS
 print(f"[#4] {n4:,} games in {run4_s:.1f}s -> {n4/run4_s:,.0f} games/s",
       flush=True)
 results["config4_5"] = {
-    "matchups": G, "trials_per_matchup": CHUNKS * 2 * PAIRS_PER_CHUNK,
+    "matchups": G, "trials_per_matchup": B4_CHUNKS * 2 * B4_PAIRS,
     "sim_s": round(run4_s, 1), "games_per_s": round(n4 / run4_s),
 }
 
 # edge + calibration tables from the accumulated histograms
-n_per = CHUNKS * 2 * PAIRS_PER_CHUNK
+n_per = B4_CHUNKS * 2 * B4_PAIRS
 margin_vals = np.arange(NBINS) - MARGIN_OFF
 total_vals = np.arange(TOTAL_BINS)
 rows = []
@@ -163,7 +172,8 @@ print(df.head(10).to_string(index=False), flush=True)
 md = [
     "# BASELINE configs #3-#5 at spec (single v5e chip, nano tables)",
     "",
-    f"- run date: driver round 2; {jax.devices()[0].device_kind}",
+    f"- device: {jax.devices()[0].device_kind}; per-matchup launches, one "
+    "shared compile",
     f"- config #3: {results['config3']['matchups']} matchups x "
     f"{results['config3']['games_per_matchup']:,} games = "
     f"{results['config3']['matchups']*results['config3']['games_per_matchup']:,} "
@@ -171,13 +181,18 @@ md = [
     f"**{results['config3']['games_per_s']:,} games/s** "
     f"(table build {results['config3']['build_s']}s "
     f"{results['config3']['build_note']}; warm rebuild "
-    f"{results['config3']['build_warm_s']}s)",
+    f"~{results['config3']['build_warm_s']}s for the whole slate)",
     f"- configs #4+#5: {results['config4_5']['matchups']} matchups x "
     f"{results['config4_5']['trials_per_matchup']:,} trials = {n4:,} games "
     f"in {results['config4_5']['sim_s']}s -> "
     f"**{results['config4_5']['games_per_s']:,} games/s**, margin/total "
     "histograms accumulated on device; edge + calibration table: "
     "benchmarks/season_sweep_1M.csv",
+    "- layout note: the ('game','trial') single-launch SlateRunner measured "
+    "126,531 games/s on the same workload — a shared 60-game table (983k "
+    "rows) sits past the gather row-count cliff; per-matchup 16k-row tables "
+    "win 5.8x on one chip.  The game axis remains the multi-chip sharding "
+    "dimension.",
     "",
     "Top 10 matchups (1M trials each):",
     "",
