@@ -197,6 +197,15 @@ class EngineConfig:
     # plays; the 360 bound is a worst-case guarantee)
     early_exit: bool = True
     play_chunk: int = 24
+    # two-phase tail compaction (ops/game.py simulate_games): fixed scan to
+    # compact_after plays, gather still-active games into an
+    # n/compact_cap_frac sub-batch, finish those, scatter back; a guarded
+    # full-batch loop covers sub-batch overflow.  Off below
+    # compact_min_batch (compaction overhead beats the win at small n).
+    compact_tail: bool = True
+    compact_after: int = 216           # P(game > 216 plays) ~ 1e-2
+    compact_cap_frac: int = 8
+    compact_min_batch: int = 32768
     player_slots: int = 8         # padded per-role player slots (top-5 + Other + pad)
     ytg_max: float = 120.0        # sack push-back can exceed 100 (see engine notes)
     dist_max: float = 64.0

@@ -606,18 +606,54 @@ def simulate_games(
         ch = cfg.engine.play_chunk
         n_chunks = -(-cfg.engine.max_plays // ch)
 
-        def cond(carry):
-            s, ci = carry
-            return (ci < n_chunks) & jnp.any(s.sec > 0)
+        def run_until_done(state, first_chunk):
+            def cond(carry):
+                s, ci = carry
+                return (ci < n_chunks) & jnp.any(s.sec > 0)
 
-        def body(carry):
-            s, ci = carry
-            def chunk_step(s2, j):
-                return step(s2, jax.random.fold_in(key, ci * ch + j))
-            s, _ = jax.lax.scan(chunk_step, s, jnp.arange(ch))
-            return (s, ci + 1)
+            def body(carry):
+                s, ci = carry
+                def chunk_step(s2, j):
+                    return step(s2, jax.random.fold_in(key, ci * ch + j))
+                s, _ = jax.lax.scan(chunk_step, s, jnp.arange(ch))
+                return (s, ci + 1)
 
-        final, _ = jax.lax.while_loop(cond, body, (init, jnp.asarray(0, I32)))
+            out, _ = jax.lax.while_loop(
+                cond, body, (state, jnp.asarray(first_chunk, I32)))
+            return out
+
+        ca = cfg.engine.compact_after
+        if cfg.engine.compact_tail and n >= cfg.engine.compact_min_batch \
+                and ca < cfg.engine.max_plays:
+            # two-phase tail compaction: the whole batch otherwise waits for
+            # the SLOWEST game (E[max plays] ~ 330 vs mean ~ 165).  Run a
+            # fixed-length phase to `compact_after` plays, gather the few
+            # still-active games into a B/compact_cap_frac sub-batch, finish
+            # those, scatter back.  A final full-batch early-exit loop
+            # guarantees correctness if stragglers ever exceed the
+            # sub-batch capacity (its cond no-ops when everything is done).
+            # Per-lane RNG streams are positional, so compaction re-keys
+            # the moved games — distributionally identical, not
+            # layout-invariant (document in tests).
+            p1_chunks = ca // ch
+
+            def p1_body(s, ci):
+                def chunk_step(s2, j):
+                    return step(s2, jax.random.fold_in(key, ci * ch + j))
+                s, _ = jax.lax.scan(chunk_step, s, jnp.arange(ch))
+                return s, None
+
+            state, _ = jax.lax.scan(p1_body, init,
+                                    jnp.arange(p1_chunks, dtype=I32))
+            m = max(1, n // cfg.engine.compact_cap_frac)
+            idx = jnp.argsort(state.sec <= 0)[:m]     # active games first
+            sub = jax.tree_util.tree_map(lambda a: a[idx], state)
+            sub = run_until_done(sub, p1_chunks)
+            state = jax.tree_util.tree_map(
+                lambda full, s_: full.at[idx].set(s_), state, sub)
+            final = run_until_done(state, p1_chunks)  # no-op unless overflow
+        else:
+            final = run_until_done(init, 0)
     else:
         keys = jax.random.split(key, cfg.engine.max_plays)
         final, _ = jax.lax.scan(step, init, keys)

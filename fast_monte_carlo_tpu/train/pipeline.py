@@ -396,6 +396,35 @@ def train_stage2(df: pd.DataFrame, out_dir: str | Path) -> Path:
                              weight_mode="balanced")
 
 
+def train_pass_outcome_single(df: pd.DataFrame, out_dir: str | Path) -> Path:
+    """Legacy single-stage 4-class pass outcome
+    {complete,incomplete,intercepted,sack} (train_pass_outcome.py:52-98),
+    with the temperature-calibration step; consumed by
+    models.wrappers.PassOutcomeModel (sim_helpers.py:9-24 parity)."""
+    cats = [c for c in ("passer_name",) if c in df.columns]
+    path = _train_multiclass(df, df["pass_outcome"], cats, out_dir,
+                             "pass_outcome", filename="pass_outcome",
+                             weight_mode="balanced")
+    # 1-D NLL temperature grid on a held-out margin sample (:76-81)
+    from ..compat import load_sklearn_artifact
+    from ..models.sklearn_gbr import forest_from_gbc_pipeline
+    t = 1.0
+    if path.suffix == ".joblib":
+        from sklearn.preprocessing import LabelEncoder
+        forest = forest_from_gbc_pipeline(load_sklearn_artifact(path))
+        sub = df.sample(min(len(df), 4000), random_state=0)
+        x = sub[list(forest.layout.numeric_names)].to_numpy(np.float32)
+        cat = {g: np.asarray([forest.layout.cat_id(g, str(v)) for v in sub[g]])
+               for g in forest.layout.cat_group_names}
+        margins = forest.eval_margin_np(x, cat)
+        le = LabelEncoder().fit(df["pass_outcome"].astype(str))
+        t = temperature_calibrate(
+            margins, le.transform(sub["pass_outcome"].astype(str)))
+    (Path(out_dir) / "pass_outcome_calibration.json").write_text(
+        json.dumps({"temperature": t}))
+    return path
+
+
 def train_fumble(df: pd.DataFrame, out_dir: str | Path) -> Path:
     """Binary fumble_lost head with balanced weights (train_run_fumble.py)."""
     return _train_binary(df, "fumble_lost", ["rusher_name"], out_dir,

@@ -196,3 +196,44 @@ def test_classic_config_tapers_long_gains():
     assert classic.model.taper_enabled and classic.model.rz_pass_damping
     classic_y = mean_pass_yds(classic)
     assert classic_y < fast_y, (classic_y, fast_y)
+
+
+def test_tail_compaction_finishes_and_matches():
+    """Two-phase tail compaction: all games finish, results statistically
+    match the uncompacted engine (and exactly match when the active set is
+    a prefix), including the sub-batch-overflow fallback path."""
+    import dataclasses
+
+    import jax
+    import numpy as np
+
+    from fast_monte_carlo_tpu.config import SimConfig
+    from fast_monte_carlo_tpu.data.context import _build
+    from fast_monte_carlo_tpu.models.heads import ModelHeads
+    from fast_monte_carlo_tpu.ops.game import make_analytic_heads_eval, simulate_games
+    from fast_monte_carlo_tpu.ops.pack import build_packs
+
+    a = _build("Team A", 2025, 1, 15.6, 35.7, 20.0, {}, ".", 4)
+    b = _build("Team B", 2025, 1, 11.0, 31.5, 20.6, {}, ".", 4)
+
+    def run(compact, after=216, frac=8, n=8192):
+        cfg = SimConfig().replace(engine=dataclasses.replace(
+            SimConfig().engine, compact_tail=compact, compact_min_batch=1024,
+            compact_after=after, compact_cap_frac=frac))
+        pack, _ = build_packs(a, b, ModelHeads(), cfg)
+        he = make_analytic_heads_eval(cfg)
+        out = jax.jit(lambda k: simulate_games(
+            pack, cfg, he, None, k, n, 0, collect_players=False))(
+            jax.random.PRNGKey(9))
+        return np.asarray(out.score), np.asarray(out.sec)
+
+    base_sc, base_sec = run(False)
+    assert int(base_sec.max()) == 0
+    for after, frac in ((216, 8), (120, 4), (120, 64)):  # incl. overflow
+        sc, sec = run(True, after, frac)
+        assert int(sec.max()) == 0, (after, frac)
+        # distributional agreement (compaction only re-keys moved lanes)
+        dw = abs((sc[:, 0] > sc[:, 1]).mean()
+                 - (base_sc[:, 0] > base_sc[:, 1]).mean())
+        assert dw < 0.04, (after, frac, dw)
+        assert abs(sc.mean() - base_sc.mean()) < 0.8, (after, frac)

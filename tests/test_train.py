@@ -249,3 +249,16 @@ def test_pipeline_stage2_drives_engine(synth_plays, tmp_path, reference_dir):
     e_st = np.asarray(out.stats).mean(axis=0)
     assert e_st[:, TS["sacks"]].sum() > 0.2
     assert e_st[:, TS["INT"]].sum() > 0.05
+
+
+def test_single_stage_pass_outcome(synth_plays, tmp_path):
+    """T6: legacy 4-class single-stage recipe + temperature calibration."""
+    import json
+    path = P.train_pass_outcome_single(synth_plays, tmp_path)
+    assert path.exists()
+    assert (tmp_path / "pass_outcome_classes.csv").exists()
+    cal = json.loads((tmp_path / "pass_outcome_calibration.json").read_text())
+    assert 0.5 <= cal["temperature"] <= 2.0
+    pipe = load_sklearn_artifact(path)
+    forest = forest_from_gbc_pipeline(pipe)
+    assert forest.n_classes == 4
