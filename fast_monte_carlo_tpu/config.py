@@ -202,9 +202,17 @@ class EngineConfig:
     # n/compact_cap_frac sub-batch, finish those, scatter back; a guarded
     # full-batch loop covers sub-batch overflow.  Off below
     # compact_min_batch (compaction overhead beats the win at small n).
-    compact_tail: bool = True
-    compact_after: int = 216           # P(game > 216 plays) ~ 1e-2
-    compact_cap_frac: int = 8
+    # Tail compaction: OFF by default — a measured negative result.  The
+    # step-count distribution is tight (median 164, P(>170)=6.3%, max 183
+    # at 8k games), so the chunked early-exit loop already stops near ~192
+    # and compaction's ~24-step saving lost to its own gather/scatter and
+    # phase-transition overhead on the real chip (678k games/s plain vs
+    # 644k compacted at 262k batch, compact_after=168).  The machinery
+    # stays (tested incl. overflow) for workloads with heavier tails,
+    # e.g. overtime rules or low-scoring configs.
+    compact_tail: bool = False
+    compact_after: int = 168
+    compact_cap_frac: int = 4
     compact_min_batch: int = 32768
     player_slots: int = 8         # padded per-role player slots (top-5 + Other + pad)
     ytg_max: float = 120.0        # sack push-back can exceed 100 (see engine notes)
