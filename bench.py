@@ -31,7 +31,7 @@ REFERENCE_DIR = "/root/reference"
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--mode", default="table", choices=["table", "exact", "analytic"])
-    ap.add_argument("-n", type=int, default=131072, help="games per timed run")
+    ap.add_argument("-n", type=int, default=262144, help="games per timed run")
     ap.add_argument("--pairs", action="store_true", help="n counts pairs")
     ap.add_argument("--smoke", action="store_true", help="tiny CPU smoke run")
     ap.add_argument("--seed", type=int, default=0)
