@@ -569,6 +569,75 @@ def initial_state(n: int, first_offense, cfg: SimConfig, k: int,
     )
 
 
+def _segment_fn(cfg, heads_eval, collect_players, collect_stats, seg_plays):
+    """Jitted seg_plays-step advance, cached so repeated segmented runs
+    reuse one compilation (a fresh jax.jit per call would recompile)."""
+    import functools
+
+    key_t = (cfg, heads_eval, collect_players, collect_stats, seg_plays)
+    cached = _SEGMENT_CACHE.get(key_t)
+    if cached is not None:
+        return cached
+
+    # no donation: initial_state aliases arrays (off IS fo), which trips
+    # "donate the same buffer twice"; exact-mode batches are small anyway
+    @jax.jit
+    def seg(s, key, start, pack, heads_state):
+        def step(s2, j):
+            k = jax.random.fold_in(key, start + j)
+            return play_step(s2, k, pack, cfg, heads_eval, heads_state,
+                             collect_players, collect_stats), None
+        s, _ = jax.lax.scan(step, s, jnp.arange(seg_plays))
+        return s, jnp.any(s.sec > 0)
+
+    _SEGMENT_CACHE[key_t] = seg
+    return seg
+
+
+_SEGMENT_CACHE: dict = {}
+
+
+def simulate_games_segmented(
+    pack: MatchupPack,
+    cfg: SimConfig,
+    heads_eval: HeadsEvalFn,
+    heads_state,
+    key: jnp.ndarray,
+    n: int,
+    first_offense,
+    collect_players: bool = True,
+    game_id=0,
+    collect_stats: bool = True,
+    seg_plays: int = 72,
+) -> GameState:
+    """simulate_games split into multiple short device launches that carry
+    the GameState between them (state never leaves the device; the host
+    only re-dispatches and checks the done flag).
+
+    Exists for EXACT mode on the axon backend: a full-game exact launch is
+    ~130s of device time and the tunnel kills launches on the order of a
+    minute ('UNAVAILABLE: TPU device error'); 24-step chunks of the same
+    program run fine (benchmarks/tpu_exact_probe.py).  Semantics match
+    simulate_games with early_exit=False bar the host-side early stop."""
+    init = initial_state(n, first_offense, cfg, pack.k, game_id,
+                         collect_players, collect_stats)
+    seg = _segment_fn(cfg, heads_eval, collect_players, collect_stats,
+                      seg_plays)
+    s = init
+    start = 0
+    while start < cfg.engine.max_plays:
+        s, alive = seg(s, key, jnp.asarray(start, I32), pack, heads_state)
+        if not bool(alive):   # host sync once per segment
+            break
+        start += seg_plays
+    final = s
+    if not collect_stats:
+        return final
+    final_stats = final.stats.at[:, 0, TS["points"]].set(final.score[:, 0].astype(F32))
+    final_stats = final_stats.at[:, 1, TS["points"]].set(final.score[:, 1].astype(F32))
+    return final._replace(stats=final_stats)
+
+
 def simulate_games(
     pack: MatchupPack,
     cfg: SimConfig,

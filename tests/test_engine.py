@@ -102,3 +102,34 @@ def test_engine_fumbles_extension(setup):
     # (train_run_fumble.py) so its raw probabilities overestimate the base
     # rate; presence is what we assert here.
     assert 0.0 < fl < 8.0
+
+
+def test_segmented_runner_matches_plain(setup):
+    """simulate_games_segmented (multi-launch exact-mode path for the axon
+    launch watchdog) finishes all games and matches the plain engine
+    distributionally."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from fast_monte_carlo_tpu.ops.game import (
+        make_exact_heads_eval, simulate_games, simulate_games_segmented,
+    )
+
+    cfg, a, b, heads, pack, hp = setup
+    he = make_exact_heads_eval(cfg)
+    n = 256
+    fo = jnp.asarray(np.arange(n) % 2, jnp.int32)
+    seg_out = simulate_games_segmented(pack, cfg, he, hp,
+                                       jax.random.PRNGKey(12), n, fo,
+                                       collect_players=False, seg_plays=64)
+    assert int(np.asarray(seg_out.sec).max()) == 0
+    plain = jax.jit(lambda hs, k: simulate_games(
+        pack, cfg, he, hs, k, n, fo, collect_players=False))(
+        hp, jax.random.PRNGKey(12))
+    s1 = np.asarray(seg_out.score, float)
+    s2 = np.asarray(plain.score, float)
+    # same seed but different step-key schedule across the scan boundary is
+    # fine; agreement is distributional
+    assert abs(s1.mean() - s2.mean()) < 2.5
+    assert abs((s1[:, 0] > s1[:, 1]).mean() - (s2[:, 0] > s2[:, 1]).mean()) < 0.13
