@@ -31,7 +31,7 @@ REFERENCE_DIR = "/root/reference"
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--mode", default="table", choices=["table", "exact", "analytic"])
-    ap.add_argument("-n", type=int, default=262144, help="games per timed run")
+    ap.add_argument("-n", type=int, default=1048576, help="games per timed run")
     ap.add_argument("--pairs", action="store_true", help="n counts pairs")
     ap.add_argument("--smoke", action="store_true", help="tiny CPU smoke run")
     ap.add_argument("--seed", type=int, default=0)
@@ -39,6 +39,9 @@ def main() -> int:
     ap.add_argument("--rng", default="threefry", choices=["threefry", "rbg"])
     ap.add_argument("--no-stats", action="store_true",
                     help="score-only accrual (edge-scan / sweep workloads)")
+    ap.add_argument("--chunk", type=int, default=131072,
+                    help="games per launch; n is split into pipelined "
+                         "launches (0 = single launch)")
     ap.add_argument("--quality", default="nano",
                     choices=["default", "coarse", "slate", "fused", "turbo",
                              "nano"],
@@ -94,25 +97,38 @@ def main() -> int:
     n_games = 2 * n_pairs
 
     stats = not args.no_stats
+    chunk_pairs = (args.chunk // 2) if args.chunk else n_pairs
+    chunk_pairs = min(chunk_pairs, n_pairs)
+    n_chunks = -(-n_pairs // chunk_pairs)
+
+    def run_workload(seed0):
+        """n split into pipelined launches (no sync between launches —
+        measured ~20% over one big launch: overlapped dispatch + shorter
+        per-launch early-exit tails).  One transfer at the end."""
+        outs = [runner.run_pairs(min(chunk_pairs, n_pairs - ci * chunk_pairs),
+                                 seed=seed0 + ci, collect_players=False,
+                                 collect_stats=stats, block=False)
+                for ci in range(n_chunks)]
+        _ = np.asarray(outs[-1].score[:16])   # forced host transfer
+        for o in outs[:-1]:
+            jax.block_until_ready(o.score)
+        return outs
+
     t0 = time.perf_counter()
-    out = runner.run_pairs(n_pairs, seed=args.seed, collect_players=False,
-                           collect_stats=stats)
+    outs = run_workload(args.seed)
     compile_s = time.perf_counter() - t0
-    print(f"# compile+first run: {compile_s:.1f}s", file=sys.stderr)
+    print(f"# compile+first run: {compile_s:.1f}s "
+          f"({n_chunks} launch(es) of {2*chunk_pairs:,})", file=sys.stderr)
 
     best = None
     for r in range(args.repeats):
         t0 = time.perf_counter()
-        out = runner.run_pairs(n_pairs, seed=args.seed + 1 + r,
-                               collect_players=False, collect_stats=stats)
-        # force a (tiny) host transfer inside the timed region: the axon
-        # backend's block_until_ready has been observed not to wait
-        _ = np.asarray(out.score[:16])
+        outs = run_workload(args.seed + 1000 * (r + 1))
         dt = time.perf_counter() - t0
         best = dt if best is None else min(best, dt)
         print(f"# run {r}: {dt:.3f}s -> {n_games/dt:,.0f} games/s", file=sys.stderr)
 
-    score = np.asarray(out.score)
+    score = np.concatenate([np.asarray(o.score) for o in outs])
     win_a = float((score[:, 0] > score[:, 1]).mean())
     print(f"# sanity: mean {score.mean(axis=0).round(2).tolist()} winA {win_a:.4f}",
           file=sys.stderr)

