@@ -51,7 +51,11 @@ class MatchupRunner:
     mode: str = "table"
     coach_map: Optional[Dict[str, str]] = None
     shard: bool = False
-    table_quality: str = "default"   # 'default'|'coarse'|'slate'|'fused'|'turbo'|'nano'
+    # 'nano' (default): single-gather fast path, validated vs the oracle
+    # (VALIDATION.md); falls back to per-head fine tables automatically for
+    # focus rosters (player-dependent outputs can't fuse).  Other presets:
+    # 'default' (per-head fine/coarse), 'coarse', 'slate', 'fused', 'turbo'.
+    table_quality: str = "nano"
 
     def __post_init__(self):
         self.pack, hp = build_packs(
@@ -171,7 +175,7 @@ def players_frame(out: GameState, team_a: TeamContext, team_b: TeamContext) -> p
         ROLE_RUSH: lambda tc: tc.rush,
         ROLE_REC: lambda tc: tc.target,
     }
-    start_flags = np.where(np.arange(B) % 2 == 0, "A", "B")
+    start_flags = np.where(np.asarray(out.fo) == 0, "A", "B")
     sims = np.arange(B)
     frames: List[pd.DataFrame] = []
     for side in (0, 1):
@@ -337,7 +341,7 @@ class SlateRunner:
     heads: ModelHeads
     cfg: SimConfig = field(default_factory=SimConfig)
     coach_map: Optional[Dict[str, str]] = None
-    quality: str = "fused"
+    quality: str = "nano"
     shard: bool = False
 
     def __post_init__(self):
@@ -524,7 +528,7 @@ def simulate_slate(
     artifact_dir: str = "/root/reference",
     focus_csv: Optional[str] = None,
     mode: str = "table",
-    table_quality: str = "fused",
+    table_quality: str = "nano",
     cfg: Optional[SimConfig] = None,
     seed: int = 0,
 ) -> pd.DataFrame:

@@ -107,7 +107,8 @@ def _cmd_slate(args) -> int:
                build_team_context_from_sp_flex(b, args.year, args.week, sp))
               for a, b in games]
         sr = SlateRunner(ms, load_heads(args.artifacts),
-                         quality="turbo" if args.quality == "turbo" else "fused")
+                         quality=args.quality if args.quality in
+                         ("turbo", "nano", "fused") else "fused")
         out = sr.run(args.n)
         df = sr.summaries(out)
     else:
@@ -212,7 +213,7 @@ def main(argv=None) -> int:
     pl.add_argument("--year", type=int, default=2025)
     pl.add_argument("--week", type=int, default=1)
     pl.add_argument("--mode", default="table")
-    pl.add_argument("--quality", default="fused")
+    pl.add_argument("--quality", default="nano")
     pl.add_argument("--batched", action="store_true",
                     help="run the whole slate as one compiled program "
                          "(('game','trial') layout)")
