@@ -36,7 +36,8 @@ def main() -> int:
     ap.add_argument("--smoke", action="store_true", help="tiny CPU smoke run")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--repeats", type=int, default=2)
-    ap.add_argument("--rng", default="threefry", choices=["threefry", "rbg"])
+    ap.add_argument("--rng", default="threefry",
+                choices=["threefry", "rbg", "pallas"])
     ap.add_argument("--no-stats", action="store_true",
                     help="score-only accrual (edge-scan / sweep workloads)")
     ap.add_argument("--chunk", type=int, default=131072,

@@ -270,9 +270,15 @@ def play_step(
     collect_stats: bool = True,
 ) -> GameState:
     B = s.off.shape[0]
-    ku, kn = jax.random.split(key)
-    u = jax.random.uniform(ku, (B, N_UNIFORMS))
-    n = jax.random.normal(kn, (B, N_NORMALS))
+    if cfg.engine.rng_impl == "pallas":
+        # hardware PRNG in one Pallas kernel (~6x cheaper than threefry,
+        # ops/rng_pallas.py); distributional-equivalence contract only
+        from .rng_pallas import step_draws
+        u, n = step_draws(key, B)
+    else:
+        ku, kn = jax.random.split(key)
+        u = jax.random.uniform(ku, (B, N_UNIFORMS))
+        n = jax.random.normal(kn, (B, N_NORMALS))
 
     active = s.sec > 0
     off, down0, dist0, ytg0, sec0 = s.off, s.down, s.dist, s.ytg, s.sec
