@@ -48,3 +48,23 @@ def test_slate_runner_sharded(slate):
     df = sr.summaries(out)
     assert (df.n_games == 256).all()
     assert 0 <= df.win_a.min() and df.win_a.max() <= 1
+
+
+def test_slate_runner_nano_quality(slate):
+    """Nano-layout slates: same summaries as the default (coarse-fused)
+    SlateRunner within MC noise, on the sharded path too."""
+    cfg, ms, heads = slate
+    sr = SlateRunner(ms, heads, cfg, quality="nano")
+    out = sr.run(384, seed=5)
+    assert sr.heads_state.nano is not None and sr.heads_state.fused is None
+    df = sr.summaries(out)
+    assert len(df) == 3 and (df.n_games == 768).all()
+    base = SlateRunner(ms, heads, cfg).summaries(
+        SlateRunner(ms, heads, cfg).run(384, seed=6))
+    for i in range(3):
+        assert abs(df.iloc[i].win_a - base.iloc[i].win_a) < 0.09, i
+        assert abs(df.iloc[i].mean_total - base.iloc[i].mean_total) < 2.5, i
+
+    sharded = SlateRunner(ms, heads, cfg, quality="nano", shard=True)
+    out2 = sharded.run(64, seed=7)
+    assert len(out2.score.sharding.device_set) == 8
