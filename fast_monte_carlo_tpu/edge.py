@@ -390,14 +390,22 @@ def scan_props_device(out, team_a_ctx, team_b_ctx, prop_sheet_path: str,
     @jax.jit
     def reduce_props(pstats, side_i, role_i, slot_i, col_i, lines):
         vals = pstats[:, side_i, role_i, slot_i, col_i]     # (B, P)
+        # reference semantics (edge_finder.py:182-205 over players-file
+        # rows): a player only has a row in sims where they recorded ANY
+        # stat, so prop probabilities condition on that activity
+        act = (pstats[:, side_i, role_i, slot_i, :] != 0).any(axis=-1)
+        cnt = jnp.maximum(1.0, act.sum(axis=0).astype(jnp.float32))
+        masked = jnp.where(act, vals, jnp.nan)
         return {
-            "p_over": (vals > lines[None, :]).mean(axis=0),
-            "p_under": (vals < lines[None, :]).mean(axis=0),
-            "push": (jnp.abs(vals - lines[None, :]) <= 1e-9).mean(axis=0),
-            "mean": vals.mean(axis=0),
-            "median": jnp.percentile(vals, 50.0, axis=0),
-            "p75": jnp.percentile(vals, 75.0, axis=0),
-            "p90": jnp.percentile(vals, 90.0, axis=0),
+            "p_over": ((vals > lines[None, :]) & act).sum(axis=0) / cnt,
+            "p_under": ((vals < lines[None, :]) & act).sum(axis=0) / cnt,
+            "push": ((jnp.abs(vals - lines[None, :]) <= 1e-9) & act
+                     ).sum(axis=0) / cnt,
+            "mean": jnp.where(act, vals, 0.0).sum(axis=0) / cnt,
+            "median": jnp.nanpercentile(masked, 50.0, axis=0),
+            "p75": jnp.nanpercentile(masked, 75.0, axis=0),
+            "p90": jnp.nanpercentile(masked, 90.0, axis=0),
+            "n_active": cnt,
         }
 
     red = {k: np.asarray(v) for k, v in reduce_props(
@@ -415,7 +423,7 @@ def scan_props_device(out, team_a_ctx, team_b_ctx, prop_sheet_path: str,
             "ev_$100": round(rec["ev"], 2),
             "mean": float(red["mean"][i]), "median": float(red["median"][i]),
             "p75": float(red["p75"][i]), "p90": float(red["p90"][i]),
-            "samples": int(out.pstats.shape[0]),
+            "samples": int(red["n_active"][i]),
         })
     df = pd.DataFrame(results)
     df["abs_edge"] = df["edge_pct"].abs()

@@ -700,16 +700,15 @@ def simulate_games(
         ca = cfg.engine.compact_after
         if cfg.engine.compact_tail and n >= cfg.engine.compact_min_batch \
                 and ca < cfg.engine.max_plays:
-            # two-phase tail compaction: the whole batch otherwise waits for
-            # the SLOWEST game (E[max plays] ~ 330 vs mean ~ 165).  Run a
-            # fixed-length phase to `compact_after` plays, gather the few
-            # still-active games into a B/compact_cap_frac sub-batch, finish
-            # those, scatter back.  A final full-batch early-exit loop
-            # guarantees correctness if stragglers ever exceed the
-            # sub-batch capacity (its cond no-ops when everything is done).
+            # two-phase tail compaction (opt-in; see the EngineConfig note —
+            # with the default workload's tight step-count tail it measured
+            # NEGATIVE and is off): fixed-length phase to `compact_after`
+            # plays, gather the still-active games into a
+            # B/compact_cap_frac sub-batch, finish those, scatter back.  A
+            # final full-batch early-exit loop guarantees correctness if
+            # stragglers exceed the sub-batch (its cond no-ops otherwise).
             # Per-lane RNG streams are positional, so compaction re-keys
-            # the moved games — distributionally identical, not
-            # layout-invariant (document in tests).
+            # moved games — distributionally identical, not layout-invariant.
             p1_chunks = ca // ch
 
             def p1_body(s, ci):

@@ -43,6 +43,7 @@ def simulate_games_sharded(
     mesh: Optional[Mesh] = None,
     collect_players: bool = False,
     game_id=0,
+    collect_stats: bool = True,
 ) -> GameState:
     """Run n games sharded over the trial axis of `mesh`.
 
@@ -77,6 +78,7 @@ def simulate_games_sharded(
         return simulate_games(pack, cfg, heads_eval, heads_state,
                               local_keys[0], n_local, local_fo,
                               collect_players=collect_players,
-                              game_id=local_gid)
+                              game_id=local_gid,
+                              collect_stats=collect_stats)
 
     return run(keys, fo, gid)
