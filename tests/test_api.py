@@ -164,3 +164,27 @@ def test_simulate_upcoming_matchup_end_to_end(reference_dir, focus_csv, tmp_path
     assert (tmp_path / f"scores_{csv_base_from('Kansas State', 'Iowa State', 1)}").exists()
     assert len(sims_df) == 64
     assert not players_df.empty
+
+
+def test_cli_edges_device(reference_dir, tmp_path, capsys):
+    """cli edges --device: sim + markets + props entirely on-device."""
+    import pandas as pd
+
+    from fast_monte_carlo_tpu.cli import main
+
+    props = tmp_path / "props.csv"
+    pd.DataFrame({
+        "team": ["Kansas State"], "player": ["Unknown"],
+        "stat": ["pass_yards"], "yards": [250.5],
+    }).to_csv(props, index=False)
+    rc = main([
+        "edges", "--device", "--team-a", "Kansas State",
+        "--team-b", "Iowa State",
+        "--sp", str(reference_dir / "PregameSPPlus2025_1.csv"),
+        "-n", "128", "--spread", "-3", "--total", "58.5",
+        "--props", str(props), "--quality", "nano",
+    ])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "Game Market" in out and "Total:" in out
+    assert "simulated + reduced on" in out
