@@ -142,3 +142,151 @@ def predict(jf: JaxForest, x_num, cat_ids) -> jnp.ndarray:
     if jf.link == "sigmoid":
         return jax.nn.sigmoid(m[:, 0])
     return jax.nn.softmax(m, axis=1)
+
+
+# ---------------------------------------------------------------------------
+# merged multi-forest evaluation: ONE gather walk for every head
+# ---------------------------------------------------------------------------
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class MergedForest:
+    """Every head's trees in one node soup, walked together.
+
+    Exact mode's cost on TPU is per-op gather LATENCY: 15 separate forests
+    x depth levels x (gather + 2 take_along_axis) ~ 200 serialized gather
+    ops per play step (~0.37 s/step at B=1024).  Walking ALL ~4.7k trees as
+    one (B, T_total) front needs max_depth x 3 ops total.
+
+    Per-node channels (N, 10): [num_idx, is_cat, cat_col, cat_local,
+    thresh, left, right, default_left, cmp_lt, zero_as_missing] — the last
+    two are per-node because xgboost ('lt', zero-as-missing) and sklearn
+    ('le') forests merge into one table.  num_idx indexes the SHARED ST1
+    feature row; cat_col indexes the caller-built (B, G) per-trial category
+    id matrix (one column per (head, cat-group): id spaces differ per head).
+    Class aggregation is one (B,T)x(T,C_total) matmul against a
+    block-diagonal tree->column matrix; `slices` maps head name ->
+    (col_start, n_classes)."""
+
+    nodes: jnp.ndarray         # (N, 10) f32
+    leaf: jnp.ndarray          # (N,)
+    roots: jnp.ndarray         # (T,)
+    class_matrix: jnp.ndarray  # (T, C_total)
+    base_margin: jnp.ndarray   # (C_total,)
+    max_depth: int = field(metadata=dict(static=True))
+    slices: Tuple[Tuple[str, int, int], ...] = field(
+        metadata=dict(static=True), default=())
+    cat_cols: Tuple[str, ...] = field(metadata=dict(static=True), default=())
+
+
+def merge_forests(named: "list[tuple[str, object, dict]]",
+                  feature_order: "tuple[str, ...]") -> MergedForest:
+    """named: [(head_name, FlatForest, {group_name: cat_col_label})].
+    feature_order: the shared numeric row layout (ST1_FEATURES)."""
+    nodes_l, leaf_l, roots_l = [], [], []
+    class_blocks = []
+    base_l = []
+    slices = []
+    cat_cols: list = []
+    node_base = 0
+    col_base = 0
+    tree_counts = []
+    max_depth = 1
+    for name, f, cat_map in named:
+        lay = f.layout
+        ncat = lay.n_cat
+        feat = f.feat
+        internal = feat >= 0
+        is_cat = internal & (feat < ncat)
+        # numeric index remapped into the shared feature row
+        remap = np.asarray(
+            [feature_order.index(n) for n in lay.numeric_names], np.int32)
+        num_idx = np.where(internal & ~is_cat,
+                           remap[np.clip(feat - ncat, 0, len(remap) - 1)], 0)
+        # categorical group -> merged cid column
+        cat_col = np.zeros_like(feat, dtype=np.int32)
+        cat_local = np.zeros_like(feat, dtype=np.int32)
+        for g, (off, size) in enumerate(zip(lay.cat_group_offsets,
+                                            lay.cat_group_sizes)):
+            label = cat_map[lay.cat_group_names[g]]
+            if label not in cat_cols:
+                cat_cols.append(label)
+            gcol = cat_cols.index(label)
+            in_g = is_cat & (feat >= off) & (feat < off + size)
+            cat_col = np.where(in_g, gcol, cat_col)
+            cat_local = np.where(in_g, feat - off, cat_local)
+        idx = np.arange(f.n_nodes, dtype=np.int32)
+        left = np.where(internal, f.left, idx) + node_base
+        right = np.where(internal, f.right, idx) + node_base
+        nodes_l.append(np.stack([
+            num_idx.astype(np.float32),
+            is_cat.astype(np.float32),
+            cat_col.astype(np.float32),
+            cat_local.astype(np.float32),
+            f.thresh.astype(np.float32),
+            left.astype(np.float32),
+            right.astype(np.float32),
+            f.default_left.astype(np.float32),
+            np.full(f.n_nodes, 1.0 if f.cmp == "lt" else 0.0, np.float32),
+            np.full(f.n_nodes, 1.0 if f.zero_as_missing else 0.0, np.float32),
+        ], axis=1))
+        leaf_l.append(f.leaf.astype(np.float32))
+        roots_l.append(f.roots.astype(np.int32) + node_base)
+        cm = np.zeros((f.n_trees, f.n_classes), np.float32)
+        cm[np.arange(f.n_trees), f.tree_class] = 1.0
+        class_blocks.append(cm)
+        base_l.append(f.base_margin.astype(np.float32))
+        slices.append((name, col_base, int(f.n_classes)))
+        tree_counts.append(f.n_trees)
+        node_base += f.n_nodes
+        col_base += f.n_classes
+        max_depth = max(max_depth, int(f.max_depth))
+    t_total = int(sum(tree_counts))
+    class_matrix = np.zeros((t_total, col_base), np.float32)
+    r = 0
+    for (name, cb, nc), cm in zip(slices, class_blocks):
+        class_matrix[r:r + cm.shape[0], cb:cb + nc] = cm
+        r += cm.shape[0]
+    return MergedForest(
+        nodes=jnp.asarray(np.concatenate(nodes_l, axis=0)),
+        leaf=jnp.asarray(np.concatenate(leaf_l)),
+        roots=jnp.asarray(np.concatenate(roots_l)),
+        class_matrix=jnp.asarray(class_matrix),
+        base_margin=jnp.asarray(np.concatenate(base_l)),
+        max_depth=max_depth,
+        slices=tuple(slices),
+        cat_cols=tuple(cat_cols),
+    )
+
+
+def eval_merged(mf: MergedForest, x_num: jnp.ndarray,
+                cid: jnp.ndarray) -> jnp.ndarray:
+    """All heads' margins (B, C_total) in one depth-bounded walk.
+    cid: (B, G) int32, columns in mf.cat_cols order."""
+    B = x_num.shape[0]
+    T = mf.roots.shape[0]
+    node = jnp.broadcast_to(mf.roots[None, :], (B, T)).astype(jnp.int32)
+
+    def body(_, node):
+        nd = jnp.take(mf.nodes, node.reshape(-1), axis=0,
+                      mode="clip").reshape(B, T, 10)
+        f_num = nd[..., 0].astype(jnp.int32)
+        is_cat = nd[..., 1] != 0.0
+        grp = nd[..., 2].astype(jnp.int32)
+        cat_local = nd[..., 3].astype(jnp.int32)
+        th = nd[..., 4]
+        left = nd[..., 5].astype(jnp.int32)
+        right = nd[..., 6].astype(jnp.int32)
+        numv = jnp.take_along_axis(x_num, f_num, axis=1)
+        trial_cat = jnp.take_along_axis(cid, grp, axis=1)
+        catv = (trial_cat == cat_local).astype(x_num.dtype)
+        val = jnp.where(is_cat, catv, numv)
+        go_left = jnp.where(nd[..., 8] != 0.0, val < th, val <= th)
+        go_left = jnp.where((nd[..., 9] != 0.0) & (val == 0.0),
+                            nd[..., 7] != 0.0, go_left)
+        return jnp.where(go_left, left, right)
+
+    node = jax.lax.fori_loop(0, mf.max_depth, body, node)
+    leaf_vals = jnp.take(mf.leaf, node, mode="clip")
+    return jnp.dot(leaf_vals, mf.class_matrix,
+                   preferred_element_type=jnp.float32) + mf.base_margin[None, :]

@@ -144,9 +144,14 @@ def take_dir(t: jnp.ndarray, dirx: jnp.ndarray) -> jnp.ndarray:
 
 def make_exact_heads_eval(cfg: SimConfig) -> HeadsEvalFn:
     """Exact mode: full compiled-forest evaluation per play step.
-    heads_state is a HeadsPack."""
+    heads_state is a HeadsPack.  When the pack carries a MergedForest, all
+    heads' trees walk as ONE (B, T_total) front — exact mode is per-op
+    gather-latency bound on TPU, and the merge cuts ~200 serialized gather
+    ops per step to max_depth x 3 (see forest_eval.MergedForest)."""
 
     def heads_eval(hp: HeadsPack, obs: StepObs, pack: MatchupPack) -> HeadOut:
+        if hp.merged is not None:
+            return _merged_exact_eval(hp, obs, pack, cfg)
         x, off, qb, wr, rb = obs.x, obs.dirx, obs.qb, obs.wr, obs.rb
         p_raw = predict(hp.stage1, x, {"passer_name": _gather2k(pack.ids_qb_stage1, off, qb)})
         p_c = jnp.clip(p_raw + jnp.take(pack.bias, off, mode="clip"),
@@ -187,6 +192,74 @@ def make_exact_heads_eval(cfg: SimConfig) -> HeadsEvalFn:
 
     heads_eval.needs_x = True  # full ST1 feature rows feed the forests
     return heads_eval
+
+
+def _merged_exact_eval(hp: HeadsPack, obs: StepObs, pack: MatchupPack,
+                       cfg: SimConfig) -> HeadOut:
+    """Exact heads via the one-walk MergedForest; outputs match the
+    per-forest path to fp tolerance (same leaves; the class matmul reorders
+    the per-tree sum)."""
+    from .forest_eval import eval_merged
+
+    mf = hp.merged
+    x, off, qb, wr, rb = obs.x, obs.dirx, obs.qb, obs.wr, obs.rb
+    sources = {
+        "qb_stage1": lambda: _gather2k(pack.ids_qb_stage1, off, qb),
+        "qb_stage2": lambda: _gather2k(pack.ids_qb_stage2, off, qb),
+        "wr_stage2": lambda: _gather2k(pack.ids_wr_stage2, off, wr),
+        "qb_passq": lambda: _gather2k(pack.ids_qb_passq, off, qb),
+        "wr_passq": lambda: _gather2k(pack.ids_wr_passq, off, wr),
+        "rb_rushq": lambda: _gather2k(pack.ids_rb_rushq, off, rb),
+        "qb_sackq": lambda: _gather2k(pack.ids_qb_sackq, off, qb),
+        "rb_fumble": lambda: _gather2k(pack.ids_rb_fumble, off, rb),
+        "coach": lambda: take_dir(pack.coach_id, off),
+    }
+    cid = jnp.stack([sources[c]().astype(I32) for c in mf.cat_cols], axis=1)
+    margins = eval_merged(mf, x, cid)
+    cols = {name: (cb, nc) for name, cb, nc in mf.slices}
+
+    def m_of(name):
+        cb, nc = cols[name]
+        return margins[:, cb:cb + nc]
+
+    p_c = jnp.clip(jax.nn.sigmoid(m_of("stage1")[:, 0])
+                   + take_dir(pack.bias, off),
+                   cfg.model.stage1_clip_lo, cfg.model.stage1_clip_hi)
+    if "stage2" in cols:
+        probs = jax.nn.softmax(m_of("stage2"), axis=1)
+        o = hp.stage2_order
+        inc, itc, sck = probs[:, o[0]], probs[:, o[1]], probs[:, o[2]]
+    else:
+        inc, itc, sck = analytic.stage2_fallback_probs(
+            obs.down.astype(F32), obs.dist, cfg, jnp)
+    inc, itc, sck = analytic.stage2_nudge(inc, itc, sck, cfg, jnp)
+    s2_cum = jnp.stack([inc, inc + sck], axis=1)
+
+    def ms(prefix, floor):
+        q10 = m_of(f"{prefix}0")[:, 0]
+        q50 = m_of(f"{prefix}1")[:, 0]
+        q90 = m_of(f"{prefix}2")[:, 0]
+        sigma = jnp.maximum(floor, (q90 - q10) / cfg.model.sigma_denom)
+        return jnp.stack([q50, sigma], axis=1)
+
+    pass_ms = ms("pq", cfg.model.pass_sigma_floor)
+    rush_ms = ms("rq", cfg.model.rush_sigma_floor)
+    sack_ms = ms("sq", cfg.model.sack_sigma_floor)
+    if "fumble" in cols and cfg.model.enable_fumbles:
+        p_f = jax.nn.sigmoid(m_of("fumble")[:, 0])
+    else:
+        p_f = jnp.zeros_like(p_c)
+    p_pass_ml = None
+    if "play" in cols and cfg.model.use_play_model:
+        z = m_of("play") / max(1e-6, hp.play_temperature)
+        p = jax.nn.softmax(z, axis=1)
+        p_pass = p[:, hp.play_pass_idx]
+        if hp.play_run_idx >= 0:
+            p_run = p[:, hp.play_run_idx]
+            p_pass = p_pass / jnp.maximum(1e-9, p_pass + p_run)
+        p_pass_ml = jnp.clip(p_pass, cfg.model.play_clip_lo,
+                             cfg.model.play_clip_hi)
+    return HeadOut(p_c, s2_cum, pass_ms, rush_ms, sack_ms, p_f, p_pass_ml)
 
 
 def make_analytic_heads_eval(cfg: SimConfig) -> HeadsEvalFn:

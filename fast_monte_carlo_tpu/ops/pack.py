@@ -104,6 +104,9 @@ class HeadsPack:
     stage2_order: Tuple[int, int, int] = field(
         metadata=dict(static=True), default=(0, 1, 2)
     )  # column indices of (incomplete, intercepted, sack) in stage2 output
+    # all heads' trees in one walk (exact mode fast path; ops/forest_eval.py
+    # MergedForest) — None only when stage1/quantile heads are absent
+    merged: Optional[object] = None
 
 
 def pack_heads(heads: ModelHeads) -> HeadsPack:
@@ -132,7 +135,43 @@ def pack_heads(heads: ModelHeads) -> HeadsPack:
         play_pass_idx=pass_idx,
         play_run_idx=run_idx,
         stage2_order=s2_order,
+        merged=_merge_heads(heads),
     )
+
+
+def _merge_heads(heads: ModelHeads):
+    """Build the one-walk MergedForest for exact mode (None if the core
+    heads are missing).  Cat-column labels name the per-trial id source the
+    engine gathers from the MatchupPack."""
+    from ..models.heads import ST1_FEATURES
+    from .forest_eval import merge_forests
+
+    if heads.stage1 is None or not heads.pass_quants \
+            or not heads.rush_quants or not heads.sack_quants:
+        return None
+    named = [("stage1", heads.stage1, {"passer_name": "qb_stage1"})]
+    if heads.stage2 is not None:
+        cmap = {"passer_name": "qb_stage2"}
+        if "target_name" in heads.stage2.layout.cat_group_names:
+            cmap["target_name"] = "wr_stage2"
+        named.append(("stage2", heads.stage2, cmap))
+    for i, f in enumerate(heads.pass_quants):
+        named.append((f"pq{i}", f, {"passer_name": "qb_passq",
+                                    "target_name": "wr_passq"}))
+    for i, f in enumerate(heads.rush_quants):
+        named.append((f"rq{i}", f, {"rusher_name": "rb_rushq"}))
+    for i, f in enumerate(heads.sack_quants):
+        named.append((f"sq{i}", f, {"passer_name": "qb_sackq"}))
+    if heads.fumble is not None:
+        named.append(("fumble", heads.fumble, {"rusher_name": "rb_fumble"}))
+    if heads.play is not None:
+        named.append(("play", heads.play, {"head_coach": "coach"}))
+    try:
+        return merge_forests(named, tuple(ST1_FEATURES))
+    except (ValueError, KeyError):
+        # a head with numerics outside the shared ST1 row can't merge;
+        # exact mode falls back to per-forest evaluation
+        return None
 
 
 def build_packs(team_a, team_b, heads: ModelHeads, cfg: SimConfig, coach_map=None):

@@ -133,3 +133,39 @@ def test_segmented_runner_matches_plain(setup):
     # fine; agreement is distributional
     assert abs(s1.mean() - s2.mean()) < 2.5
     assert abs((s1[:, 0] > s1[:, 1]).mean() - (s2[:, 0] > s2[:, 1]).mean()) < 0.13
+
+
+def test_merged_forest_matches_per_forest(setup):
+    """Exact mode's one-walk MergedForest reproduces the per-forest head
+    outputs to fp tolerance on random play states."""
+    import dataclasses
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from fast_monte_carlo_tpu.ops.game import (
+        StepObs, _state_features, make_exact_heads_eval,
+    )
+
+    cfg, a, b, heads, pack, hp = setup
+    assert hp.merged is not None
+    hp_plain = dataclasses.replace(hp, merged=None)
+    rng = np.random.default_rng(4)
+    n = 256
+    down = jnp.asarray(rng.integers(1, 6, n), jnp.int32)
+    dist = jnp.asarray(np.round(rng.uniform(0.5, 25, n) * 2) / 2, jnp.float32)
+    ytg = jnp.asarray(rng.integers(1, 100, n), jnp.float32)
+    sec = jnp.asarray(rng.integers(0, 3601, n), jnp.int32)
+    sd = jnp.asarray(rng.integers(-21, 22, n), jnp.float32)
+    dirx = jnp.asarray(rng.integers(0, 2, n), jnp.int32)
+    x = _state_features(pack, cfg, dirx, down, dist, ytg, sec, sd)
+    obs = StepObs(x=x, sd=sd, dirx=dirx, off=dirx, down=down, dist=dist,
+                  ytg=ytg, sec=sec, qb=jnp.zeros(n, jnp.int32),
+                  wr=jnp.zeros(n, jnp.int32), rb=jnp.zeros(n, jnp.int32))
+    he = make_exact_heads_eval(cfg)
+    o1, o2 = he(hp, obs, pack), he(hp_plain, obs, pack)
+    for f in ("p_complete", "s2_cum", "pass_ms", "rush_ms", "sack_ms",
+              "p_fumble"):
+        np.testing.assert_allclose(np.asarray(getattr(o1, f)),
+                                   np.asarray(getattr(o2, f)),
+                                   rtol=2e-4, atol=2e-4, err_msg=f)
