@@ -38,6 +38,9 @@ def main() -> int:
     ap.add_argument("--repeats", type=int, default=2)
     ap.add_argument("--rng", default="threefry",
                 choices=["threefry", "rbg", "pallas"])
+    ap.add_argument("--unroll", type=int, default=0,
+                    help="lax.scan unroll factor for the play loop "
+                         "(0 = config default)")
     ap.add_argument("--no-stats", action="store_true",
                     help="score-only accrual (edge-scan / sweep workloads)")
     ap.add_argument("--chunk", type=int, default=131072,
@@ -83,6 +86,9 @@ def main() -> int:
     cfg = SimConfig()
     if args.rng != "threefry":
         cfg = cfg.replace(engine=dataclasses.replace(cfg.engine, rng_impl=args.rng))
+    if args.unroll:
+        cfg = cfg.replace(engine=dataclasses.replace(cfg.engine,
+                                                     scan_unroll=args.unroll))
     sp = load_sp_flex(f"{REFERENCE_DIR}/PregameSPPlus2025_1.csv")
     a = build_team_context_from_sp_flex("Kansas State", 2025, 1, sp)
     b = build_team_context_from_sp_flex("Iowa State", 2025, 1, sp)

@@ -197,6 +197,12 @@ class EngineConfig:
     # plays; the 360 bound is a worst-case guarantee)
     early_exit: bool = True
     play_chunk: int = 24
+    # lax.scan unroll factor for the play loop: >1 emits k step bodies per
+    # loop iteration, amortizing XLA's per-iteration loop overhead (the
+    # measured scan floor is 0.14-0.17 ms/step at B=131k, a large share of
+    # the ~0.66 ms/step total — benchmarks/step_breakdown.py).  Must divide
+    # play_chunk.  1 until measured on hardware.
+    scan_unroll: int = 1
     # two-phase tail compaction (ops/game.py simulate_games): fixed scan to
     # compact_after plays, gather still-active games into an
     # n/compact_cap_frac sub-batch, finish those, scatter back; a guarded
@@ -233,6 +239,16 @@ class EngineConfig:
     # the as-executed cached reference measures ~18.8, between 'axis' and
     # the collapsed modes; win prob and totals agree across all three
     sd_mode: str = "axis"
+    # exact mode: walk all heads' trees as ONE merged (B, T_total) front
+    # instead of 15 per-forest walks.  A measured NEGATIVE on the v5e chip
+    # (4.3 vs 15.2 games/s): at B>=1k exact mode is gather THROUGHPUT-bound,
+    # and total gathered rows are identical either way (B x sum T_h x
+    # depth_h x 3 ops) — merging just moves every row from fast <=16k-row
+    # tables (~5.5e8 rows/s) onto one 75k-row table past the row-count
+    # cliff (~1e8 rows/s).  Per-forest is already at gather speed-of-light
+    # (~113k rows/step/game -> ~15 games/s at ~330 steps).  Kept (golden-
+    # tested, bitwise-equal outputs) for backends without the cliff.
+    exact_merged: bool = False
     # 'threefry' (jax default, strongest guarantees) or 'rbg' (XLA
     # RngBitGenerator: ~4x cheaper per draw on TPU, still counter-based and
     # fine for Monte-Carlo; streams differ from threefry)

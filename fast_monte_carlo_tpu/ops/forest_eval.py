@@ -153,10 +153,14 @@ def predict(jf: JaxForest, x_num, cat_ids) -> jnp.ndarray:
 class MergedForest:
     """Every head's trees in one node soup, walked together.
 
-    Exact mode's cost on TPU is per-op gather LATENCY: 15 separate forests
-    x depth levels x (gather + 2 take_along_axis) ~ 200 serialized gather
-    ops per play step (~0.37 s/step at B=1024).  Walking ALL ~4.7k trees as
-    one (B, T_total) front needs max_depth x 3 ops total.
+    Walking ALL ~4.7k trees as one (B, T_total) front needs max_depth x 3
+    ops total instead of ~200 per-forest ops per play step.  MEASURED
+    NEGATIVE on the v5e chip (4.3 vs 15.2 games/s; OFF by default, see
+    EngineConfig.exact_merged): at B>=1k the workload is gather
+    throughput-bound, total gathered rows are identical either way, and
+    the merged 75k-row node table sits past the gather row-count cliff
+    (~1e8 rows/s vs ~5.5e8 for the <=16k-row per-forest tables).  Kept for
+    backends without the cliff and as the documented op-count experiment.
 
     Per-node channels (N, 10): [num_idx, is_cat, cat_col, cat_local,
     thresh, left, right, default_left, cmp_lt, zero_as_missing] — the last

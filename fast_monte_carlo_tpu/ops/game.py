@@ -144,13 +144,15 @@ def take_dir(t: jnp.ndarray, dirx: jnp.ndarray) -> jnp.ndarray:
 
 def make_exact_heads_eval(cfg: SimConfig) -> HeadsEvalFn:
     """Exact mode: full compiled-forest evaluation per play step.
-    heads_state is a HeadsPack.  When the pack carries a MergedForest, all
-    heads' trees walk as ONE (B, T_total) front — exact mode is per-op
-    gather-latency bound on TPU, and the merge cuts ~200 serialized gather
-    ops per step to max_depth x 3 (see forest_eval.MergedForest)."""
+    heads_state is a HeadsPack.  With cfg.engine.exact_merged (and a pack
+    carrying a MergedForest) all heads' trees walk as ONE (B, T_total)
+    front; the default is the per-forest walk, which measured 3.5x FASTER
+    on the v5e chip — see the EngineConfig.exact_merged note for why
+    (gather row-count cliff; total gathered rows are the same either
+    way)."""
 
     def heads_eval(hp: HeadsPack, obs: StepObs, pack: MatchupPack) -> HeadOut:
-        if hp.merged is not None:
+        if hp.merged is not None and cfg.engine.exact_merged:
             return _merged_exact_eval(hp, obs, pack, cfg)
         x, off, qb, wr, rb = obs.x, obs.dirx, obs.qb, obs.wr, obs.rb
         p_raw = predict(hp.stage1, x, {"passer_name": _gather2k(pack.ids_qb_stage1, off, qb)})
@@ -753,6 +755,7 @@ def simulate_games(
         # that would have been all-no-op anyway)
         ch = cfg.engine.play_chunk
         n_chunks = -(-cfg.engine.max_plays // ch)
+        unroll = cfg.engine.scan_unroll
 
         def run_until_done(state, first_chunk):
             def cond(carry):
@@ -763,7 +766,8 @@ def simulate_games(
                 s, ci = carry
                 def chunk_step(s2, j):
                     return step(s2, jax.random.fold_in(key, ci * ch + j))
-                s, _ = jax.lax.scan(chunk_step, s, jnp.arange(ch))
+                s, _ = jax.lax.scan(chunk_step, s, jnp.arange(ch),
+                                    unroll=unroll)
                 return (s, ci + 1)
 
             out, _ = jax.lax.while_loop(
@@ -787,7 +791,8 @@ def simulate_games(
             def p1_body(s, ci):
                 def chunk_step(s2, j):
                     return step(s2, jax.random.fold_in(key, ci * ch + j))
-                s, _ = jax.lax.scan(chunk_step, s, jnp.arange(ch))
+                s, _ = jax.lax.scan(chunk_step, s, jnp.arange(ch),
+                                    unroll=unroll)
                 return s, None
 
             state, _ = jax.lax.scan(p1_body, init,
@@ -807,7 +812,8 @@ def simulate_games(
             final = run_until_done(init, 0)
     else:
         keys = jax.random.split(key, cfg.engine.max_plays)
-        final, _ = jax.lax.scan(step, init, keys)
+        final, _ = jax.lax.scan(step, init, keys,
+                                unroll=cfg.engine.scan_unroll)
     if not collect_stats:
         return final
     final_stats = final.stats.at[:, 0, TS["points"]].set(final.score[:, 0].astype(F32))

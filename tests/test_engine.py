@@ -149,6 +149,8 @@ def test_merged_forest_matches_per_forest(setup):
 
     cfg, a, b, heads, pack, hp = setup
     assert hp.merged is not None
+    cfg_merged = cfg.replace(
+        engine=dataclasses.replace(cfg.engine, exact_merged=True))
     hp_plain = dataclasses.replace(hp, merged=None)
     rng = np.random.default_rng(4)
     n = 256
@@ -160,10 +162,12 @@ def test_merged_forest_matches_per_forest(setup):
     dirx = jnp.asarray(rng.integers(0, 2, n), jnp.int32)
     x = _state_features(pack, cfg, dirx, down, dist, ytg, sec, sd)
     obs = StepObs(x=x, sd=sd, dirx=dirx, off=dirx, down=down, dist=dist,
-                  ytg=ytg, sec=sec, qb=jnp.zeros(n, jnp.int32),
-                  wr=jnp.zeros(n, jnp.int32), rb=jnp.zeros(n, jnp.int32))
-    he = make_exact_heads_eval(cfg)
-    o1, o2 = he(hp, obs, pack), he(hp_plain, obs, pack)
+                  ytg=ytg, sec=sec,
+                  qb=jnp.asarray(rng.integers(0, pack.k, n), jnp.int32),
+                  wr=jnp.asarray(rng.integers(0, pack.k, n), jnp.int32),
+                  rb=jnp.asarray(rng.integers(0, pack.k, n), jnp.int32))
+    o1 = make_exact_heads_eval(cfg_merged)(hp, obs, pack)
+    o2 = make_exact_heads_eval(cfg)(hp_plain, obs, pack)
     for f in ("p_complete", "s2_cum", "pass_ms", "rush_ms", "sack_ms",
               "p_fumble"):
         np.testing.assert_allclose(np.asarray(getattr(o1, f)),
