@@ -33,8 +33,14 @@ from fast_monte_carlo_tpu.stats import TS
 n_oracle = int(sys.argv[1]) if len(sys.argv) > 1 else 2000
 n_engine_pairs = int(sys.argv[2]) if len(sys.argv) > 2 else 32768
 quality = sys.argv[3] if len(sys.argv) > 3 else "default"
+rng_impl = sys.argv[4] if len(sys.argv) > 4 else "threefry"
 
 cfg = SimConfig()
+if rng_impl != "threefry":
+    import dataclasses
+
+    cfg = cfg.replace(engine=dataclasses.replace(cfg.engine,
+                                                 rng_impl=rng_impl))
 sp = load_sp_flex("/root/reference/PregameSPPlus2025_1.csv")
 A = build_team_context_from_sp_flex("Kansas State", 2025, 1, sp)
 B = build_team_context_from_sp_flex("Iowa State", 2025, 1, sp)
@@ -51,8 +57,8 @@ t0 = time.perf_counter()
 r = MatchupRunner(A, B, heads, cfg, mode="table", table_quality=quality)
 out = r.run_pairs(n_engine_pairs, seed=7, collect_players=False)
 e_sc = np.asarray(out.score, dtype=float)
-print(f"engine({quality}): {2*n_engine_pairs} games in {time.perf_counter()-t0:.0f}s",
-      flush=True)
+print(f"engine({quality}, {rng_impl}): {2*n_engine_pairs} games in "
+      f"{time.perf_counter()-t0:.0f}s", flush=True)
 
 o_win = (o_sc[:, 0] > o_sc[:, 1]).mean()
 e_win = (e_sc[:, 0] > e_sc[:, 1]).mean()

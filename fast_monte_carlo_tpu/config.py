@@ -199,10 +199,14 @@ class EngineConfig:
     play_chunk: int = 24
     # lax.scan unroll factor for the play loop: >1 emits k step bodies per
     # loop iteration, amortizing XLA's per-iteration loop overhead (the
-    # measured scan floor is 0.14-0.17 ms/step at B=131k, a large share of
-    # the ~0.66 ms/step total — benchmarks/step_breakdown.py).  Must divide
-    # play_chunk.  1 until measured on hardware.
-    scan_unroll: int = 1
+    # measured scan floor is 0.14-0.17 ms/step at B=131k —
+    # benchmarks/step_breakdown.py).  Should divide play_chunk.  Measured
+    # on the chip at the 1M-game pipelined bench (games/s):
+    #   threefry: u1 892k, u2 878k, u4 907k, u8 930k, u24 878k
+    #   rbg:      u1 944k, u4 1019k, u8 998k, u12 988k
+    # 4 is the default (peak for rbg, +2% threefry); same-day numbers,
+    # ~±2% run variance.
+    scan_unroll: int = 4
     # two-phase tail compaction (ops/game.py simulate_games): fixed scan to
     # compact_after plays, gather still-active games into an
     # n/compact_cap_frac sub-batch, finish those, scatter back; a guarded
@@ -239,6 +243,19 @@ class EngineConfig:
     # the as-executed cached reference measures ~18.8, between 'axis' and
     # the collapsed modes; win prob and totals agree across all three
     sd_mode: str = "axis"
+    # antithetic variates (no reference equivalent): games 4k+2, 4k+3
+    # reuse games 4k, 4k+1's draws mirrored (u -> 1-u, n -> -n); partner
+    # offset 2 keeps pairs on the same matchup AND direction under the
+    # standard layouts (fo = arange % 2, per-game gid blocks); needs
+    # B % 4 == 0 (off otherwise).  Unbiased regardless of layout (mirrored
+    # draws keep their marginals).  MEASURED RESULT
+    # (benchmarks/antithetic_check.py, 100x4096 games): within-pair margin
+    # rho = -0.004 — the ~160-play threshold cascade decorrelates mirrored
+    # streams, so there is NO variance reduction (ESS 0.97-1.26x, noise)
+    # and equally no penalty; pairs behave as independent games.  The
+    # flag's only value is halving per-step RNG generation (threefry RNG
+    # is 0.12 ms of the ~0.55 ms step).  OFF by default.
+    antithetic: bool = False
     # exact mode: walk all heads' trees as ONE merged (B, T_total) front
     # instead of 15 per-forest walks.  A measured NEGATIVE on the v5e chip
     # (4.3 vs 15.2 games/s): at B>=1k exact mode is gather THROUGHPUT-bound,

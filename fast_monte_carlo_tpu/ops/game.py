@@ -345,15 +345,28 @@ def play_step(
     collect_stats: bool = True,
 ) -> GameState:
     B = s.off.shape[0]
+    # antithetic pairing (EngineConfig.antithetic): rows 4k+2, 4k+3 reuse
+    # rows 4k, 4k+1's draws mirrored (u -> 1-u, n -> -n).  Partner offset 2
+    # keeps each pair on the same matchup AND first-offense direction under
+    # the standard layouts (fo = arange % 2, per-game gid blocks), so pair
+    # outcomes correlate negatively.  Needs B % 4 == 0 (off otherwise).
+    anti = cfg.engine.antithetic and B % 4 == 0
+    Bd = B // 2 if anti else B
     if cfg.engine.rng_impl == "pallas":
         # hardware PRNG in one Pallas kernel (~6x cheaper than threefry,
         # ops/rng_pallas.py); distributional-equivalence contract only
         from .rng_pallas import step_draws
-        u, n = step_draws(key, B)
+        u, n = step_draws(key, Bd)
     else:
         ku, kn = jax.random.split(key)
-        u = jax.random.uniform(ku, (B, N_UNIFORMS))
-        n = jax.random.normal(kn, (B, N_NORMALS))
+        u = jax.random.uniform(ku, (Bd, N_UNIFORMS))
+        n = jax.random.normal(kn, (Bd, N_NORMALS))
+    if anti:
+        def _mirror(a, flip):
+            f = a.reshape(B // 4, 2, a.shape[-1])
+            return jnp.concatenate([f, flip(f)], axis=1).reshape(B, -1)
+        u = _mirror(u, lambda f: 1.0 - f)
+        n = _mirror(n, lambda f: -f)
 
     active = s.sec > 0
     off, down0, dist0, ytg0, sec0 = s.off, s.down, s.dist, s.ytg, s.sec

@@ -75,7 +75,8 @@ def pull_plays(years: Iterable[int] = (2022, 2023, 2024),
         for week in weeks:
             try:
                 rows = _cfbd_get("/plays", {"year": year, "week": week,
-                                            "seasonType": "both"}, api_key)
+                                            "seasonType": "both",
+                                            "classification": "fbs"}, api_key)
             except RuntimeError:
                 raise
             except Exception:

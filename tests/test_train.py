@@ -118,6 +118,59 @@ def test_pull_requires_api_key(monkeypatch):
         P.pull_plays([2022])
 
 
+def test_pull_against_mocked_cfbd_shape(monkeypatch):
+    """T1/T2 shape contract: pull_plays/pull_coaches against canned
+    responses in the real CFBD schema (/plays record fields and /coaches
+    nested `seasons`), through the coach merge — the reference pull's
+    downstream expectations (pull_cfb_raw_data.py:29-43,
+    pull_cfb_data_with_play_type.py:124-160) without egress."""
+    calls = []
+
+    def fake_get(path, params, api_key=None):
+        calls.append((path, dict(params)))
+        if path == "/plays":
+            if params["week"] > 2:  # only two weeks of data exist
+                return []
+            return [{
+                "id": 1, "gameId": 10, "offense": "Kansas State",
+                "offenseConference": "Big 12", "defense": "Iowa State",
+                "defenseConference": "Big 12", "offenseScore": 7,
+                "defenseScore": 3, "period": 1,
+                "clock": {"minutes": 12, "seconds": 30},
+                "offenseTimeouts": 3, "defenseTimeouts": 3,
+                "yardline": 65, "yardsToGoal": 65, "down": 1, "distance": 10,
+                "yardsGained": 12, "scoring": False,
+                "playType": "Pass Reception",
+                "playText": "Avery Johnson pass complete to Jayce Brown for 12 yds",
+            }]
+        if path == "/coaches":
+            return [{"first_name": "Chris", "last_name": "Klieman",
+                     "seasons": [{"school": "Kansas State",
+                                  "year": params["year"], "games": 13}]},
+                    {"first_name": "Interim", "last_name": "Guy",
+                     "seasons": [{"school": "Kansas State",
+                                  "year": params["year"], "games": 2}]}]
+        raise AssertionError(path)
+
+    monkeypatch.setattr(P, "_cfbd_get", fake_get)
+    plays = P.pull_plays([2024])
+    # reference pull params: seasonType both + FBS filter; 2024 = weeks 1-8
+    plays_calls = [c for c in calls if c[0] == "/plays"]
+    assert len(plays_calls) == 8
+    assert all(p["classification"] == "fbs" and p["seasonType"] == "both"
+               for _, p in plays_calls)
+    assert len(plays) == 2 and set(plays.week) == {1, 2}
+    assert (plays.year == 2024).all()
+
+    coaches = P.pull_coaches([2024])
+    merged = P.merge_primary_coaches(plays, coaches)
+    assert (merged.head_coach == "Chris Klieman").all()  # interim loses
+
+    parsed = plays.playText.combine(plays.playType, P.parse_play_text)
+    assert parsed.iloc[0]["passer_name"] == "Avery Johnson"
+    assert parsed.iloc[0]["receiver_name"] == "Jayce Brown"
+
+
 def test_balanced_and_softened_weights():
     y = np.asarray([0] * 90 + [1] * 10)
     w = P.balanced_class_weights(y)
