@@ -12,12 +12,23 @@ import sys
 import time
 from pathlib import Path
 
-sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+REPO = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
+
+platform = sys.argv[5] if len(sys.argv) > 5 else "cpu"
+if platform == "cpu":
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
 
 import jax
 
-jax.config.update("jax_platforms", "cpu")
+if platform == "cpu":
+    jax.config.update("jax_platforms", "cpu")
+else:
+    # engine on the real chip (the oracle side is pure numpy either way);
+    # rbg streams are backend-specific, so validating the bench default
+    # (--rng rbg) belongs on the TPU
+    jax.config.update("jax_compilation_cache_dir", str(REPO / ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
 import jax.numpy as jnp
 import numpy as np
@@ -46,12 +57,23 @@ A = build_team_context_from_sp_flex("Kansas State", 2025, 1, sp)
 B = build_team_context_from_sp_flex("Iowa State", 2025, 1, sp)
 heads = load_heads("/root/reference")
 
-t0 = time.perf_counter()
-m = OracleMatchup(A, B, heads, cfg)
-rng = np.random.default_rng(123)
-o_res = [m.simulate_game(i % 2, rng) for i in range(n_oracle)]
-o_sc = np.asarray([r["score"] for r in o_res], dtype=float)
-print(f"oracle: {n_oracle} games in {time.perf_counter()-t0:.0f}s", flush=True)
+_cache = REPO / "benchmarks" / f"oracle_margins_{n_oracle}.npz"
+if _cache.exists():
+    # cached default-SimConfig oracle scores (seed 123, same stream as
+    # below — produced by cover_ladder.py / this script); the oracle does
+    # not depend on quality or rng_impl, so any engine variant can reuse it
+    o_sc = np.load(_cache)["score"].astype(float)
+    print(f"oracle: loaded {len(o_sc)} cached games from {_cache.name}",
+          flush=True)
+else:
+    t0 = time.perf_counter()
+    m = OracleMatchup(A, B, heads, cfg)
+    rng = np.random.default_rng(123)
+    o_res = [m.simulate_game(i % 2, rng) for i in range(n_oracle)]
+    o_sc = np.asarray([r["score"] for r in o_res], dtype=float)
+    np.savez_compressed(_cache, margin=o_sc[:, 0] - o_sc[:, 1], score=o_sc)
+    print(f"oracle: {n_oracle} games in {time.perf_counter()-t0:.0f}s",
+          flush=True)
 
 t0 = time.perf_counter()
 r = MatchupRunner(A, B, heads, cfg, mode="table", table_quality=quality)
