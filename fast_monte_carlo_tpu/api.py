@@ -393,9 +393,20 @@ class SlateRunner:
                     "SlateRunner needs fusible matchups (player-independent "
                     "model outputs); use simulate_slate for focus rosters")
             if self.cfg.engine.sd_mode != "axis":
-                from .models.tables import marginalize_sd
-                for nm, f in (("a", fa), ("b", fb)):
-                    m = marginalize_sd(f, prof, self.cfg.engine.sd_mode)
+                from .models.tables import (cachewarm_collapse,
+                                            fused_head_groups, marginalize_sd)
+                warm = None
+                if self.cfg.engine.sd_mode == "cachewarm":
+                    from .ops.table_lookup import cachewarm_events
+                    warm = cachewarm_events(a, b, self.heads, self.cfg,
+                                            self.coach_map)
+                for nm, f, w in (("a", fa, warm and warm[0]),
+                                 ("b", fb, warm and warm[1])):
+                    if warm is not None:
+                        m = cachewarm_collapse(f, prof, w,
+                                               fused_head_groups(f))
+                    else:
+                        m = marginalize_sd(f, prof, self.cfg.engine.sd_mode)
                     m.fused_has_s2 = getattr(f, "fused_has_s2", False)
                     m.fused_has_fumble = getattr(f, "fused_has_fumble", False)
                     if nm == "a":

@@ -188,6 +188,109 @@ def edges_from_reps(reps: np.ndarray) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# 'cachewarm' sd mode: trajectory-coherent freeze
+# ---------------------------------------------------------------------------
+#
+# The reference's memo caches key WITHOUT score_diff, so each state bin
+# freezes at the model output of its FIRST visit — and first visits come
+# from real game trajectories, making the frozen sds COHERENT across cells
+# (early-game cells freeze near sd 0; cells first reached during a blowout
+# freeze at large sd together).  That coherence is why the as-executed
+# reference's margin sd (18.8) sits between the iid per-cell 'frozen'
+# collapse (17.3) and the live-sd 'axis' mode (20.0) — see VALIDATION.md.
+# 'cachewarm' reproduces the mechanism: run a few oracle warm-up games with
+# first-visit recording (oracle.py record_first_sd), then collapse each
+# table cell's sd axis at the recorded first-visit sd (nearest rep); cells
+# never visited in the warm-up fall back to the iid 'frozen' pick.
+
+
+def _first_visit_picks(prof: TableProfile, events: dict, cell_shape,
+                       slots_to_s=None):
+    """events: {memo_key: (visit_order, sd)} with memo_key =
+    (down, dist, ytg, sec_bucket30, to_off, to_def, slot, slot2)
+    (oracle._coarse_key).  Returns (picks, found): int sd-rep index and
+    bool mask over cells laid out `cell_shape` = (S, 5, Nd, Ny, Ns).
+    Multiple memo keys map to one (coarser) table cell; the EARLIEST visit
+    wins, mirroring first-write-wins."""
+    S, ndown, nd, ny, ns = cell_shape
+    picks = np.zeros(cell_shape, dtype=np.int64)
+    found = np.zeros(cell_shape, dtype=bool)
+    if not events:
+        return picks, found
+    keys = list(events.keys())
+    order = np.asarray([events[k][0] for k in keys], dtype=np.int64)
+    sd = np.asarray([events[k][1] for k in keys], dtype=np.float64)
+    down = np.asarray([min(int(k[0]), 5) for k in keys], dtype=np.int64) - 1
+    dist = np.asarray([k[1] for k in keys], dtype=np.float64)
+    ytg = np.asarray([k[2] for k in keys], dtype=np.float64)
+    sec = np.asarray([k[3] for k in keys], dtype=np.float64) * 30.0 + 15.0
+    if slots_to_s is None:
+        s_idx = np.zeros(len(keys), dtype=np.int64)
+    else:
+        s_idx = np.asarray([slots_to_s(k[6], k[7]) for k in keys],
+                           dtype=np.int64)
+    di = np.searchsorted(edges_from_reps(prof.dist), dist, side="left")
+    yi = np.searchsorted(edges_from_reps(prof.ytg), ytg, side="left")
+    si = np.searchsorted(edges_from_reps(prof.sec), sec, side="left")
+    sdi = np.searchsorted(edges_from_reps(prof.sd), sd, side="left")
+    cell = (((s_idx * ndown + down) * nd + di) * ny + yi) * ns + si
+    # earliest visit per cell wins
+    srt = np.argsort(order, kind="stable")
+    cell, sdi = cell[srt], sdi[srt]
+    first = np.unique(cell, return_index=True)[1]
+    flat_p, flat_f = picks.reshape(-1), found.reshape(-1)
+    flat_p[cell[first]] = sdi[first]
+    flat_f[cell[first]] = True
+    return picks, found
+
+
+def cachewarm_collapse(t: "HostTable", prof: TableProfile, side_events: dict,
+                       head_groups, seed: int = 20250816,
+                       slots_to_s=None) -> "HostTable":
+    """Collapse a HostTable's sd axis with trajectory-coherent first-visit
+    picks (see note above).  `side_events` is one side's
+    OracleMatchup.first_sd dict; `head_groups` maps cache name -> tuple of
+    channel indices in this table (a fused table mixes heads per channel;
+    per-head tables pass a single group covering all channels)."""
+    if not t.has_sd:
+        return t
+    nsd = len(prof.sd)
+    # HostTable.shape includes the trailing sd axis while has_sd
+    cell_shape = t.shape[:-1] if t.shape[-1] == nsd else t.shape  # (S,5,Nd,Ny,Ns)
+    vals = t.values.reshape(cell_shape + (nsd, t.channels))
+    out = np.empty(cell_shape + (t.channels,), dtype=np.float32)
+    # fallback for never-visited cells: the iid 'frozen' pick, same rng
+    # stream as marginalize_sd(mode='frozen') for reproducibility
+    w = sd_marginal_weights(prof.sd)
+    rng = np.random.default_rng(seed)
+    fallback = rng.choice(nsd, size=int(np.prod(cell_shape)), p=w).reshape(cell_shape)
+    for cache_name, chans in head_groups:
+        picks, found = _first_visit_picks(prof, side_events.get(cache_name, {}),
+                                          cell_shape, slots_to_s)
+        pk = np.where(found, picks, fallback)
+        sel = np.take_along_axis(
+            vals[..., list(chans)], pk[..., None, None], axis=-2)[..., 0, :]
+        out[..., list(chans)] = sel
+    res = HostTable(values=out.reshape(-1, t.channels).astype(np.float32),
+                    shape=cell_shape, row_map=t.row_map, profile=t.profile,
+                    has_sd=False, channels=t.channels)
+    return res
+
+
+def fused_head_groups(t: "HostTable"):
+    """Cache-name -> channel-index groups for a fused table's layout
+    (FUSED_CHANNELS order with conditional s2/fumble tails)."""
+    groups = [("s1", (0,)), ("pq", (1, 2)), ("rq", (3, 4)), ("sq", (5, 6))]
+    nxt = 7
+    if getattr(t, "fused_has_s2", False):
+        groups.append(("s2", (nxt, nxt + 1)))
+        nxt += 2
+    if getattr(t, "fused_has_fumble", False):
+        groups.append(("fq", (nxt,)))
+    return groups
+
+
+# ---------------------------------------------------------------------------
 # feature grids over a sub-axes product
 # ---------------------------------------------------------------------------
 

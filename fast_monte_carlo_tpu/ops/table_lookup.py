@@ -270,13 +270,84 @@ def _table_cache_key(team_a, team_b, heads, cfg, fine, coarse, fused) -> str:
 TABLE_CACHE_DIR: Optional[str] = ".table_cache"
 
 
-def _apply_sd_mode(ts: TableSet, cfg: SimConfig, fused_prof) -> None:
-    """In 'marginal' sd mode, contract every sd axis with the first-seen
-    weight distribution (reference memo-cache semantics, tables.py notes)."""
+def cachewarm_events(team_a, team_b, heads, cfg: SimConfig, coach_map=None,
+                     cache_dir: Optional[str] = "auto"):
+    """Run the 'cachewarm' warm-up: cfg.engine.cachewarm_games oracle games
+    with first-visit score_diff recording (oracle.py record_first_sd),
+    disk-cached (deterministic in contexts/heads/cfg/seed/games).  Returns
+    [side0_events, side1_events] — side i = team i on offense."""
+    import pickle
+    from pathlib import Path as _P
+
+    if cache_dir == "auto":
+        cache_dir = TABLE_CACHE_DIR
+    cache_path = None
+    if cache_dir:
+        key = _table_cache_key(team_a, team_b, heads, cfg, None, None, None)
+        cache_path = _P(cache_dir) / (
+            f"warm_{key}_{cfg.engine.cachewarm_seed}_"
+            f"{cfg.engine.cachewarm_games}.pkl")
+        if cache_path.exists():
+            try:
+                with open(cache_path, "rb") as fh:
+                    return pickle.load(fh)
+            except Exception:
+                pass
+    from ..oracle import OracleMatchup
+    m = OracleMatchup(team_a, team_b, heads, cfg, coach_map,
+                      record_first_sd=True)
+    rng = np.random.default_rng(cfg.engine.cachewarm_seed)
+    for i in range(cfg.engine.cachewarm_games):
+        m.simulate_game(i % 2, rng)
+    if cache_path is not None:
+        try:
+            cache_path.parent.mkdir(parents=True, exist_ok=True)
+            tmp = cache_path.with_suffix(".tmp")
+            with open(tmp, "wb") as fh:
+                pickle.dump(m.first_sd, fh)
+            tmp.rename(cache_path)
+        except Exception:
+            pass
+    return m.first_sd
+
+
+def _apply_sd_mode(ts: TableSet, cfg: SimConfig, fused_prof,
+                   warm=None) -> None:
+    """In the collapsed sd modes, contract every sd axis: 'marginal' /
+    'frozen' per tables.marginalize_sd; 'cachewarm' at the recorded
+    first-visit sd of each cell (trajectory-coherent freeze — `warm` is one
+    side's OracleMatchup.first_sd dict)."""
     if cfg.engine.sd_mode == "axis":
         return
-    mode = cfg.engine.sd_mode  # 'frozen' | 'marginal'
-    from ..models.tables import marginalize_sd
+    mode = cfg.engine.sd_mode  # 'frozen' | 'marginal' | 'cachewarm'
+    from ..models.tables import (cachewarm_collapse, fused_head_groups,
+                                 marginalize_sd)
+
+    if mode == "cachewarm":
+        if warm is None:
+            raise ValueError("sd_mode='cachewarm' needs warm-up recordings "
+                             "(ops.table_lookup.cachewarm_events)")
+        if ts.stage1 is not None and ts.stage1.has_sd:
+            rm = np.asarray(ts.stage1.row_map)
+            ts.stage1 = cachewarm_collapse(
+                ts.stage1, ts.fine, warm,
+                [("s1", tuple(range(ts.stage1.channels)))],
+                slots_to_s=lambda s1, s2, rm=rm: int(rm[int(s1 or 0)]))
+        if ts.pq is not None and ts.pq.has_sd:
+            rm = np.asarray(ts.pq.row_map)
+            K = int(round(len(rm) ** 0.5))
+            ts.pq = cachewarm_collapse(
+                ts.pq, ts.coarse, warm,
+                [("pq", tuple(range(ts.pq.channels)))],
+                slots_to_s=lambda s1, s2, rm=rm, K=K: int(
+                    rm[int(s1 or 0) * K + int(s2 or 0)]))
+        if ts.fused is not None and ts.fused.has_sd and fused_prof is not None:
+            fa = cachewarm_collapse(ts.fused, fused_prof, warm,
+                                    fused_head_groups(ts.fused))
+            fa.fused_has_s2 = getattr(ts.fused, "fused_has_s2", False)
+            fa.fused_has_fumble = getattr(ts.fused, "fused_has_fumble", False)
+            ts.fused = fa
+        return
 
     if ts.stage1 is not None and ts.stage1.has_sd:
         ts.stage1 = marginalize_sd(ts.stage1, ts.fine, mode)
@@ -331,6 +402,14 @@ def build_table_heads(team_a, team_b, heads, cfg: SimConfig, coach_map=None,
     import pickle
     from pathlib import Path as _P
 
+    # 'cachewarm' sd mode: one oracle warm-up per matchup (disk-cached),
+    # recording each memo-cell's first-visit score_diff per side
+    warm_a = warm_b = None
+    if cfg.engine.sd_mode == "cachewarm":
+        warm = cachewarm_events(team_a, team_b, heads, cfg, coach_map,
+                                cache_dir)
+        warm_a, warm_b = warm[0], warm[1]
+
     cache_path = None
     if cache_dir == "auto":
         cache_dir = TABLE_CACHE_DIR
@@ -341,8 +420,8 @@ def build_table_heads(team_a, team_b, heads, cfg: SimConfig, coach_map=None,
             try:
                 with open(cache_path, "rb") as fh:
                     ts_a, ts_b = pickle.load(fh)
-                _apply_sd_mode(ts_a, cfg, fused)
-                _apply_sd_mode(ts_b, cfg, fused)
+                _apply_sd_mode(ts_a, cfg, fused, warm_a)
+                _apply_sd_mode(ts_b, cfg, fused, warm_b)
                 return _finish(ts_a, ts_b)
             except Exception:
                 pass
@@ -378,8 +457,8 @@ def build_table_heads(team_a, team_b, heads, cfg: SimConfig, coach_map=None,
                 full_b = build_tables(db, heads, cfg, fine, coarse)
                 ts_a.play, ts_b.play = full_a.play, full_b.play
             _save(ts_a, ts_b)
-            _apply_sd_mode(ts_a, cfg, fused)
-            _apply_sd_mode(ts_b, cfg, fused)
+            _apply_sd_mode(ts_a, cfg, fused, warm_a)
+            _apply_sd_mode(ts_b, cfg, fused, warm_b)
             return _finish(ts_a, ts_b)
     ts_a = build_tables(da, heads, cfg, fine, coarse)
     ts_b = build_tables(db, heads, cfg, fine, coarse)
@@ -387,8 +466,8 @@ def build_table_heads(team_a, team_b, heads, cfg: SimConfig, coach_map=None,
         ts_a.fused = build_fused_table(da, heads, cfg, fused)
         ts_b.fused = build_fused_table(db, heads, cfg, fused)
     _save(ts_a, ts_b)
-    _apply_sd_mode(ts_a, cfg, fused)
-    _apply_sd_mode(ts_b, cfg, fused)
+    _apply_sd_mode(ts_a, cfg, fused, warm_a)
+    _apply_sd_mode(ts_b, cfg, fused, warm_b)
     return _finish(ts_a, ts_b)
 
 

@@ -93,6 +93,7 @@ class OracleMatchup:
         cfg: Optional[SimConfig] = None,
         coach_map: Optional[Dict[str, str]] = None,
         memoize: bool = True,
+        record_first_sd: bool = False,
     ):
         self.cfg = cfg or SimConfig()
         self.heads = heads
@@ -105,15 +106,28 @@ class OracleMatchup:
         self.memoize = memoize
         self._caches = [dict(play={}, s1={}, s2={}, pq={}, rq={}, sq={}, fq={})
                         for _ in range(2)]
+        # 'cachewarm' sd-mode support (models/tables.py cachewarm_collapse):
+        # record, per memo-cache key, the live score_diff the FIRST call
+        # carried and its global visit order — that pair fully determines
+        # which model output the reference's first-write-wins cache froze
+        # for that state bin (fast_monte_carlo_cfb.py:68-94: keys exclude
+        # score_diff but the stored value was computed at the caller's sd).
+        self.record_first_sd = record_first_sd
+        self.first_sd = [dict(s1={}, s2={}, pq={}, rq={}, sq={}, fq={})
+                         for _ in range(2)]
+        self._visit = 0
 
     # -- model wrappers with reference-faithful memoization ----------------
 
-    def _cached(self, side, cache, key, fn):
+    def _cached(self, side, cache, key, fn, sd=None):
         if not self.memoize:
             return fn()
         c = self._caches[side][cache]
         v = c.get(key)
         if v is None:
+            if self.record_first_sd and cache in self.first_sd[side]:
+                self.first_sd[side][cache][key] = (self._visit, float(sd or 0.0))
+                self._visit += 1
             v = fn()
             c[key] = v
         return v
@@ -147,7 +161,8 @@ class OracleMatchup:
         key = _coarse_key(gs.down, gs.dist, gs.ytg, gs.sec, 3, 3, qb_slot)
         return self._cached(
             side, "s1", key,
-            lambda: float(self.heads.stage1_prob(x, d.qb_stage1[qb_slot:qb_slot + 1])[0]))
+            lambda: float(self.heads.stage1_prob(x, d.qb_stage1[qb_slot:qb_slot + 1])[0]),
+            sd=float(x[0, 4]))
 
     def _stage2(self, side, d, x, qb_slot, wr_slot, gs):
         key = _coarse_key(gs.down, gs.dist, gs.ytg, gs.sec, 3, 3, qb_slot, wr_slot)
@@ -155,34 +170,39 @@ class OracleMatchup:
             side, "s2", key,
             lambda: tuple(float(v) for v in np.concatenate(self.heads.stage2_probs(
                 x, d.qb_stage2[qb_slot:qb_slot + 1],
-                d.wr_stage2[wr_slot:wr_slot + 1], self.cfg))))
+                d.wr_stage2[wr_slot:wr_slot + 1], self.cfg))),
+            sd=float(x[0, 4]))
 
     def _pass_quants(self, side, d, x, qb_slot, wr_slot, gs):
         key = _coarse_key(gs.down, gs.dist, gs.ytg, gs.sec, 3, 3, qb_slot, wr_slot)
         return self._cached(
             side, "pq", key,
             lambda: tuple(float(v) for v in np.concatenate(self.heads.pass_yard_quants(
-                x, d.qb_passq[qb_slot:qb_slot + 1], d.wr_passq[wr_slot:wr_slot + 1]))))
+                x, d.qb_passq[qb_slot:qb_slot + 1], d.wr_passq[wr_slot:wr_slot + 1]))),
+            sd=float(x[0, 4]))
 
     def _rush_quants(self, side, d, x, rb_slot, gs):
         key = _coarse_key(gs.down, gs.dist, gs.ytg, gs.sec, 3, 3, rb_slot)
         return self._cached(
             side, "rq", key,
             lambda: tuple(float(v) for v in np.concatenate(
-                self.heads.rush_yard_quants(x, d.rb_rushq[rb_slot:rb_slot + 1]))))
+                self.heads.rush_yard_quants(x, d.rb_rushq[rb_slot:rb_slot + 1]))),
+            sd=float(x[0, 4]))
 
     def _sack_quants(self, side, d, x, qb_slot, gs):
         key = _coarse_key(gs.down, gs.dist, gs.ytg, gs.sec, 3, 3, qb_slot)
         return self._cached(
             side, "sq", key,
             lambda: tuple(float(v) for v in np.concatenate(
-                self.heads.sack_loss_quants(x, d.qb_sackq[qb_slot:qb_slot + 1]))))
+                self.heads.sack_loss_quants(x, d.qb_sackq[qb_slot:qb_slot + 1]))),
+            sd=float(x[0, 4]))
 
     def _fumble_p(self, side, d, x, rb_slot, gs):
         key = _coarse_key(gs.down, gs.dist, gs.ytg, gs.sec, 3, 3, rb_slot)
         return self._cached(
             side, "fq", key,
-            lambda: float(self.heads.fumble_prob(x, d.rb_fumble[rb_slot:rb_slot + 1])[0]))
+            lambda: float(self.heads.fumble_prob(x, d.rb_fumble[rb_slot:rb_slot + 1])[0]),
+            sd=float(x[0, 4]))
 
     # -- mechanics ----------------------------------------------------------
 
