@@ -20,12 +20,20 @@ import time
 def _cmd_sim(args) -> int:
     from .api import csv_base_from, simulate_upcoming_matchup
 
+    cfg = None
+    if getattr(args, "sd_mode", "axis") != "axis":
+        import dataclasses
+
+        from .config import SimConfig
+        cfg = SimConfig()
+        cfg = cfg.replace(engine=dataclasses.replace(cfg.engine,
+                                                     sd_mode=args.sd_mode))
     save = csv_base_from(args.team_a, args.team_b, args.week) if args.save else None
     sims_df, players_df, summary, a, b, meta = simulate_upcoming_matchup(
         args.team_a, args.team_b, year=args.year, week=args.week,
         sp_path=args.sp, artifact_dir=args.artifacts, focus_csv=args.focus,
         n=args.n, collect_players=args.players, save_csv=save, mode=args.mode,
-        seed=args.seed)
+        seed=args.seed, cfg=cfg)
     print(summary)
     pairs = max(1, len(sims_df) // 2)
     print(f"\nTiming: {meta['total_time_sec']:.2f}s total | {pairs} sims "
@@ -183,6 +191,10 @@ def main(argv=None) -> int:
     ps.add_argument("--focus", default=None, help="focus players csv")
     ps.add_argument("--players", action="store_true", help="collect player stats")
     ps.add_argument("--save", action="store_true")
+    ps.add_argument("--sd-mode", default="axis", dest="sd_mode",
+                    choices=["axis", "frozen", "marginal", "cachewarm"],
+                    help="score_diff treatment for the table heads "
+                         "(EngineConfig.sd_mode; see config.py notes)")
     ps.set_defaults(fn=_cmd_sim)
 
     pe = sub.add_parser("edges", help="betting edges over saved sims")
