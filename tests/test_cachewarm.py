@@ -92,3 +92,20 @@ def test_engine_runs_in_cachewarm_mode(setup):
     assert sc.shape == (512, 2)
     w = float((sc[:, 0] > sc[:, 1]).mean())
     assert 0.4 < w < 0.8                       # sane for this matchup
+
+
+def test_slate_runner_cachewarm(setup, reference_dir):
+    """The game-axis SlateRunner path collapses its fused tables with the
+    same warm recordings (api.py sd_mode block)."""
+    a, b, heads = setup
+    sp = load_sp_flex(str(reference_dir / "PregameSPPlus2025_1.csv"))
+    c = build_team_context_from_sp_flex("Texas Tech", 2025, 1, sp)
+    from fast_monte_carlo_tpu.api import SlateRunner
+    e = dataclasses.replace(SimConfig().engine, sd_mode="cachewarm",
+                            cachewarm_games=8)
+    cfg = SimConfig().replace(engine=e)
+    r = SlateRunner([(a, b), (a, c)], heads, cfg, quality="nano")
+    out = r.run(n_pairs_per_game=64, seed=2)
+    sc = np.asarray(out.score, float)
+    assert sc.shape[0] == 2 * 2 * 64 and np.isfinite(sc).all()
+    assert (sc >= 0).all() and sc.max() < 150
