@@ -55,6 +55,14 @@ def main() -> int:
                          "EngineConfig.antithetic)")
     ap.add_argument("--no-stats", action="store_true",
                     help="score-only accrual (edge-scan / sweep workloads)")
+    ap.add_argument("--summary", action="store_true", default=True,
+                    help="(default) consume scores via device-side moment/"
+                         "histogram accumulation (run_pairs_summary — the "
+                         "edge-scan production workload; frees score "
+                         "buffers per launch; 1,173k vs 1,011k games/s)")
+    ap.add_argument("--raw-scores", action="store_false", dest="summary",
+                    help="keep per-launch score buffers instead (the "
+                         "scores-frame workload)")
     ap.add_argument("--chunk", type=int, default=131072,
                     help="games per launch; n is split into pipelined "
                          "launches (0 = single launch)")
@@ -126,18 +134,35 @@ def main() -> int:
     chunk_pairs = min(chunk_pairs, n_pairs)
     n_chunks = -(-n_pairs // chunk_pairs)
 
-    def run_workload(seed0):
-        """n split into pipelined launches (no sync between launches —
-        measured ~20% over one big launch: overlapped dispatch + shorter
-        per-launch early-exit tails).  One transfer at the end."""
-        outs = [runner.run_pairs(min(chunk_pairs, n_pairs - ci * chunk_pairs),
-                                 seed=seed0 + ci, collect_players=False,
-                                 collect_stats=stats, block=False)
-                for ci in range(n_chunks)]
-        _ = np.asarray(outs[-1].score[:16])   # forced host transfer
-        for o in outs[:-1]:
-            jax.block_until_ready(o.score)
-        return outs
+    if args.summary:
+        def run_workload(seed0):
+            """Edge-scan workload: scores consumed by device-accumulated
+            moments/histograms (api.run_pairs_summary), one transfer."""
+            return runner.run_pairs_summary(n_pairs, seed=seed0,
+                                            chunk_pairs=chunk_pairs,
+                                            collect_stats=stats)
+
+        def sanity(res):
+            mean = np.asarray(res.mean_pts)
+            return mean, float(np.asarray(res.win_rate)[0])
+    else:
+        def run_workload(seed0):
+            """n split into pipelined launches (no sync between launches —
+            measured ~20% over one big launch: overlapped dispatch + shorter
+            per-launch early-exit tails).  One transfer at the end."""
+            outs = [runner.run_pairs(min(chunk_pairs, n_pairs - ci * chunk_pairs),
+                                     seed=seed0 + ci, collect_players=False,
+                                     collect_stats=stats, block=False)
+                    for ci in range(n_chunks)]
+            _ = np.asarray(outs[-1].score[:16])   # forced host transfer
+            for o in outs[:-1]:
+                jax.block_until_ready(o.score)
+            return outs
+
+        def sanity(res):
+            score = np.concatenate([np.asarray(o.score) for o in res])
+            return score.mean(axis=0), float(
+                (score[:, 0] > score[:, 1]).mean())
 
     t0 = time.perf_counter()
     outs = run_workload(args.seed)
@@ -153,14 +178,14 @@ def main() -> int:
         best = dt if best is None else min(best, dt)
         print(f"# run {r}: {dt:.3f}s -> {n_games/dt:,.0f} games/s", file=sys.stderr)
 
-    score = np.concatenate([np.asarray(o.score) for o in outs])
-    win_a = float((score[:, 0] > score[:, 1]).mean())
-    print(f"# sanity: mean {score.mean(axis=0).round(2).tolist()} winA {win_a:.4f}",
-          file=sys.stderr)
+    mean, win_a = sanity(outs)
+    print(f"# sanity: mean {np.asarray(mean, float).round(2).tolist()} "
+          f"winA {win_a:.4f}", file=sys.stderr)
 
     games_per_sec = n_games / best
     print(json.dumps({
-        "metric": f"full_game_sims_per_sec_single_chip_{args.mode}",
+        "metric": f"full_game_sims_per_sec_single_chip_{args.mode}"
+                  + ("_summary" if args.summary else ""),
         "value": round(games_per_sec, 1),
         "unit": "games/sec",
         "vs_baseline": round(games_per_sec / BASELINE_GAMES_PER_SEC, 1),

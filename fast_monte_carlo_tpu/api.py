@@ -128,6 +128,35 @@ class MatchupRunner:
             jax.block_until_ready(out.score)
         return out
 
+    def run_pairs_summary(self, n_pairs: int, seed: int = 0,
+                          chunk_pairs: int = 65536,
+                          collect_stats: bool = False):
+        """Market summary (ScoreSummary) for large n: pipelined score-only
+        launches of `chunk_pairs`, per-launch moments/histograms
+        ACCUMULATED ON DEVICE and transferred once at the end — the
+        BASELINE-config-#4 pattern (per-launch host transfers serialize
+        dispatch: 451k vs 1,223k games/s measured at 60M games).  Exact:
+        the accumulated summary equals summarize_scores over the
+        concatenated batch (tested)."""
+        from .parallel.aggregate import score_moments, summary_from_moments
+        moments_jit = jax.jit(score_moments)
+        acc = None
+        left = n_pairs
+        ci = 0
+        while left > 0:
+            out = self.run_pairs(min(chunk_pairs, left), seed=seed + ci,
+                                 collect_players=False,
+                                 collect_stats=collect_stats, block=False)
+            m = moments_jit(out.score)
+            acc = m if acc is None else acc + m
+            left -= chunk_pairs
+            ci += 1
+        summary = jax.jit(summary_from_moments)(acc)
+        # forced tiny host transfer: on the axon backend block_until_ready
+        # can return before execution finishes (verify-skill note)
+        _ = np.asarray(summary.n)
+        return summary
+
 
 @lru_cache(maxsize=32)
 def _heads_fn_cached(mode: str, cfg: SimConfig):

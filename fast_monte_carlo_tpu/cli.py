@@ -84,10 +84,17 @@ def _cmd_edges_device(args) -> int:
                            table_quality=args.quality)
     want_players = bool(args.props)
     t0 = time.perf_counter()
-    out = runner.run_pairs(args.n, seed=args.seed,
-                           collect_players=want_players,
-                           collect_stats=False)
-    summary = jax.jit(summarize_scores)(out.score)
+    if args.n > 65536 and not want_players:
+        # large market-only scans: pipelined launches with device-side
+        # moment accumulation (api.run_pairs_summary — the 1.22M games/s
+        # sweep pattern); props need per-game pstats, so the prop path
+        # stays single-launch
+        summary = runner.run_pairs_summary(args.n, seed=args.seed)
+    else:
+        out = runner.run_pairs(args.n, seed=args.seed,
+                               collect_players=want_players,
+                               collect_stats=False)
+        summary = jax.jit(summarize_scores)(out.score)
     dt = time.perf_counter() - t0
     res = market_odds_from_summary(summary, args.team_a, args.team_b,
                                    spread=args.spread, total=args.total)
@@ -174,6 +181,22 @@ def _cmd_train(args) -> int:
     return 0
 
 
+def _enable_compile_cache() -> None:
+    """Persistent XLA compile cache (./.jax_cache): first compile of the
+    full scan program on the axon backend takes minutes server-side; cached
+    binaries load in seconds.  bench.py and the benchmark drivers do the
+    same — without this every fresh CLI process re-pays the compile."""
+    try:
+        from pathlib import Path
+
+        import jax
+        jax.config.update("jax_compilation_cache_dir",
+                          str(Path.cwd() / ".jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="fast_monte_carlo_tpu")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -249,6 +272,7 @@ def main(argv=None) -> int:
     pt.set_defaults(fn=_cmd_train)
 
     args = p.parse_args(argv)
+    _enable_compile_cache()
     return args.fn(args)
 
 

@@ -54,6 +54,59 @@ def summarize_scores(score: jnp.ndarray) -> ScoreSummary:
     )
 
 
+class ScoreMoments(NamedTuple):
+    """Additive device-side reductions of one launch's scores: accumulating
+    these across pipelined launches and transferring ONCE is the fast path
+    for large-n market scans (per-launch host transfers serialize dispatch:
+    451k -> 1,223k games/s measured on the 60M-game sweep,
+    benchmarks/baseline_configs.py)."""
+    n: jnp.ndarray             # game count
+    wins: jnp.ndarray          # (2,) win counts
+    ties: jnp.ndarray
+    s_sum: jnp.ndarray         # (2,) point sums
+    s_sumsq: jnp.ndarray       # (2,)
+    pts_hist: jnp.ndarray      # (2, MAX_PTS)
+    margin_hist: jnp.ndarray
+    total_hist: jnp.ndarray
+
+    def __add__(self, o: "ScoreMoments") -> "ScoreMoments":
+        return ScoreMoments(*(a + b for a, b in zip(self, o)))
+
+
+def score_moments(score: jnp.ndarray) -> ScoreMoments:
+    """Counts/sums/histograms of one (B, 2) score batch — every field is
+    additive across batches (jit this; see MatchupRunner.run_pairs_summary)."""
+    s = score.astype(jnp.float32)
+    h0 = jnp.bincount(jnp.clip(score[:, 0], 0, MAX_PTS - 1), length=MAX_PTS)
+    h1 = jnp.bincount(jnp.clip(score[:, 1], 0, MAX_PTS - 1), length=MAX_PTS)
+    margin = jnp.clip(score[:, 0] - score[:, 1] + MARGIN_OFF, 0, 2 * MARGIN_OFF - 1)
+    return ScoreMoments(
+        n=jnp.asarray(score.shape[0], jnp.float32),
+        wins=jnp.stack([(score[:, 0] > score[:, 1]).sum(),
+                        (score[:, 1] > score[:, 0]).sum()]).astype(jnp.float32),
+        ties=(score[:, 0] == score[:, 1]).sum().astype(jnp.float32),
+        s_sum=s.sum(axis=0), s_sumsq=(s * s).sum(axis=0),
+        pts_hist=jnp.stack([h0, h1]),
+        margin_hist=jnp.bincount(margin, length=2 * MARGIN_OFF),
+        total_hist=jnp.bincount(
+            jnp.clip(score[:, 0] + score[:, 1], 0, 2 * MAX_PTS - 1),
+            length=2 * MAX_PTS),
+    )
+
+
+def summary_from_moments(m: ScoreMoments) -> ScoreSummary:
+    """Finalize accumulated moments into the same ScoreSummary
+    summarize_scores produces (sd uses ddof=1 like jnp.std(ddof=1))."""
+    n = m.n
+    mean = m.s_sum / n
+    var = jnp.maximum(0.0, (m.s_sumsq - n * mean * mean) / jnp.maximum(1.0, n - 1))
+    return ScoreSummary(
+        n=n, mean_pts=mean, sd_pts=jnp.sqrt(var),
+        win_rate=m.wins / n, tie_rate=m.ties / n,
+        pts_hist=m.pts_hist, margin_hist=m.margin_hist, total_hist=m.total_hist,
+    )
+
+
 def cover_probs(score: jnp.ndarray, spread: float) -> Dict[str, jnp.ndarray]:
     """Spread from team 0's perspective; cover iff margin > -spread, push at
     equality (edge_finder.py:308-313)."""

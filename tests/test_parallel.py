@@ -76,3 +76,34 @@ def test_sharded_requires_divisible_n(env):
     he = make_analytic_heads_eval(cfg)
     with pytest.raises(ValueError):
         simulate_games_sharded(pack, cfg, he, None, jax.random.PRNGKey(0), 1001, 0)
+
+
+def test_accumulated_summary_matches_single_batch(reference_dir):
+    """run_pairs_summary's device-accumulated moments equal summarize_scores
+    over the concatenated per-chunk batches (the 1.22M games/s sweep
+    pattern is exact, not approximate)."""
+    from fast_monte_carlo_tpu.api import MatchupRunner
+    from fast_monte_carlo_tpu.parallel.aggregate import summarize_scores
+
+    sp = load_sp_flex(str(reference_dir / "PregameSPPlus2025_1.csv"))
+    a = build_team_context_from_sp_flex("Kansas State", 2025, 1, sp)
+    b = build_team_context_from_sp_flex("Iowa State", 2025, 1, sp)
+    r = MatchupRunner(a, b, None, SimConfig(), mode="analytic")
+    want_scores = []
+    for ci in range(3):
+        out = r.run_pairs(32, seed=9 + ci, collect_players=False,
+                          collect_stats=False)
+        want_scores.append(np.asarray(out.score))
+    want = summarize_scores(jnp.asarray(np.concatenate(want_scores)))
+    got = r.run_pairs_summary(96, seed=9, chunk_pairs=32)
+    assert int(got.n) == 192 == int(want.n)
+    np.testing.assert_array_equal(np.asarray(got.margin_hist),
+                                  np.asarray(want.margin_hist))
+    np.testing.assert_array_equal(np.asarray(got.pts_hist),
+                                  np.asarray(want.pts_hist))
+    np.testing.assert_allclose(np.asarray(got.win_rate),
+                               np.asarray(want.win_rate), atol=1e-7)
+    np.testing.assert_allclose(np.asarray(got.mean_pts),
+                               np.asarray(want.mean_pts), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(got.sd_pts),
+                               np.asarray(want.sd_pts), rtol=1e-5)
