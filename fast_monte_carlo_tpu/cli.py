@@ -60,6 +60,7 @@ def _cmd_edges_device(args) -> int:
     No sim files touch disk (reference equivalent: edge_finder.py:586-614
     over saved CSVs)."""
     import jax
+    import numpy as np
 
     from .api import MatchupRunner
     from .data import build_team_context_from_sp_flex, load_sp_flex
@@ -86,15 +87,17 @@ def _cmd_edges_device(args) -> int:
     t0 = time.perf_counter()
     if args.n > 65536 and not want_players:
         # large market-only scans: pipelined launches with device-side
-        # moment accumulation (api.run_pairs_summary — the 1.22M games/s
-        # sweep pattern); props need per-game pstats, so the prop path
-        # stays single-launch
+        # moment accumulation (api.run_pairs_summary — the 1.5M games/s
+        # pattern; n rounds up to whole launches so every launch shares
+        # one compiled shape); props need per-game pstats, so the prop
+        # path stays single-launch
         summary = runner.run_pairs_summary(args.n, seed=args.seed)
     else:
         out = runner.run_pairs(args.n, seed=args.seed,
                                collect_players=want_players,
                                collect_stats=False)
         summary = jax.jit(summarize_scores)(out.score)
+    n_games = int(np.asarray(summary.n))
     dt = time.perf_counter() - t0
     res = market_odds_from_summary(summary, args.team_a, args.team_b,
                                    spread=args.spread, total=args.total)
@@ -102,7 +105,7 @@ def _cmd_edges_device(args) -> int:
     if args.props:
         df = scan_props_device(out, a, b, args.props)
         print_prop_table(df)
-    print(f"\n[{2*args.n} games simulated + reduced on "
+    print(f"\n[{n_games} games simulated + reduced on "
           f"{jax.devices()[0].platform} in {dt:.2f}s]")
     return 0
 

@@ -258,7 +258,12 @@ def cachewarm_collapse(t: "HostTable", prof: TableProfile, side_events: dict,
     # HostTable.shape includes the trailing sd axis while has_sd
     cell_shape = t.shape[:-1] if t.shape[-1] == nsd else t.shape  # (S,5,Nd,Ny,Ns)
     vals = t.values.reshape(cell_shape + (nsd, t.channels))
-    out = np.empty(cell_shape + (t.channels,), dtype=np.float32)
+    covered = sorted(c for _, chans in head_groups for c in chans)
+    if covered != list(range(t.channels)):
+        raise ValueError(
+            f"head_groups cover channels {covered} but the table has "
+            f"{t.channels} (fused_has_s2/fused_has_fumble inconsistent?)")
+    out = np.zeros(cell_shape + (t.channels,), dtype=np.float32)
     # fallback for never-visited cells: the iid 'frozen' pick, same rng
     # stream as marginalize_sd(mode='frozen') for reproducibility
     w = sd_marginal_weights(prof.sd)

@@ -283,9 +283,16 @@ def cachewarm_events(team_a, team_b, heads, cfg: SimConfig, coach_map=None,
         cache_dir = TABLE_CACHE_DIR
     cache_path = None
     if cache_dir:
+        import hashlib
+
+        # the warm-up trajectory depends on essentially EVERY SimConfig
+        # field (clock charges, matchup tilts, RZ gates, ...), not just the
+        # model constants _table_cache_key hashes — include the full
+        # frozen-dataclass repr so a changed config is a cache miss
+        cfg_sig = hashlib.sha256(repr(cfg).encode()).hexdigest()[:12]
         key = _table_cache_key(team_a, team_b, heads, cfg, None, None, None)
         cache_path = _P(cache_dir) / (
-            f"warm_{key}_{cfg.engine.cachewarm_seed}_"
+            f"warm_{key}_{cfg_sig}_{cfg.engine.cachewarm_seed}_"
             f"{cfg.engine.cachewarm_games}.pkl")
         if cache_path.exists():
             try:

@@ -94,6 +94,59 @@ def test_engine_runs_in_cachewarm_mode(setup):
     assert 0.4 < w < 0.8                       # sane for this matchup
 
 
+def test_perhead_stage1_pq_collapse_slot_mapping():
+    """The per-head cachewarm branch (_apply_sd_mode): stage1 events map
+    slot -> dedup row via row_map, pq events decode the flattened K*K pair
+    map; recorded cells pick the first-visit sd channel, others fall back
+    to the iid-frozen pick."""
+    from fast_monte_carlo_tpu.config import SimConfig
+    from fast_monte_carlo_tpu.models.tables import HostTable, TableProfile, TableSet
+    from fast_monte_carlo_tpu.ops.table_lookup import _apply_sd_mode
+
+    prof = TableProfile(dist=np.asarray([1.0, 5.0]),
+                        ytg=np.asarray([10.0, 50.0]),
+                        sec=np.asarray([60.0, 1800.0]),
+                        sd=np.asarray([-8.0, 0.0, 8.0]))
+    S, nsd = 2, 3
+    cells = S * 5 * 2 * 2 * 2
+
+    def table(channels, row_map):
+        # value encodes the sd index so the pick is directly readable
+        v = np.tile(np.arange(nsd, dtype=np.float32)[None, :, None],
+                    (cells, 1, channels))
+        return HostTable(values=v.reshape(-1, channels),
+                         shape=(S, 5, 2, 2, 2, nsd), row_map=row_map,
+                         profile="fine", has_sd=True, channels=channels)
+
+    # stage1: 3 slots dedupe to 2 rows (slot 2 -> row 0)
+    s1_map = np.asarray([0, 1, 0])
+    # pq: K=3 pair map, pair (2, 1) -> row 1
+    pq_map = np.zeros(9, np.int64)
+    pq_map[2 * 3 + 1] = 1
+    ts = TableSet(stage1=table(1, s1_map), stage2=None, pq=table(2, pq_map),
+                  rq=None, sq=None, fumble=None, play=None,
+                  fine=prof, coarse=prof)
+    warm = {
+        # slot 2 -> row 0; down 1, dist 1.0, ytg 10, sec bucket 2 (=75s),
+        # first-visit sd +9 -> rep index 2
+        "s1": {(1, 1.0, 10, 2, 3, 3, 2, None): (0, 9.0)},
+        # pair (2,1) -> row 1; sd -9 -> rep index 0
+        "pq": {(1, 1.0, 10, 2, 3, 3, 2, 1): (1, -9.0)},
+    }
+    e = dataclasses.replace(SimConfig().engine, sd_mode="cachewarm")
+    cfg = SimConfig().replace(engine=e)
+    _apply_sd_mode(ts, cfg, None, warm)
+    assert not ts.stage1.has_sd and not ts.pq.has_sd
+    s1 = ts.stage1.values.reshape(S, 5, 2, 2, 2, 1)
+    pq = ts.pq.values.reshape(S, 5, 2, 2, 2, 2)
+    # recorded cells: (row, down-1, dist bin 0, ytg bin 0, sec bin 0)
+    assert s1[0, 0, 0, 0, 0, 0] == 2.0
+    assert pq[1, 0, 0, 0, 0, 0] == 0.0 and pq[1, 0, 0, 0, 0, 1] == 0.0
+    # unrecorded cells still hold a valid sd pick
+    assert set(np.unique(s1)) <= {0.0, 1.0, 2.0}
+    assert set(np.unique(pq)) <= {0.0, 1.0, 2.0}
+
+
 def test_slate_runner_cachewarm(setup, reference_dir):
     """The game-axis SlateRunner path collapses its fused tables with the
     same warm recordings (api.py sd_mode block)."""
