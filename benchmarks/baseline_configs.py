@@ -48,8 +48,20 @@ TOTAL_BINS = 160
 B3_PAIRS = int(os.environ.get("B3_PAIRS", 50_000))
 B4_PAIRS = int(os.environ.get("B4_PAIRS", 50_000))
 B4_CHUNKS = int(os.environ.get("B4_CHUNKS", 10))
+# threefry + score-only is the measured best for the MULTI-matchup sweep
+# (#3: 1.47M vs rbg+stats 1.36M; #4: 1.245M vs 1.26M — a wash); the
+# single-matchup bench optimum (rbg+stats@65k launches, 1.51M) does NOT
+# transfer here.  B_RNG=rbg runs the sweep with rbg + stats ON (rbg +
+# score-only is the documented pathological XLA interaction).
+RNG_IMPL = os.environ.get("B_RNG", "threefry")
+STATS = RNG_IMPL == "rbg"
+
+import dataclasses
 
 cfg = SimConfig()
+if RNG_IMPL != "threefry":
+    cfg = cfg.replace(engine=dataclasses.replace(cfg.engine,
+                                                 rng_impl=RNG_IMPL))
 sp = load_sp_flex("/root/reference/PregameSPPlus2025_1.csv")
 ranked = sp.sort_values("RATING", ascending=False)["team"].tolist()
 games = [(ranked[i], ranked[i + 1]) for i in range(0, 2 * N_MATCHUPS, 2)]
@@ -84,13 +96,13 @@ from fast_monte_carlo_tpu.parallel.aggregate import score_moments, summary_from_
 
 moments_jit = jax.jit(score_moments)
 out = runners[0].run_pairs(B3_PAIRS, seed=0, collect_players=False,
-                           collect_stats=False)
+                           collect_stats=STATS)
 _ = np.asarray(moments_jit(out.score).n)
 t0 = time.perf_counter()
 moms3 = []
 for gi, r in enumerate(runners):
     o = r.run_pairs(B3_PAIRS, seed=1 + gi, collect_players=False,
-                    collect_stats=False, block=False)
+                    collect_stats=STATS, block=False)
     moms3.append(moments_jit(o.score))
 _ = np.asarray(moms3[-1].n)   # forced transfer: in-order queue => all done
 run3_s = time.perf_counter() - t0
@@ -122,23 +134,28 @@ mh = np.zeros((G, NBINS), np.int64)
 th = np.zeros((G, TOTAL_BINS), np.int64)
 sums = np.zeros((G, 2)); sqs = np.zeros((G, 2))
 t0 = time.perf_counter()
+per_game_accs = []
 for gi, r in enumerate(runners):
-    # accumulate ON DEVICE across the 10 chunks and transfer once per
-    # matchup: per-chunk np.asarray transfers serialized every launch and
-    # measured 451k games/s; device accumulation + block=False launches
-    # keep the dispatch pipeline full
+    # accumulate ON DEVICE across the 10 chunks; hold each matchup's
+    # accumulated moments on device and transfer them ALL after the loop —
+    # a per-matchup np.asarray gates the in-order queue every 10 launches
+    # (pipeline drain: measured 1.19M games/s vs 451k for per-chunk
+    # transfers and ~1.5M with no mid-loop sync at all)
     accs = None
     for ci in range(B4_CHUNKS):
         o = r.run_pairs(B4_PAIRS, seed=1000 + gi * B4_CHUNKS + ci,
-                        collect_players=False, collect_stats=False,
+                        collect_players=False, collect_stats=STATS,
                         block=False)
         h = hists(o.score)
         accs = h if accs is None else tuple(a + b for a, b in zip(accs, h))
+    per_game_accs.append(accs)
+    if (gi + 1) % 10 == 0:
+        print(f"[#4] matchup {gi+1}/{G} dispatched @ "
+              f"{time.perf_counter()-t0:.1f}s", flush=True)
+_ = np.asarray(per_game_accs[-1][0][:1])   # gates the whole in-order queue
+for gi, accs in enumerate(per_game_accs):
     mh[gi] += np.asarray(accs[0]); th[gi] += np.asarray(accs[1])
     sums[gi] += np.asarray(accs[2]); sqs[gi] += np.asarray(accs[3])
-    if (gi + 1) % 10 == 0:
-        print(f"[#4] matchup {gi+1}/{G} @ {time.perf_counter()-t0:.1f}s",
-              flush=True)
 run4_s = time.perf_counter() - t0
 n4 = G * B4_CHUNKS * 2 * B4_PAIRS
 print(f"[#4] {n4:,} games in {run4_s:.1f}s -> {n4/run4_s:,.0f} games/s",
