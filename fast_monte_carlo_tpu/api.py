@@ -110,19 +110,23 @@ class MatchupRunner:
     def run_pairs(self, n_pairs: int, seed: int = 0,
                   collect_players: bool = True,
                   collect_stats: bool = True,
-                  block: bool = True) -> GameState:
+                  block: bool = True,
+                  key: Optional[jnp.ndarray] = None) -> GameState:
         """2*n_pairs games; even trials have team A on offense first.
         collect_stats=False skips box-score accrual (score-only sweeps).
         block=False skips the device sync so back-to-back calls pipeline
-        (launch overlap measured worth ~20%+: 835k vs 678k games/s)."""
+        (launch overlap measured worth ~20%+: 835k vs 678k games/s).
+        `key` overrides the PRNGKey(seed) derivation — chunked drivers pass
+        fold_in'd keys so adjacent seeds never share chunk streams."""
         n_games = 2 * n_pairs
+        k = key if key is not None else jax.random.PRNGKey(seed)
         fo = jnp.asarray(np.arange(n_games) % 2, jnp.int32)
         if self.shard:
             fn = self._runner(n_games, collect_players)
-            out = fn(self.pack, self.heads_state, jax.random.PRNGKey(seed), fo)
+            out = fn(self.pack, self.heads_state, k, fo)
         else:
             fn = _shared_sim_jit(self.cfg, self.heads_fn)
-            out = fn(self.pack, self.heads_state, jax.random.PRNGKey(seed), fo,
+            out = fn(self.pack, self.heads_state, k, fo,
                      n_games, collect_players, collect_stats)
         if block:
             jax.block_until_ready(out.score)
@@ -144,19 +148,38 @@ class MatchupRunner:
         launch shares ONE compiled shape (a ragged remainder would pay a
         minutes-long server-side compile on the axon backend for a
         different batch size); the returned summary's `n` records the
-        games actually simulated."""
+        games actually simulated.
+
+        Chunk keys are fold_in(PRNGKey(seed), chunk) off one root key, so
+        different seeds produce fully independent streams (seed+ci offsets
+        would make adjacent seeds share all-but-one chunk).
+
+        With shard=True each chunk is a shard_map launch over the full
+        device mesh: every device reduces its trial shard to ScoreMoments
+        locally and one psum merges them (parallel.simulate_moments_sharded)
+        — the production multi-chip path; scores never leave the devices."""
         if n_pairs <= 0:
             raise ValueError(f"n_pairs must be positive, got {n_pairs}")
         from .parallel.aggregate import score_moments, summary_from_moments
         moments_jit = jax.jit(score_moments)
         chunk_pairs = min(chunk_pairs, n_pairs)
         n_chunks = -(-n_pairs // chunk_pairs)
+        root = jax.random.PRNGKey(seed)
         acc = None
         for ci in range(n_chunks):
-            out = self.run_pairs(chunk_pairs, seed=seed + ci,
-                                 collect_players=False,
-                                 collect_stats=collect_stats, block=False)
-            m = moments_jit(out.score)
+            ck = jax.random.fold_in(root, ci)
+            if self.shard:
+                from .parallel import simulate_moments_sharded
+                m = simulate_moments_sharded(
+                    self.pack, self.cfg, self.heads_fn, self.heads_state,
+                    ck, 2 * chunk_pairs,
+                    jnp.asarray(np.arange(2 * chunk_pairs) % 2, jnp.int32),
+                    collect_stats=collect_stats)
+            else:
+                out = self.run_pairs(chunk_pairs, key=ck,
+                                     collect_players=False,
+                                     collect_stats=collect_stats, block=False)
+                m = moments_jit(out.score)
             acc = m if acc is None else acc + m
         summary = jax.jit(summary_from_moments)(acc)
         # forced tiny host transfer: on the axon backend block_until_ready
@@ -284,10 +307,11 @@ def simulate_matchup(
     mode: str = "table",
     shard: bool = False,
     runner: Optional[MatchupRunner] = None,
+    key: Optional[jnp.ndarray] = None,
 ) -> Tuple[pd.DataFrame, Optional[pd.DataFrame], MatchupRunner]:
     cfg = cfg or SimConfig()
     runner = runner or MatchupRunner(team_a, team_b, heads, cfg, mode, shard=shard)
-    out = runner.run_pairs(n, seed=seed, collect_players=collect_players)
+    out = runner.run_pairs(n, seed=seed, collect_players=collect_players, key=key)
     sims_df = scores_frame(out, team_a.name, team_b.name)
     players_df = players_frame(out, team_a, team_b) if collect_players else None
     return sims_df, players_df, runner
@@ -371,7 +395,14 @@ class SlateRunner:
     Games select direction rows in a shared pack/table (dirx = gid*2+off);
     trials are the (optionally device-sharded) batch axis.  One compile, one
     launch for the whole slate — vs the per-matchup loop in simulate_slate.
-    Requires table mode with a single shared profile (fused preset)."""
+    Requires table mode with a single shared profile (fused preset).
+
+    game_shard=True switches to the game-sharded layout instead
+    (parallel.slate): per-matchup packs/tables stacked on a leading game
+    axis and sharded over a ('game',) mesh, so each device holds only its
+    own matchups' ~16k-row nano tables (the shared-table layout above
+    concatenates all of them — ~983k rows at weekly-slate scale, measured
+    126k games/s past the gather cliff).  Use run_summaries() in this mode."""
 
     matchups: List[Tuple[TeamContext, TeamContext]]
     heads: ModelHeads
@@ -379,6 +410,7 @@ class SlateRunner:
     coach_map: Optional[Dict[str, str]] = None
     quality: str = "nano"
     shard: bool = False
+    game_shard: bool = False
 
     def __post_init__(self):
         from .matchup import build_direction
@@ -466,16 +498,76 @@ class SlateRunner:
                     fine=fine_profile(), coarse=prof, fused=f)
             ts_pairs.append((mk(fa), mk(fb)))
             dirs.extend([da, db])
-        self.pack = pack_matchups(dirs)
-        self.heads_state = pack_tables_multi(
-            ts_pairs, k=self.matchups[0][0].qb.k,
-            fused_prof=None if self.quality == "nano" else prof,
-            nano_prof=prof if self.quality == "nano" else None)
+        k = self.matchups[0][0].qb.k
+        fused_prof = None if self.quality == "nano" else prof
+        nano_prof = prof if self.quality == "nano" else None
+        if self.game_shard:
+            from .parallel.slate import stack_games
+            self.stacked_pack = stack_games(
+                [pack_matchups(dirs[2 * i:2 * i + 2])
+                 for i in range(len(self.matchups))])
+            self.stacked_tables = stack_games(
+                [pack_tables_multi([tp], k=k, fused_prof=fused_prof,
+                                   nano_prof=nano_prof) for tp in ts_pairs])
+            self.pack = self.heads_state = None
+        else:
+            self.pack = pack_matchups(dirs)
+            self.heads_state = pack_tables_multi(
+                ts_pairs, k=k, fused_prof=fused_prof, nano_prof=nano_prof)
         self.heads_fn = _heads_fn_cached("table", self.cfg)
+
+    def run_summaries(self, n_pairs_per_game: int, seed: int = 0,
+                      chunk_pairs: int = 32768,
+                      mesh=None) -> pd.DataFrame:
+        """Game-sharded slate sweep (requires game_shard=True): pipelined
+        launches of `chunk_pairs` pairs per matchup, each launch a shard_map
+        over the ('game',) mesh whose devices scan their local matchup
+        stripe and reduce every game to ScoreMoments in-scan.  Moments
+        accumulate ON DEVICE across launches (the BASELINE-config-#4
+        pattern); one end transfer yields the per-matchup summary rows."""
+        from .parallel import game_mesh, pad_games, simulate_slate_moments
+        from .parallel.aggregate import summary_from_moments
+
+        if not self.game_shard:
+            raise ValueError("run_summaries needs SlateRunner(game_shard=True)")
+        mesh = mesh or game_mesh()
+        ndev = int(mesh.devices.size)
+        g = len(self.matchups)
+        gp = -(-g // ndev) * ndev
+        sp = pad_games(self.stacked_pack, g, gp)
+        st = pad_games(self.stacked_tables, g, gp)
+        chunk_pairs = min(chunk_pairs, n_pairs_per_game)
+        n_chunks = -(-n_pairs_per_game // chunk_pairs)
+        root = jax.random.PRNGKey(seed)
+        acc = None
+        for ci in range(n_chunks):
+            m = simulate_slate_moments(
+                sp, self.cfg, self.heads_fn, st,
+                jax.random.fold_in(root, ci), gp, 2 * chunk_pairs, mesh=mesh)
+            acc = m if acc is None else jax.tree_util.tree_map(
+                lambda a, b: a + b, m, acc)
+        summ = jax.jit(jax.vmap(summary_from_moments))(acc)
+        mean = np.asarray(summ.mean_pts)      # (gp, 2) — one end transfer
+        win = np.asarray(summ.win_rate)
+        n_arr = np.asarray(summ.n)
+        rows = []
+        for gi, (a, b) in enumerate(self.matchups):
+            rows.append({
+                "team_a": a.name, "team_b": b.name,
+                "mean_a": float(mean[gi, 0]), "mean_b": float(mean[gi, 1]),
+                "win_a": float(win[gi, 0]), "win_b": float(win[gi, 1]),
+                "mean_margin_a": float(mean[gi, 0] - mean[gi, 1]),
+                "mean_total": float(mean[gi, 0] + mean[gi, 1]),
+                "n_games": int(n_arr[gi]),
+            })
+        return pd.DataFrame(rows)
 
     def run(self, n_pairs_per_game: int, seed: int = 0) -> GameState:
         """Returns the final GameState for G * 2*n_pairs games; trial t is
         game t // (2*n_pairs), alternating first offense within a game."""
+        if self.game_shard:
+            raise ValueError("run() is the shared-table path; game_shard "
+                             "slates use run_summaries()")
         g = len(self.matchups)
         per = 2 * n_pairs_per_game
         n = g * per
@@ -538,7 +630,8 @@ def simulate_matchup_batched(
     """Checkpointed long sweep: trial batches are the resume unit (SURVEY
     §5.3/§5.4 rebuild note).  Completed chunks are parquet files in
     `run_dir`; re-invoking skips them, so a killed sweep continues where it
-    stopped.  Chunk results are deterministic in (seed, chunk index)."""
+    stopped.  Chunk results are deterministic in (seed, chunk index): each
+    chunk runs under fold_in(PRNGKey(seed), chunk)."""
     from pathlib import Path
 
     cfg = cfg or SimConfig()
@@ -546,6 +639,7 @@ def simulate_matchup_batched(
     d.mkdir(parents=True, exist_ok=True)
     runner = None
     n_chunks = (n_pairs_total + batch_pairs - 1) // batch_pairs
+    root = jax.random.PRNGKey(seed)
     frames = []
     for ci in range(n_chunks):
         chunk_path = d / f"scores_chunk_{ci:05d}.parquet"
@@ -554,7 +648,8 @@ def simulate_matchup_batched(
             continue
         pairs = min(batch_pairs, n_pairs_total - ci * batch_pairs)
         sims_df, players_df, runner = simulate_matchup(
-            team_a, team_b, heads, pairs, cfg=cfg, seed=seed + ci,
+            team_a, team_b, heads, pairs, cfg=cfg,
+            key=jax.random.fold_in(root, ci),
             collect_players=collect_players, mode=mode, runner=runner)
         tmp = chunk_path.with_suffix(".tmp")
         sims_df.to_parquet(tmp, index=False)

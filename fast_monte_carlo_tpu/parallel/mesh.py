@@ -8,9 +8,9 @@ game loop — counter-based threefry keys are folded per device so results
 are independent of the device count *layout*), and aggregation happens with
 on-device collectives afterwards (parallel.aggregate).
 
-For multi-matchup slates, `simulate_slate_sharded` maps game g to device
-g % ndev and vmaps trials within a device — the ('game','trial') mesh of
-SURVEY §7.1.
+For multi-matchup slates, `api.SlateRunner(shard=True)` runs the whole
+slate through this same trial-sharded entry (game id selects direction
+rows per trial) — the ('game','trial') layout of SURVEY §7.1.
 """
 from __future__ import annotations
 
@@ -80,5 +80,66 @@ def simulate_games_sharded(
                               collect_players=collect_players,
                               game_id=local_gid,
                               collect_stats=collect_stats)
+
+    return run(keys, fo, gid)
+
+
+def simulate_moments_sharded(
+    pack: MatchupPack,
+    cfg: SimConfig,
+    heads_eval: HeadsEvalFn,
+    heads_state,
+    key: jnp.ndarray,
+    n: int,
+    first_offense,
+    mesh: Optional[Mesh] = None,
+    game_id=0,
+    collect_stats: bool = False,
+):
+    """The production multi-chip summary workload: each device simulates its
+    trial shard AND reduces it to additive ScoreMoments locally, then one
+    `psum` over ICI merges the (tiny, ~1.3 KB) moment pytree — the
+    full (B, 2) score batch never crosses devices or reaches the host.
+
+    This is the TPU-native shape of the reference's Pool → parent-append →
+    groupby flow (fast_monte_carlo_cfb.py:1496-1507, 1681-1687): the
+    per-worker result pickle becomes per-device registers, the parent
+    append becomes the collective.  Returns a replicated ScoreMoments;
+    callers accumulate across pipelined launches on device
+    (MatchupRunner.run_pairs_summary(shard=True)) and transfer once.
+    """
+    from .aggregate import score_moments
+
+    mesh = mesh or trial_mesh()
+    ndev = mesh.devices.size
+    if n % ndev:
+        raise ValueError(f"n={n} not divisible by {ndev} devices")
+    n_local = n // ndev
+
+    keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(jnp.arange(ndev))
+    if isinstance(first_offense, (int, np.integer)):
+        fo = jnp.full((n,), first_offense, jnp.int32)
+    else:
+        fo = jnp.asarray(first_offense, jnp.int32)
+    if isinstance(game_id, (int, np.integer)):
+        gid = jnp.full((n,), game_id, jnp.int32)
+    else:
+        gid = jnp.asarray(game_id, jnp.int32)
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P("trial"), P("trial"), P("trial")),
+        out_specs=P(),
+        check_vma=False,
+    )
+    def run(local_keys, local_fo, local_gid):
+        out = simulate_games(pack, cfg, heads_eval, heads_state,
+                             local_keys[0], n_local, local_fo,
+                             collect_players=False,
+                             game_id=local_gid,
+                             collect_stats=collect_stats)
+        m = score_moments(out.score)
+        return jax.tree_util.tree_map(lambda x: jax.lax.psum(x, "trial"), m)
 
     return run(keys, fo, gid)

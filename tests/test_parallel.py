@@ -78,6 +78,49 @@ def test_sharded_requires_divisible_n(env):
         simulate_games_sharded(pack, cfg, he, None, jax.random.PRNGKey(0), 1001, 0)
 
 
+def test_moments_sharded_exact_vs_sharded_scores(env):
+    """simulate_moments_sharded (per-device reduction + one psum) must be
+    bit-equal to reducing the trial-sharded score batch after the fact:
+    same per-device fold_in keys, and every moment field is integer-exact
+    in float32 at this n."""
+    from fast_monte_carlo_tpu.parallel import (
+        score_moments, simulate_moments_sharded,
+    )
+
+    cfg, pack = env
+    he = make_analytic_heads_eval(cfg)
+    n = 1024
+    fo = np.arange(n) % 2
+    key = jax.random.PRNGKey(21)
+    m = simulate_moments_sharded(pack, cfg, he, None, key, n, fo)
+    out = simulate_games_sharded(pack, cfg, he, None, key, n, fo)
+    want = jax.jit(score_moments)(out.score)
+    for name, got_f, want_f in zip(m._fields, m, want):
+        np.testing.assert_array_equal(
+            np.asarray(got_f), np.asarray(want_f), err_msg=name)
+
+
+def test_run_pairs_summary_sharded(reference_dir):
+    """MatchupRunner(shard=True).run_pairs_summary: the multi-chip summary
+    path runs chunked shard_map launches and agrees with the single-device
+    summary within MC error."""
+    from fast_monte_carlo_tpu.api import MatchupRunner
+
+    sp = load_sp_flex(str(reference_dir / "PregameSPPlus2025_1.csv"))
+    a = build_team_context_from_sp_flex("Kansas State", 2025, 1, sp)
+    b = build_team_context_from_sp_flex("Iowa State", 2025, 1, sp)
+    rs = MatchupRunner(a, b, None, SimConfig(), mode="analytic", shard=True)
+    got = rs.run_pairs_summary(512, seed=4, chunk_pairs=128)
+    assert int(got.n) == 1024
+    r1 = MatchupRunner(a, b, None, SimConfig(), mode="analytic")
+    ref = r1.run_pairs_summary(512, seed=5, chunk_pairs=128)
+    np.testing.assert_allclose(np.asarray(got.win_rate)[0],
+                               np.asarray(ref.win_rate)[0], atol=0.08)
+    np.testing.assert_allclose(np.asarray(got.mean_pts),
+                               np.asarray(ref.mean_pts), atol=2.5)
+    assert int(np.asarray(got.pts_hist).sum()) == 2048
+
+
 def test_accumulated_summary_matches_single_batch(reference_dir):
     """run_pairs_summary's device-accumulated moments equal summarize_scores
     over the concatenated per-chunk batches (the 1.22M games/s sweep
@@ -89,10 +132,11 @@ def test_accumulated_summary_matches_single_batch(reference_dir):
     a = build_team_context_from_sp_flex("Kansas State", 2025, 1, sp)
     b = build_team_context_from_sp_flex("Iowa State", 2025, 1, sp)
     r = MatchupRunner(a, b, None, SimConfig(), mode="analytic")
+    root = jax.random.PRNGKey(9)
     want_scores = []
     for ci in range(3):
-        out = r.run_pairs(32, seed=9 + ci, collect_players=False,
-                          collect_stats=False)
+        out = r.run_pairs(32, key=jax.random.fold_in(root, ci),
+                          collect_players=False, collect_stats=False)
         want_scores.append(np.asarray(out.score))
     want = summarize_scores(jnp.asarray(np.concatenate(want_scores)))
     got = r.run_pairs_summary(96, seed=9, chunk_pairs=32)

@@ -68,3 +68,37 @@ def test_slate_runner_nano_quality(slate):
     sharded = SlateRunner(ms, heads, cfg, quality="nano", shard=True)
     out2 = sharded.run(64, seed=7)
     assert len(out2.score.sharding.device_set) == 8
+
+
+def test_slate_game_sharded_summaries(slate):
+    """The game-sharded production path (device d owns matchups g ≡ d mod N,
+    per-matchup ~16k-row tables only, in-scan moment reduction): per-matchup
+    summaries must match the shared-table SlateRunner within MC noise.
+    3 matchups on 8 devices also exercises the pad-to-mesh path."""
+    cfg, ms, heads = slate
+    gs = SlateRunner(ms, heads, cfg, quality="nano", game_shard=True)
+    # stacked per-game tables: leading game axis, per-game ~16k rows
+    assert gs.stacked_tables.nano.values.ndim == 3
+    assert gs.stacked_tables.nano.values.shape[0] == 3
+    df = gs.run_summaries(256, seed=11, chunk_pairs=128)
+    assert len(df) == 3 and (df.n_games == 512).all()
+    assert 0 <= df.win_a.min() and df.win_a.max() <= 1
+
+    base_sr = SlateRunner(ms, heads, cfg, quality="nano")
+    base = base_sr.summaries(base_sr.run(256, seed=12))
+    for i in range(3):
+        assert abs(df.iloc[i].win_a - base.iloc[i].win_a) < 0.10, i
+        assert abs(df.iloc[i].mean_total - base.iloc[i].mean_total) < 3.0, i
+    # distinct matchups actually simulated per game stripe
+    assert abs(df.iloc[2].win_a - df.iloc[0].win_a) > 0.02
+
+
+def test_slate_game_sharded_chunks_accumulate(slate):
+    """Two 64-pair launches must equal one 128-pair launch's n, and the
+    run() raw path must refuse game_shard mode."""
+    cfg, ms, heads = slate
+    gs = SlateRunner(ms[:2], heads, cfg, quality="nano", game_shard=True)
+    df = gs.run_summaries(128, seed=3, chunk_pairs=64)
+    assert (df.n_games == 256).all()
+    with pytest.raises(ValueError):
+        gs.run(16)
