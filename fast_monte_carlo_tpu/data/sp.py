@@ -54,8 +54,9 @@ def load_sp_flex(sp_path: str) -> pd.DataFrame:
         sp = sp.drop_duplicates(subset=["team"], keep="first")
     else:
         raise ValueError(
-            f"Unrecognized SP+ schema in {sp_path}: expected columns "
-            f"{sorted(_SCHEMA_A)} or {sorted(_SCHEMA_B)}, got {sorted(cols)}"
+            f"{sp_path} matches neither SP+ schema: need either "
+            f"{sorted(_SCHEMA_A)} (schema A) or {sorted(_SCHEMA_B)} "
+            f"(schema B); the sheet has {sorted(cols)}"
         )
 
     sp["team"] = sp["team"].astype(str).str.strip()
@@ -66,18 +67,27 @@ def load_sp_flex(sp_path: str) -> pd.DataFrame:
 
 
 def lookup_sp_flex(team: str, sp_df: pd.DataFrame) -> Tuple[float, float, float]:
-    """Return (RATING, OFFENSE, DEFENSE), fuzzy-matching the team name."""
-    hit = sp_df[sp_df["norm_team"] == norm_team(team)]
-    if hit.empty:
-        hit = sp_df[sp_df["team"].str.lower() == team.lower()]
-    if hit.empty:
-        cand = sp_df[sp_df["team"].str.lower().str.contains(team.lower(), regex=False)]
-        if not cand.empty:
-            hit = cand.iloc[:1]
-    if hit.empty:
-        raise ValueError(f"Team '{team}' not found in provided SP+ table.")
-    row = hit.iloc[0]
-    return float(row["RATING"]), float(row["OFFENSE"]), float(row["DEFENSE"])
+    """Return (RATING, OFFENSE, DEFENSE), fuzzy-matching the team name.
+
+    Match strategies run in order of strictness — normalized equality,
+    case-insensitive equality, then case-insensitive substring — and the
+    first hit wins.  Which teams resolve is contract (the reference
+    resolves the same set, :1625-1644); the strategy list is ours."""
+    low = team.lower()
+    strategies = (
+        lambda: sp_df["norm_team"] == norm_team(team),
+        lambda: sp_df["team"].str.lower() == low,
+        lambda: sp_df["team"].str.lower().str.contains(low, regex=False),
+    )
+    for match in strategies:
+        hit = sp_df[match()]
+        if not hit.empty:
+            row = hit.iloc[0]
+            return (float(row["RATING"]), float(row["OFFENSE"]),
+                    float(row["DEFENSE"]))
+    raise ValueError(
+        f"no SP+ row matches team {team!r} (tried normalized, exact, and "
+        "substring matches)")
 
 
 @lru_cache(maxsize=8)

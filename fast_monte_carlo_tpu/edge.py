@@ -158,7 +158,105 @@ def load_players_table(players_path: Path) -> pd.DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# markets (edge_finder.py:168-336)
+# the distribution core
+# ---------------------------------------------------------------------------
+
+class Dist:
+    """Empirical distribution of one scalar market quantity.
+
+    The single reduction core for every market in this module: margins,
+    totals, and player-prop stats all become a Dist — built either from
+    raw per-trial samples (the saved-file path) or from an integer-support
+    histogram reduced on device (parallel.aggregate summaries) — and every
+    market dict is then a formatting of the same five queries
+    (over/under/push probability, mean, median).  The reference writes
+    each market's numpy longhand instead (edge_finder.py:168-336); only
+    the query *semantics* are parity-bound, so the structure here is
+    shared rather than repeated.
+
+    Representation notes (kept observable-identical to the pre-core code):
+      * samples: median is np.median (midpoint interpolation), push is
+        |x - line| <= 1e-9;
+      * histogram: median is the CDF-crossing support point, push uses
+        np.isclose's default tolerance on the integer support, and mean
+        is the count-weighted support mean.
+    """
+
+    def __init__(self, values: Optional[np.ndarray] = None,
+                 counts: Optional[np.ndarray] = None,
+                 support: Optional[np.ndarray] = None):
+        if (values is None) == (counts is None):
+            raise ValueError("Dist takes either values or counts+support")
+        self.values = None if values is None else np.asarray(values, float)
+        self.counts = None if counts is None else np.asarray(counts, float)
+        self.support = None if support is None else np.asarray(support, float)
+
+    @classmethod
+    def from_values(cls, values) -> "Dist":
+        return cls(values=np.asarray(values, float))
+
+    @classmethod
+    def from_hist(cls, counts, support) -> "Dist":
+        return cls(counts=counts, support=np.asarray(support, float))
+
+    @property
+    def n(self) -> float:
+        return float(self.values.size if self.values is not None
+                     else self.counts.sum())
+
+    def over(self, line: float) -> float:
+        if self.values is not None:
+            return float(np.mean(self.values > line))
+        return float(self.counts[self.support > line].sum() / self.n)
+
+    def under(self, line: float) -> float:
+        if self.values is not None:
+            return float(np.mean(self.values < line))
+        return float(self.counts[self.support < line].sum() / self.n)
+
+    def push(self, line: float) -> float:
+        if self.values is not None:
+            return float(np.mean(np.isclose(self.values, line, atol=1e-9)))
+        return float(self.counts[np.isclose(self.support, line)].sum() / self.n)
+
+    def mean(self) -> float:
+        if self.values is not None:
+            return float(np.mean(self.values))
+        return float((self.counts * self.support).sum() / self.n)
+
+    def median(self) -> float:
+        if self.values is not None:
+            return float(np.median(self.values))
+        return float(self.support[np.searchsorted(np.cumsum(self.counts),
+                                                  self.n / 2.0)])
+
+    def pct(self, q: float) -> float:
+        if self.values is not None:
+            return float(np.percentile(self.values, q))
+        cum = np.cumsum(self.counts)
+        return float(self.support[np.searchsorted(cum, self.n * q / 100.0)])
+
+
+def _ou_market(dist: Dist, line: float, *, head: Dict, over_key: str,
+               under_key: str, digits: int, loc_prefix: str) -> Dict:
+    """One two-sided market dict off a Dist: probabilities, fair prices,
+    and location stats under the caller's key scheme (spread uses
+    cover/notcover + margin names, totals and props use over/under)."""
+    p_over, p_under, p_push = dist.over(line), dist.under(line), dist.push(line)
+    return {
+        **head, "samples": int(dist.n),
+        f"p_{over_key}": round(p_over, digits),
+        f"p_{under_key}": round(p_under, digits),
+        "push_rate": round(p_push, digits),
+        f"american_{over_key}": prob_to_american(p_over),
+        f"american_{under_key}": prob_to_american(p_under),
+        f"mean{loc_prefix}": dist.mean(),
+        f"median{loc_prefix}": dist.median(),
+    }
+
+
+# ---------------------------------------------------------------------------
+# markets (math parity: edge_finder.py:168-336; structure: Dist core)
 # ---------------------------------------------------------------------------
 
 def player_prop_odds(csv_base: Optional[str], team: str, player: str, stat: str,
@@ -169,48 +267,61 @@ def player_prop_odds(csv_base: Optional[str], team: str, player: str, stat: str,
         _, players_path = find_saved_files(csv_base, team_a=team, directory=directory)
         if players_path is None or not players_path.exists():
             raise FileNotFoundError(
-                "players file not found; rerun with collect_players=True")
+                "no players_* file to scan props from — rerun the sim with "
+                "collect_players=True")
         players_df = load_players_table(Path(players_path))
 
     stat_col = STAT_ALIASES.get(stat, stat)
     if stat_col not in players_df.columns:
-        raise ValueError(f"Stat '{stat}' (-> '{stat_col}') not in players table.")
+        raise ValueError(
+            f"players table has no '{stat_col}' column (requested stat "
+            f"{stat!r})")
     role = role or infer_role_from_stat(stat_col)
     if "team_low" not in players_df:
         players_df = players_df.assign(
             team_low=players_df["team"].astype(str).str.lower(),
             player_low=players_df["player"].astype(str).str.lower())
-    mask = ((players_df["team_low"] == team.lower())
-            & (players_df["player_low"] == player.lower())
-            & (players_df["role"] == role))
-    sub = players_df.loc[mask]
-    if sub.empty:
-        raise ValueError(f"No rows for {player} on {team}.")
-    vals = pd.to_numeric(sub[stat_col], errors="coerce").dropna().to_numpy()
-    if vals.size == 0:
-        raise ValueError(f"No numeric {stat_col} values for {player}.")
+    rows = players_df.loc[(players_df["team_low"] == team.lower())
+                          & (players_df["player_low"] == player.lower())
+                          & (players_df["role"] == role)]
+    if rows.empty:
+        raise ValueError(f"{player} ({role}) never appears for {team} in the "
+                         "players table")
+    samples = pd.to_numeric(rows[stat_col], errors="coerce").dropna().to_numpy()
+    if samples.size == 0:
+        raise ValueError(f"{player}'s {stat_col} column holds no numeric "
+                         "samples")
 
-    p_over = float(np.mean(vals > line))
-    p_under = float(np.mean(vals < line))
-    p_push = float(np.mean(np.isclose(vals, line, atol=1e-9)))
-    rec = best_side_ev(p_over, price=-110)
-    return {
-        "team": team, "player": player, "role": role, "stat": stat_col,
-        "line": float(line), "samples": int(vals.size),
-        "p_over": round(p_over, 4), "p_under": round(p_under, 4),
-        "push_rate": round(p_push, 4),
-        "american_over": prob_to_american(p_over),
-        "american_under": prob_to_american(p_under),
-        "mean": float(np.mean(vals)), "median": float(np.median(vals)),
-        "p75": float(np.percentile(vals, 75)), "p90": float(np.percentile(vals, 90)),
-        "best_side": rec["side"], "edge": round(rec["edge"] * 100, 2),
-        "ev_per_$100": round(rec["ev"], 2),
-    }
+    d = Dist.from_values(samples)
+    market = _ou_market(
+        d, float(line), digits=4, over_key="over", under_key="under",
+        loc_prefix="",
+        head={"team": team, "player": player, "role": role, "stat": stat_col,
+              "line": float(line)})
+    pick = best_side_ev(d.over(line), price=-110)
+    market.update({
+        "p75": d.pct(75), "p90": d.pct(90),
+        "best_side": pick["side"], "edge": round(pick["edge"] * 100, 2),
+        "ev_per_$100": round(pick["ev"], 2),
+    })
+    # key order parity with the pre-core schema (mean/median before p75)
+    order = ["team", "player", "role", "stat", "line", "samples",
+             "p_over", "p_under", "push_rate", "american_over",
+             "american_under", "mean", "median", "p75", "p90",
+             "best_side", "edge", "ev_per_$100"]
+    return {k: market[k] for k in order}
 
 
 def _team_rows(sims: pd.DataFrame, team: str, opp: str) -> pd.DataFrame:
     return sims[(sims["team"].astype(str).str.lower() == team.lower())
                 & (sims["opp"].astype(str).str.lower() == opp.lower())]
+
+
+def _margin_dist(sims: pd.DataFrame, team: str, opp: str) -> Optional[Dist]:
+    rows = _team_rows(sims, team, opp)
+    if rows.empty:
+        return None
+    return Dist.from_values((rows["pts"] - rows["opp_pts"]).to_numpy())
 
 
 def moneyline_from_sims(csv_base: Optional[str], team: str, opp: str,
@@ -221,13 +332,8 @@ def moneyline_from_sims(csv_base: Optional[str], team: str, opp: str,
                                           directory=directory)
         sims = load_table(scores_path)
 
-    def winrate(t, o):
-        sub = _team_rows(sims, t, o)
-        if sub.empty:
-            return float("nan")
-        return float(np.mean(sub["pts"].values > sub["opp_pts"].values))
-
-    p_team, p_opp = winrate(team, opp), winrate(opp, team)
+    dists = (_margin_dist(sims, team, opp), _margin_dist(sims, opp, team))
+    p_team, p_opp = (float("nan") if d is None else d.over(0.0) for d in dists)
     if not np.isfinite(p_team) and np.isfinite(p_opp):
         p_team = min(max(1.0 - p_opp, 0.0), 1.0)
     if not np.isfinite(p_opp) and np.isfinite(p_team):
@@ -240,54 +346,45 @@ def moneyline_from_sims(csv_base: Optional[str], team: str, opp: str,
     }
 
 
+def _spread_market(margins: Dist, team: str, opp: str, spread: float) -> Dict:
+    """Cover iff margin > -spread, push at equality (edge_finder.py:308-313)."""
+    return _ou_market(
+        margins, -float(spread), digits=6, over_key="cover",
+        under_key="notcover", loc_prefix="_margin",
+        head={"team": team, "opp": opp, "spread": float(spread)})
+
+
+def _total_market(totals: Dist, team: str, opp: str, total: float) -> Dict:
+    return _ou_market(
+        totals, float(total), digits=6, over_key="over", under_key="under",
+        loc_prefix="_total",
+        head={"team": team, "opp": opp, "total": float(total)})
+
+
 def game_market_odds(csv_base: Optional[str], team: str, opp: str, *,
                      spread: Optional[float] = None, total: Optional[float] = None,
                      directory: str = ".",
                      sims: Optional[pd.DataFrame] = None) -> Dict:
-    """Spread cover P (margin > -spread, push at equality) and total
-    over/under P (edge_finder.py:283-336)."""
+    """Spread cover P and total over/under P from saved or in-memory sims
+    (math parity edge_finder.py:283-336, computed through the Dist core)."""
     if sims is None:
         scores_path, _ = find_saved_files(csv_base, team_a=team, team_b=opp,
                                           directory=directory)
         sims = load_table(scores_path)
     sims = _team_rows(sims, team, opp)
     if sims.empty:
-        raise ValueError("No rows from the TEAM perspective in scores data.")
+        raise ValueError(
+            f"scores data holds no rows from {team}'s perspective vs {opp}")
 
     out: Dict = {}
     if spread is not None:
-        margin = (sims["pts"] - sims["opp_pts"]).to_numpy()
-        tgt = -float(spread)
-        p_cover = float(np.mean(margin > tgt))
-        p_not = float(np.mean(margin < tgt))
-        p_push = float(np.mean(np.isclose(margin, tgt, atol=1e-9)))
-        out["spread"] = {
-            "team": team, "opp": opp, "spread": float(spread),
-            "samples": int(margin.size),
-            "p_cover": round(p_cover, 6), "p_notcover": round(p_not, 6),
-            "push_rate": round(p_push, 6),
-            "american_cover": prob_to_american(p_cover),
-            "american_notcover": prob_to_american(p_not),
-            "mean_margin": float(np.mean(margin)),
-            "median_margin": float(np.median(margin)),
-        }
+        margins = Dist.from_values((sims["pts"] - sims["opp_pts"]).to_numpy())
+        out["spread"] = _spread_market(margins, team, opp, spread)
     if total is not None:
-        totals = (sims["pts"] + sims["opp_pts"]).to_numpy()
-        t = float(total)
-        p_over = float(np.mean(totals > t))
-        p_under = float(np.mean(totals < t))
-        p_push = float(np.mean(np.isclose(totals, t, atol=1e-9)))
-        out["total"] = {
-            "team": team, "opp": opp, "total": t, "samples": int(totals.size),
-            "p_over": round(p_over, 6), "p_under": round(p_under, 6),
-            "push_rate": round(p_push, 6),
-            "american_over": prob_to_american(p_over),
-            "american_under": prob_to_american(p_under),
-            "mean_total": float(np.mean(totals)),
-            "median_total": float(np.median(totals)),
-        }
+        totals = Dist.from_values((sims["pts"] + sims["opp_pts"]).to_numpy())
+        out["total"] = _total_market(totals, team, opp, total)
     if not out:
-        raise ValueError("Provide spread= and/or total=.")
+        raise ValueError("nothing to price: pass spread= and/or total=")
     return out
 
 
@@ -439,46 +536,20 @@ def market_odds_from_summary(summary, team: str, opp: str, *,
                              spread: Optional[float] = None,
                              total: Optional[float] = None) -> Dict:
     """Same markets computed from a parallel.aggregate.ScoreSummary whose
-    histograms were reduced on device (team == side 0)."""
+    histograms were reduced on device (team == side 0).  Identical
+    formatting path as game_market_odds — only the Dist representation
+    differs (on-device histogram vs per-trial samples)."""
     from .parallel.aggregate import MARGIN_OFF
 
     out: Dict = {}
-    n = float(summary.n)
     if spread is not None:
         mh = np.asarray(summary.margin_hist, dtype=float)
-        margins = np.arange(len(mh)) - MARGIN_OFF
-        tgt = -float(spread)
-        p_cover = mh[margins > tgt].sum() / n
-        p_not = mh[margins < tgt].sum() / n
-        p_push = mh[np.isclose(margins, tgt)].sum() / n
-        mean_margin = float((mh * margins).sum() / n)
-        out["spread"] = {
-            "team": team, "opp": opp, "spread": float(spread), "samples": int(n),
-            "p_cover": round(float(p_cover), 6),
-            "p_notcover": round(float(p_not), 6),
-            "push_rate": round(float(p_push), 6),
-            "american_cover": prob_to_american(p_cover),
-            "american_notcover": prob_to_american(p_not),
-            "mean_margin": mean_margin,
-            "median_margin": float(margins[np.searchsorted(
-                np.cumsum(mh), n / 2.0)]),
-        }
+        margins = Dist.from_hist(mh, np.arange(len(mh)) - MARGIN_OFF)
+        out["spread"] = _spread_market(margins, team, opp, spread)
     if total is not None:
         th = np.asarray(summary.total_hist, dtype=float)
-        totals = np.arange(len(th))
-        t = float(total)
-        p_over = th[totals > t].sum() / n
-        p_under = th[totals < t].sum() / n
-        p_push = th[np.isclose(totals, t)].sum() / n
-        out["total"] = {
-            "team": team, "opp": opp, "total": t, "samples": int(n),
-            "p_over": round(float(p_over), 6), "p_under": round(float(p_under), 6),
-            "push_rate": round(float(p_push), 6),
-            "american_over": prob_to_american(p_over),
-            "american_under": prob_to_american(p_under),
-            "mean_total": float((th * totals).sum() / n),
-            "median_total": float(totals[np.searchsorted(np.cumsum(th), n / 2.0)]),
-        }
+        totals = Dist.from_hist(th, np.arange(len(th)))
+        out["total"] = _total_market(totals, team, opp, total)
     return out
 
 
