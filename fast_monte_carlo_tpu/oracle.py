@@ -94,6 +94,7 @@ class OracleMatchup:
         coach_map: Optional[Dict[str, str]] = None,
         memoize: bool = True,
         record_first_sd: bool = False,
+        record_states: bool = False,
     ):
         self.cfg = cfg or SimConfig()
         self.heads = heads
@@ -116,6 +117,12 @@ class OracleMatchup:
         self.first_sd = [dict(s1={}, s2={}, pq={}, rq={}, sq={}, fq={})
                          for _ in range(2)]
         self._visit = 0
+        # dropback-state recording (train.pipeline.sample_dropback_states):
+        # each pass play appends (st1_row17, passer_name, target_name) — the
+        # realistic state distribution used to reconstruct the snapshot's
+        # missing stage-2 booster on plausible football states
+        self.record_states = record_states
+        self.dropback_states: list = []
 
     # -- model wrappers with reference-faithful memoization ----------------
 
@@ -332,6 +339,10 @@ class OracleMatchup:
                 pstats[side, ROLE_REC, wr, PC_ATT] += 1  # tgt
 
             x = _state_vec(d, gs.down, gs.dist, gs.ytg, gs.sec, 3, 3, sd, cfg)
+            if self.record_states:
+                self.dropback_states.append(
+                    (x[0].copy(), str(off_ctx.qb.names[qb]),
+                     str(off_ctx.target.names[wr])))
             p_c = self._stage1(side, d, x, qb, gs)
             p_c = min(max(p_c + d.bias, cfg.model.stage1_clip_lo), cfg.model.stage1_clip_hi)
 

@@ -397,6 +397,78 @@ def train_stage2(df: pd.DataFrame, out_dir: str | Path) -> Path:
                              weight_mode="balanced")
 
 
+def sample_dropback_states(team_a, team_b, heads, *, cfg=None,
+                           n_games: int = 96, seed: int = 123,
+                           coach_map=None) -> pd.DataFrame:
+    """Realistic dropback-state rows sampled from CPU-oracle trajectories:
+    every pass play of `n_games` faithful games contributes its 17-numeric
+    ST1 row plus the sampled passer/target names.  This is the plausible
+    state distribution for reconstructing the snapshot's missing stage-2
+    booster (SURVEY §0.1) — training on uniform-random synthetic states
+    produces absurd football (15.6 INT/game, VALIDATION.md round 2)."""
+    from ..config import SimConfig
+    from ..oracle import OracleMatchup
+
+    cfg = cfg or SimConfig()
+    m = OracleMatchup(team_a, team_b, heads, cfg, coach_map,
+                      record_states=True)
+    rng = np.random.default_rng(seed)
+    for i in range(n_games):
+        m.simulate_game(i % 2, rng)
+    rows = m.dropback_states
+    df = pd.DataFrame(np.asarray([r[0] for r in rows], np.float32),
+                      columns=NUM_FEATURES)
+    df["passer_name"] = [r[1] for r in rows]
+    df["target_name"] = [r[2] for r in rows]
+    # synthetic vintages so the recipes' time-safe split has both halves
+    df["year"] = 2022 + (np.arange(len(df)) % 3)
+    return df
+
+
+def reconstruct_stage2(team_a, team_b, heads, out_dir, *, cfg=None,
+                       n_games: int = 96, seed: int = 123,
+                       label_seed: int = 7, noise: float = 0.15,
+                       coach_map=None) -> Path:
+    """Plausible stage-2 reconstruction: train the stage-2 model shape
+    (train_pass_outcome_stage2.py:82-130 features/classes) on
+    oracle-sampled dropback states labeled from the analytic conditional
+    with per-row logit jitter.  The trained booster then reproduces sane
+    non-complete outcome rates (~1-2 INT/game through the engine) while
+    exercising the real train -> compile -> heads -> engine loop; swap the
+    labels for real CFBD outcomes when the data files are available.
+
+    Deliberate deviation from train_stage2's reference recipe: NO class
+    reweighting.  The reference's full balanced weights
+    (train_pass_outcome_stage2.py:82-87) prior-shift the softprob output
+    (P(intercepted | not complete) toward 1/3 instead of ~0.08) — exactly
+    the implausible-football failure this reconstruction exists to avoid;
+    unweighted training keeps the conditionals calibrated.  The
+    recipe-faithful path remains train_stage2."""
+    from ..config import SimConfig
+    from ..models import analytic
+
+    cfg = cfg or SimConfig()
+    df = sample_dropback_states(team_a, team_b, heads, cfg=cfg,
+                                n_games=n_games, seed=seed,
+                                coach_map=coach_map)
+    rng = np.random.default_rng(label_seed)
+    p = np.stack(analytic.stage2_fallback_probs(
+        df["down"].to_numpy(), df["distance"].to_numpy(), cfg), axis=1)
+    if noise:
+        z = np.log(np.maximum(p, 1e-6)) + noise * rng.standard_normal(p.shape)
+        p = np.exp(z)
+        p /= p.sum(axis=1, keepdims=True)
+    u = rng.random(len(df))
+    lab = (u[:, None] > np.cumsum(p, axis=1)).sum(axis=1)
+    df["pass_outcome"] = np.asarray(
+        ["incomplete", "intercepted", "sack"])[lab]
+    return _train_multiclass(df, df["pass_outcome"],
+                             ["passer_name", "target_name"], out_dir,
+                             "pass_stage2",
+                             filename="pass_stage2_notcomplete",
+                             weight_mode="none")
+
+
 def train_pass_outcome_single(df: pd.DataFrame, out_dir: str | Path) -> Path:
     """Legacy single-stage 4-class pass outcome
     {complete,incomplete,intercepted,sack} (train_pass_outcome.py:52-98),

@@ -315,3 +315,81 @@ def test_single_stage_pass_outcome(synth_plays, tmp_path):
     pipe = load_sklearn_artifact(path)
     forest = forest_from_gbc_pipeline(pipe)
     assert forest.n_classes == 4
+
+
+def test_stage2_reconstruction_plausible(tmp_path, reference_dir):
+    """VERDICT r2 #5: the stage-2 head reconstructed on realistic
+    oracle-sampled dropback states (train.pipeline.reconstruct_stage2)
+    must (a) match the analytic conditional it was labeled from, and
+    (b) drive the engine at sane football rates (~1-2 INT/game), unlike
+    the round-2 synthetic-extremes proof (15.6 INT/game)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from fast_monte_carlo_tpu.config import SimConfig
+    from fast_monte_carlo_tpu.data import (
+        build_team_context_from_sp_flex, load_sp_flex,
+    )
+    from fast_monte_carlo_tpu.models import analytic
+    from fast_monte_carlo_tpu.ops.game import make_exact_heads_eval, simulate_games
+    from fast_monte_carlo_tpu.ops.pack import build_packs
+    from fast_monte_carlo_tpu.stats import TS
+
+    cfg = SimConfig()
+    sp = load_sp_flex(str(reference_dir / "PregameSPPlus2025_1.csv"))
+    a = build_team_context_from_sp_flex("Kansas State", 2025, 1, sp)
+    b = build_team_context_from_sp_flex("Iowa State", 2025, 1, sp)
+    heads = load_heads(reference_dir)
+
+    P.reconstruct_stage2(a, b, heads, tmp_path, cfg=cfg, n_games=24, seed=5)
+    trained = load_heads(tmp_path)
+    assert trained.stage2 is not None
+
+    # (a) head-level parity on held-out realistic states: the trained
+    # conditional must track the analytic fallback it was labeled from
+    held = P.sample_dropback_states(a, b, heads, cfg=cfg, n_games=6, seed=99)
+    X = held[P.NUM_FEATURES].to_numpy(np.float32)
+    lay = trained.stage2.layout
+    qb_ids = np.asarray([lay.cat_id("passer_name", s)
+                         for s in held["passer_name"]])
+    wr_ids = np.asarray([lay.cat_id("target_name", s)
+                         for s in held["target_name"]]) \
+        if "target_name" in lay.cat_group_names else qb_ids
+    got = np.stack(trained.stage2_probs(X, qb_ids, wr_ids, cfg), axis=1)
+    want = np.stack(analytic.stage2_fallback_probs(
+        X[:, 0], X[:, 1], cfg), axis=1)
+    assert np.abs(got - want).mean() < 0.06
+    assert abs(got[:, 1].mean() - want[:, 1].mean()) < 0.03  # INT calibrated
+
+    # (b) engine-level sanity: graft the trained head, simulate, count INTs
+    grafted = dataclasses.replace(
+        heads, stage2=trained.stage2,
+        stage2_class_order=trained.stage2_class_order)
+    n_engine = 512
+    pack, hp = build_packs(a, b, grafted, cfg)
+    assert hp.stage2 is not None
+    he = make_exact_heads_eval(cfg)
+    fo = jnp.asarray(np.arange(n_engine) % 2, jnp.int32)
+    out = jax.jit(lambda hs, k: simulate_games(
+        pack, cfg, he, hs, k, n_engine, fo, collect_players=False))(
+        hp, jax.random.PRNGKey(3))
+    ints = np.asarray(out.stats)[:, :, TS["INT"]].sum(axis=1)
+    att = np.asarray(out.stats)[:, :, TS["pass_att"]].sum(axis=1)
+    int_rate = ints.mean()
+    # this matchup is pass-heavy under the heuristic play call (~93
+    # att/game), so bound the PER-ATTEMPT pick rate (trained head must not
+    # blow past the analytic conditional's ~4%) plus a sane absolute range
+    # — the analytic-fallback referee itself measures ~3.7 INT/game here,
+    # vs the round-2 synthetic-extremes head's 15.6
+    assert 0.2 < int_rate < 5.5, f"implausible INT/game {int_rate:.2f}"
+    assert ints.sum() / att.sum() < 0.06
+
+    # analytic-fallback engine as the tolerance referee
+    pack0, hp0 = build_packs(a, b, heads, cfg)
+    out0 = jax.jit(lambda hs, k: simulate_games(
+        pack0, cfg, he, hs, k, n_engine, fo, collect_players=False))(
+        hp0, jax.random.PRNGKey(3))
+    int0 = np.asarray(out0.stats)[:, :, TS["INT"]].sum(axis=1).mean()
+    assert abs(int_rate - int0) < 0.8, (int_rate, int0)
