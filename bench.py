@@ -37,11 +37,12 @@ def main() -> int:
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--repeats", type=int, default=2)
     ap.add_argument("--rng", default="rbg",
-                    choices=["threefry", "rbg", "pallas"],
+                    choices=["threefry", "rbg", "pallas", "pallas_chunk"],
                     help="rbg (default here): XLA RngBitGenerator — "
                          "counter-based, ~4x cheaper draws, deep-validated "
                          "vs the CPU oracle (VALIDATION.md).  The library "
-                         "default stays threefry.")
+                         "default stays threefry.  pallas_chunk: hardware "
+                         "PRNG for a whole play chunk per pallas_call.")
     ap.add_argument("--unroll", type=int, default=0,
                     help="lax.scan unroll factor for the play loop "
                          "(0 = config default)")
@@ -49,19 +50,26 @@ def main() -> int:
                     help="early-exit while_loop chunk size in plays "
                          "(0 = config default 24); smaller stops nearer "
                          "the true max step count at more cond overhead")
+    ap.add_argument("--tail-chunk", type=int, default=0,
+                    help="descending schedule: switch to this chunk size "
+                         "after --tail-after plays (0 = off)")
+    ap.add_argument("--tail-after", type=int, default=144,
+                    help="play count where the tail chunk size begins")
     ap.add_argument("--antithetic", action="store_true",
                     help="mirrored-draw pairs: halves RNG generation "
                          "(variance-neutral for this workload — see "
                          "EngineConfig.antithetic)")
     ap.add_argument("--no-stats", action="store_true",
                     help="score-only accrual (edge-scan / sweep workloads)")
-    ap.add_argument("--summary", action="store_true", default=True,
-                    help="(default) consume scores via device-side moment/"
-                         "histogram accumulation (run_pairs_summary — the "
-                         "edge-scan production workload; frees score "
-                         "buffers per launch; 1,173k vs 1,011k games/s)")
+    # default workload: scores consumed via device-side moment/histogram
+    # accumulation (run_pairs_summary — the edge-scan production workload;
+    # frees score buffers per launch; 1,173k vs 1,011k games/s).  The
+    # emitted metric name keeps its "_summary" suffix for longitudinal
+    # comparison with BENCH_r02 onward.
     ap.add_argument("--raw-scores", action="store_false", dest="summary",
-                    help="keep per-launch score buffers instead (the "
+                    default=True,
+                    help="keep per-launch score buffers instead of the "
+                         "default device-accumulated summary (the "
                          "scores-frame workload)")
     ap.add_argument("--chunk", type=int, default=65536,
                     help="games per launch; n is split into pipelined "
@@ -118,6 +126,10 @@ def main() -> int:
     if args.play_chunk:
         cfg = cfg.replace(engine=dataclasses.replace(
             cfg.engine, play_chunk=args.play_chunk))
+    if args.tail_chunk:
+        cfg = cfg.replace(engine=dataclasses.replace(
+            cfg.engine, play_chunk_tail=args.tail_chunk,
+            tail_after=args.tail_after))
     sp = load_sp_flex(f"{REFERENCE_DIR}/PregameSPPlus2025_1.csv")
     a = build_team_context_from_sp_flex("Kansas State", 2025, 1, sp)
     b = build_team_context_from_sp_flex("Iowa State", 2025, 1, sp)
@@ -153,8 +165,10 @@ def main() -> int:
             """n split into pipelined launches (no sync between launches —
             measured ~20% over one big launch: overlapped dispatch + shorter
             per-launch early-exit tails).  One transfer at the end."""
+            root = jax.random.PRNGKey(seed0)
             outs = [runner.run_pairs(min(chunk_pairs, n_pairs - ci * chunk_pairs),
-                                     seed=seed0 + ci, collect_players=False,
+                                     key=jax.random.fold_in(root, ci),
+                                     collect_players=False,
                                      collect_stats=stats, block=False)
                     for ci in range(n_chunks)]
             _ = np.asarray(outs[-1].score[:16])   # forced host transfer

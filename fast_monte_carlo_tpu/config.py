@@ -172,7 +172,8 @@ class ModelConfig:
     use_play_model: bool = False    # play_model.json absent in snapshot => heuristic
     enable_fumbles: bool = False    # fumble head is trained-but-unwired in the
                                     # reference (SURVEY §0.1); opt-in extension
-    count_sack_as_att: bool = False  # (:148)
+    count_sack_as_att: bool = False  # kept for parity: defined-unused in the
+                                     # reference too (:148), like sack_scale
     td_points: int = 7
     fg_points: int = 3
 
@@ -197,6 +198,14 @@ class EngineConfig:
     # plays; the 360 bound is a worst-case guarantee)
     early_exit: bool = True
     play_chunk: int = 24
+    # descending tail schedule (round-3 lever b, ops/game.py): after
+    # `tail_after` plays switch the early-exit loop to `play_chunk_tail`-
+    # step chunks, so the stop point quantizes nearer the batch's max step
+    # count (~183) instead of the next multiple of 24 (192).  0 = off.
+    # Draw streams key on absolute step index -> bitwise-identical
+    # trajectories under any schedule.
+    play_chunk_tail: int = 0
+    tail_after: int = 144
     # lax.scan unroll factor for the play loop: >1 emits k step bodies per
     # loop iteration, amortizing XLA's per-iteration loop overhead (the
     # measured scan floor is 0.14-0.17 ms/step at B=131k —
@@ -288,9 +297,13 @@ class EngineConfig:
     # (~113k rows/step/game -> ~15 games/s at ~330 steps).  Kept (golden-
     # tested, bitwise-equal outputs) for backends without the cliff.
     exact_merged: bool = False
-    # 'threefry' (jax default, strongest guarantees) or 'rbg' (XLA
+    # 'threefry' (jax default, strongest guarantees), 'rbg' (XLA
     # RngBitGenerator: ~4x cheaper per draw on TPU, still counter-based and
-    # fine for Monte-Carlo; streams differ from threefry)
+    # fine for Monte-Carlo; streams differ from threefry), 'pallas'
+    # (per-step hardware-PRNG kernel — measured negative, kept validated:
+    # benchmarks/PALLAS_NOTE.md), or 'pallas_chunk' (hardware PRNG for a
+    # WHOLE play_chunk in one pallas_call, the chunk-amortized structure
+    # of VERDICT r2 #2; early-exit path only, threefry elsewhere)
     rng_impl: str = "threefry"
 
 

@@ -343,6 +343,7 @@ def play_step(
     heads_state,
     collect_players: bool,
     collect_stats: bool = True,
+    draws=None,
 ) -> GameState:
     B = s.off.shape[0]
     # antithetic pairing (EngineConfig.antithetic): rows 4k+2, 4k+3 reuse
@@ -352,7 +353,11 @@ def play_step(
     # outcomes correlate negatively.  Needs B % 4 == 0 (off otherwise).
     anti = cfg.engine.antithetic and B % 4 == 0
     Bd = B // 2 if anti else B
-    if cfg.engine.rng_impl == "pallas":
+    if draws is not None:
+        # pre-generated (Bd, 13) uniforms + (Bd, 4) normals — the
+        # chunk-amortized Pallas path (rng_impl == "pallas_chunk")
+        u, n = draws
+    elif cfg.engine.rng_impl == "pallas":
         # hardware PRNG in one Pallas kernel (~6x cheaper than threefry,
         # ops/rng_pallas.py); distributional-equivalence contract only
         from .rng_pallas import step_draws
@@ -769,23 +774,54 @@ def simulate_games(
         ch = cfg.engine.play_chunk
         n_chunks = -(-cfg.engine.max_plays // ch)
         unroll = cfg.engine.scan_unroll
+        rng_chunk = cfg.engine.rng_impl == "pallas_chunk"
+        anti_b = cfg.engine.antithetic and n % 4 == 0
+        Bd = n // 2 if anti_b else n
 
-        def run_until_done(state, first_chunk):
+        def chunk_scan(s, step0, ch_sz):
+            """Advance ch_sz steps from absolute step index step0 (a traced
+            i32); draw streams key on the absolute index, so every chunk
+            schedule sees the same per-step streams."""
+            if rng_chunk:
+                # whole chunk's draws in ONE pallas_call (hardware PRNG,
+                # ops/rng_pallas.chunk_draws) — the chunk-amortized
+                # structure that the per-step kernel's launch overhead
+                # demanded (benchmarks/PALLAS_NOTE.md)
+                from .rng_pallas import chunk_draws
+                u_all, n_all = chunk_draws(key, step0, ch_sz, Bd)
+
+                def chunk_step(s2, xs):
+                    return play_step(s2, key, pack, cfg, heads_eval,
+                                     heads_state, collect_players,
+                                     collect_stats, draws=xs), None
+
+                s, _ = jax.lax.scan(chunk_step, s, (u_all, n_all),
+                                    unroll=unroll)
+            else:
+                def chunk_step(s2, j):
+                    return step(s2, jax.random.fold_in(key, step0 + j))
+
+                s, _ = jax.lax.scan(chunk_step, s, jnp.arange(ch_sz),
+                                    unroll=unroll)
+            return s
+
+        def phase_loop(state, first_chunk, last_chunk, base_step, ch_sz):
+            """while_loop over chunks [first_chunk, last_chunk) of ch_sz
+            steps, stopping early once every game is done."""
             def cond(carry):
                 s, ci = carry
-                return (ci < n_chunks) & jnp.any(s.sec > 0)
+                return (ci < last_chunk) & jnp.any(s.sec > 0)
 
             def body(carry):
                 s, ci = carry
-                def chunk_step(s2, j):
-                    return step(s2, jax.random.fold_in(key, ci * ch + j))
-                s, _ = jax.lax.scan(chunk_step, s, jnp.arange(ch),
-                                    unroll=unroll)
-                return (s, ci + 1)
+                return (chunk_scan(s, base_step + ci * ch_sz, ch_sz), ci + 1)
 
             out, _ = jax.lax.while_loop(
                 cond, body, (state, jnp.asarray(first_chunk, I32)))
             return out
+
+        def run_until_done(state, first_chunk):
+            return phase_loop(state, first_chunk, n_chunks, 0, ch)
 
         ca = cfg.engine.compact_after
         if cfg.engine.compact_tail and n >= cfg.engine.compact_min_batch \
@@ -802,11 +838,7 @@ def simulate_games(
             p1_chunks = ca // ch
 
             def p1_body(s, ci):
-                def chunk_step(s2, j):
-                    return step(s2, jax.random.fold_in(key, ci * ch + j))
-                s, _ = jax.lax.scan(chunk_step, s, jnp.arange(ch),
-                                    unroll=unroll)
-                return s, None
+                return chunk_scan(s, ci * ch, ch), None
 
             state, _ = jax.lax.scan(p1_body, init,
                                     jnp.arange(p1_chunks, dtype=I32))
@@ -821,6 +853,19 @@ def simulate_games(
                 lambda full, s_: full.at[idx].set(s_, mode="drop"),
                 state, sub)
             final = run_until_done(state, p1_chunks)  # no-op unless overflow
+        elif cfg.engine.play_chunk_tail:
+            # descending chunk schedule (round-3 lever b): big chunks while
+            # everyone is alive, a smaller tail chunk after `tail_after`
+            # plays so the stop point quantizes nearer the batch's true max
+            # step count (with chunk 24 the loop runs to 192 for a ~183
+            # max; an 8-step tail stops at 184).  Draw streams key on the
+            # absolute step index, so trajectories are bitwise-identical to
+            # the single-chunk schedule.
+            ta = cfg.engine.play_chunk_tail
+            head_steps = (cfg.engine.tail_after // ch) * ch
+            tail_chunks = -(-(cfg.engine.max_plays - head_steps) // ta)
+            state = phase_loop(init, 0, head_steps // ch, 0, ch)
+            final = phase_loop(state, 0, tail_chunks, head_steps, ta)
         else:
             final = run_until_done(init, 0)
     else:
