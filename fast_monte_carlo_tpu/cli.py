@@ -234,7 +234,11 @@ def main(argv=None) -> int:
     pe.add_argument("--device", action="store_true",
                     help="simulate + reduce on the accelerator (no files)")
     pe.add_argument("--sp", default=None, help="SP+ csv (with --device)")
-    pe.add_argument("-n", type=int, default=65536, help="pairs (with --device)")
+    pe.add_argument("-n", type=int, default=65536,
+                    help="pairs (with --device); large market-only scans "
+                         "round n UP to whole 32768-pair launches so every "
+                         "launch shares one compiled shape — the printed "
+                         "game count is the true number simulated")
     pe.add_argument("--year", type=int, default=2025)
     pe.add_argument("--week", type=int, default=1)
     pe.add_argument("--seed", type=int, default=0)

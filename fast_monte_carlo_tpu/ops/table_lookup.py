@@ -291,8 +291,13 @@ def cachewarm_events(team_a, team_b, heads, cfg: SimConfig, coach_map=None,
         # frozen-dataclass repr so a changed config is a cache miss
         cfg_sig = hashlib.sha256(repr(cfg).encode()).hexdigest()[:12]
         key = _table_cache_key(team_a, team_b, heads, cfg, None, None, None)
+        # the warm-up trajectory also depends on coach_map (the play-call
+        # model's coach_id feature) — hash it into the filename or a
+        # coach-only change would serve stale first-visit recordings
+        coach_sig = hashlib.sha256(
+            repr(sorted((coach_map or {}).items())).encode()).hexdigest()[:8]
         cache_path = _P(cache_dir) / (
-            f"warm_{key}_{cfg_sig}_{cfg.engine.cachewarm_seed}_"
+            f"warm_{key}_{cfg_sig}_{coach_sig}_{cfg.engine.cachewarm_seed}_"
             f"{cfg.engine.cachewarm_games}.pkl")
         if cache_path.exists():
             try:

@@ -96,10 +96,13 @@ def score_moments(score: jnp.ndarray) -> ScoreMoments:
 
 def summary_from_moments(m: ScoreMoments) -> ScoreSummary:
     """Finalize accumulated moments into the same ScoreSummary
-    summarize_scores produces (sd uses ddof=1 like jnp.std(ddof=1))."""
+    summarize_scores produces (sd uses ddof=1 like jnp.std(ddof=1);
+    at n < 2 the ddof=1 variance is undefined — NaN, matching
+    summarize_scores, not 0)."""
     n = m.n
     mean = m.s_sum / n
     var = jnp.maximum(0.0, (m.s_sumsq - n * mean * mean) / jnp.maximum(1.0, n - 1))
+    var = jnp.where(n > 1, var, jnp.nan)
     return ScoreSummary(
         n=n, mean_pts=mean, sd_pts=jnp.sqrt(var),
         win_rate=m.wins / n, tie_rate=m.ties / n,
