@@ -96,16 +96,13 @@ class MatchupRunner:
         # shared jit cache entry — is reused across matchups
         self.heads_fn = _heads_fn_cached(self.mode, self.cfg)
 
-    def _runner(self, n_games: int, collect_players: bool):
-        if self.shard:
-            def fn(pack, hs, k, fo):
-                return simulate_games_sharded(
-                    self.pack, self.cfg, self.heads_fn, hs, k, n_games, fo,
-                    collect_players=collect_players)
-            return fn
-        # one shared jit across matchups: pack/heads_state are pytree args,
-        # so a 60-game slate with same-shaped tables compiles exactly once
-        return _shared_sim_jit(self.cfg, self.heads_fn)
+    def _resolved(self, collect_stats: bool):
+        """(cfg, heads_fn) with nano_select='auto' resolved per workload
+        (config.resolve_nano_select: cheap-RNG + score-only gets the
+        fission-immune dot select; everything else keeps the chain)."""
+        from .config import resolve_nano_select
+        cfg = resolve_nano_select(self.cfg, collect_stats)
+        return cfg, _heads_fn_cached(self.mode, cfg)
 
     def run_pairs(self, n_pairs: int, seed: int = 0,
                   collect_players: bool = True,
@@ -121,11 +118,16 @@ class MatchupRunner:
         n_games = 2 * n_pairs
         k = key if key is not None else jax.random.PRNGKey(seed)
         fo = jnp.asarray(np.arange(n_games) % 2, jnp.int32)
+        cfg, heads_fn = self._resolved(collect_stats)
         if self.shard:
-            fn = self._runner(n_games, collect_players)
+            def fn(pack, hs, kk, f):
+                return simulate_games_sharded(
+                    pack, cfg, heads_fn, hs, kk, n_games, f,
+                    collect_players=collect_players,
+                    collect_stats=collect_stats)
             out = fn(self.pack, self.heads_state, k, fo)
         else:
-            fn = _shared_sim_jit(self.cfg, self.heads_fn)
+            fn = _shared_sim_jit(cfg, heads_fn)
             out = fn(self.pack, self.heads_state, k, fo,
                      n_games, collect_players, collect_stats)
         if block:
@@ -166,12 +168,13 @@ class MatchupRunner:
         n_chunks = -(-n_pairs // chunk_pairs)
         root = jax.random.PRNGKey(seed)
         acc = None
+        cfg_r, heads_fn_r = self._resolved(collect_stats)
         for ci in range(n_chunks):
             ck = jax.random.fold_in(root, ci)
             if self.shard:
                 from .parallel import simulate_moments_sharded
                 m = simulate_moments_sharded(
-                    self.pack, self.cfg, self.heads_fn, self.heads_state,
+                    self.pack, cfg_r, heads_fn_r, self.heads_state,
                     ck, 2 * chunk_pairs,
                     jnp.asarray(np.arange(2 * chunk_pairs) % 2, jnp.int32),
                     collect_stats=collect_stats)
@@ -530,6 +533,9 @@ class SlateRunner:
 
         if not self.game_shard:
             raise ValueError("run_summaries needs SlateRunner(game_shard=True)")
+        from .config import resolve_nano_select
+        cfg = resolve_nano_select(self.cfg, False)  # in-scan moments: score-only
+        heads_fn = _heads_fn_cached("table", cfg)
         mesh = mesh or game_mesh()
         ndev = int(mesh.devices.size)
         g = len(self.matchups)
@@ -542,7 +548,7 @@ class SlateRunner:
         acc = None
         for ci in range(n_chunks):
             m = simulate_slate_moments(
-                sp, self.cfg, self.heads_fn, st,
+                sp, cfg, heads_fn, st,
                 jax.random.fold_in(root, ci), gp, 2 * chunk_pairs, mesh=mesh)
             acc = m if acc is None else jax.tree_util.tree_map(
                 lambda a, b: a + b, m, acc)
@@ -579,7 +585,9 @@ class SlateRunner:
                 self.pack, self.cfg, self.heads_fn, self.heads_state,
                 jax.random.PRNGKey(seed), n, fo, game_id=gid)
         else:
-            fn = _shared_slate_jit(self.cfg, self.heads_fn)
+            from .config import resolve_nano_select
+            cfg = resolve_nano_select(self.cfg, False)  # slate jit is score-only
+            fn = _shared_slate_jit(cfg, _heads_fn_cached("table", cfg))
             out = fn(self.pack, self.heads_state, jax.random.PRNGKey(seed),
                      fo, gid, n)
         jax.block_until_ready(out.score)

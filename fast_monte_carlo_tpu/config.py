@@ -206,6 +206,16 @@ class EngineConfig:
     # trajectories under any schedule.
     play_chunk_tail: int = 0
     tail_after: int = 144
+    # nano-table channel select: 'auto' (default), 'chain' (masked
+    # slice+add passes), or 'dot' (one-hot einsum — a single reduce XLA
+    # cannot fission).  'auto' resolves per workload via
+    # resolve_nano_select: cheap-RNG (rbg/pallas*) + score-only configs
+    # get 'dot' (the chain select fissions into strided ~4%-bandwidth
+    # fusions there — measured 211k vs 906k games/s,
+    # benchmarks/rbg_nostats_probe.py round 3); everything else keeps
+    # 'chain' (dot costs ~7% where the chain fuses well).  Unresolved
+    # 'auto' behaves as 'chain'.
+    nano_select: str = "auto"
     # lax.scan unroll factor for the play loop: >1 emits k step bodies per
     # loop iteration, amortizing XLA's per-iteration loop overhead (the
     # measured scan floor is 0.14-0.17 ms/step at B=131k —
@@ -350,3 +360,22 @@ def classic_config() -> SimConfig:
             taper_enabled=True, rz_pass_damping=True,
         ),
     )
+
+
+def resolve_nano_select(cfg: SimConfig, collect_stats: bool) -> SimConfig:
+    """Resolve EngineConfig.nano_select == 'auto' for one workload.
+
+    Cheap-RNG (rbg / pallas*) score-only programs hit an XLA fusion
+    pathology in the nano chain select: the slice+add chain fissions into
+    fusions that each re-read the gathered row strided at ~4% HBM
+    utilization (measured 211k vs 906k games/s at B=131k,
+    benchmarks/rbg_nostats_probe.py round 3).  The one-pass einsum ('dot')
+    is immune but costs ~7% where the chain fuses well, so 'auto' picks
+    per (rng_impl, collect_stats).  Callers that know collect_stats
+    (api.MatchupRunner/SlateRunner) resolve before building the jit."""
+    if cfg.engine.nano_select != "auto":
+        return cfg
+    mode = ("dot" if (not collect_stats and cfg.engine.rng_impl != "threefry")
+            else "chain")
+    return cfg.replace(engine=dataclasses.replace(cfg.engine,
+                                                  nano_select=mode))

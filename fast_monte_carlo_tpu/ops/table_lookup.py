@@ -646,18 +646,33 @@ def _nano_eval(th: TableHeads, obs: StepObs, pack: MatchupPack,
     row = jnp.take(th.nano.values, base + state, axis=0, mode="clip")
     nsd, c = th.nano_nsd, th.nano_c
     blk = nsd * c
-    sel = None
-    for d in range(5):
-        g = (down_i == d).astype(row.dtype)[:, None]
-        part = row[:, d * blk:(d + 1) * blk] * g
-        sel = part if sel is None else sel + part
-    if nsd > 1:
-        sdi = _seg_bin(sd_f, prof.sd_segs)
-        sel2 = None
-        for s in range(nsd):
-            g = (sdi == s).astype(sel.dtype)[:, None]
-            part = sel[:, s * c:(s + 1) * c] * g
-            sel2 = part if sel2 is None else sel2 + part
-        sel = sel2
+    if cfg.engine.nano_select == "dot":
+        # one-pass masked contraction: reshape to (B, 5, blk) and contract
+        # the down axis against a one-hot.  Same arithmetic as the slice
+        # chain below, but emitted as a single reduce XLA cannot fission
+        # into per-slice fusions — the round-3 fix for the rbg+no-stats
+        # pathology, where the chain split into fusions that each re-read
+        # the gathered row strided at ~3-4% HBM utilization
+        # (benchmarks/rbg_nostats_probe.py: 211k vs 949k games/s).
+        oh = (down_i[:, None] == jnp.arange(5)[None, :]).astype(row.dtype)
+        sel = jnp.einsum("bdc,bd->bc", row.reshape(-1, 5, blk), oh)
+        if nsd > 1:
+            sdi = _seg_bin(sd_f, prof.sd_segs)
+            oh2 = (sdi[:, None] == jnp.arange(nsd)[None, :]).astype(sel.dtype)
+            sel = jnp.einsum("bsc,bs->bc", sel.reshape(-1, nsd, c), oh2)
+    else:
+        sel = None
+        for d in range(5):
+            g = (down_i == d).astype(row.dtype)[:, None]
+            part = row[:, d * blk:(d + 1) * blk] * g
+            sel = part if sel is None else sel + part
+        if nsd > 1:
+            sdi = _seg_bin(sd_f, prof.sd_segs)
+            sel2 = None
+            for s in range(nsd):
+                g = (sdi == s).astype(sel.dtype)[:, None]
+                part = sel[:, s * c:(s + 1) * c] * g
+                sel2 = part if sel2 is None else sel2 + part
+            sel = sel2
     return _unpack_head_row(th, obs, sel, down_i, dist_f, ytg_f, sec_f,
                             sd_f, cfg)
