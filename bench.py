@@ -59,8 +59,16 @@ def main() -> int:
                     help="mirrored-draw pairs: halves RNG generation "
                          "(variance-neutral for this workload — see "
                          "EngineConfig.antithetic)")
-    ap.add_argument("--no-stats", action="store_true",
-                    help="score-only accrual (edge-scan / sweep workloads)")
+    # score-only is the default since round 3: the summary workload never
+    # consumes box scores, and the rbg+score-only fusion pathology that
+    # forced stats ON is fixed (auto dot select, config.resolve_nano_select)
+    # — measured 1,526,854 games/s vs 1,505,987 with stats.
+    ap.add_argument("--stats", dest="stats", action="store_true",
+                    default=False,
+                    help="collect box-score accrual during the bench "
+                         "(default off: summary workload is score-only)")
+    ap.add_argument("--no-stats", dest="stats", action="store_false",
+                    help=argparse.SUPPRESS)  # pre-round-3 spelling
     # default workload: scores consumed via device-side moment/histogram
     # accumulation (run_pairs_summary — the edge-scan production workload;
     # frees score buffers per launch; 1,173k vs 1,011k games/s).  The
@@ -144,7 +152,7 @@ def main() -> int:
     n_pairs = args.n if args.pairs else max(1, args.n // 2)
     n_games = 2 * n_pairs
 
-    stats = not args.no_stats
+    stats = args.stats
     chunk_pairs = (args.chunk // 2) if args.chunk else n_pairs
     chunk_pairs = min(chunk_pairs, n_pairs)
     n_chunks = -(-n_pairs // chunk_pairs)

@@ -48,13 +48,13 @@ TOTAL_BINS = 160
 B3_PAIRS = int(os.environ.get("B3_PAIRS", 50_000))
 B4_PAIRS = int(os.environ.get("B4_PAIRS", 50_000))
 B4_CHUNKS = int(os.environ.get("B4_CHUNKS", 10))
-# threefry + score-only is the measured best for the MULTI-matchup sweep
-# (#3: 1.47M vs rbg+stats 1.36M; #4: 1.245M vs 1.26M — a wash); the
-# single-matchup bench optimum (rbg+stats@65k launches, 1.51M) does NOT
-# transfer here.  B_RNG=rbg runs the sweep with rbg + stats ON (rbg +
-# score-only is the documented pathological XLA interaction).
+# threefry + score-only was the measured best for the MULTI-matchup sweep
+# in round 2 (#3: 1.47M vs rbg+stats 1.36M; #4: 1.245M vs 1.26M — a
+# wash).  Since round 3 the rbg + score-only fusion pathology is FIXED
+# (auto dot select, config.resolve_nano_select), so B_RNG=rbg now runs
+# score-only too; B_STATS=1 re-enables box-score accrual.
 RNG_IMPL = os.environ.get("B_RNG", "threefry")
-STATS = RNG_IMPL == "rbg"
+STATS = os.environ.get("B_STATS") == "1"
 
 import dataclasses
 
