@@ -97,6 +97,16 @@ def simulate_slate_moments(
     def run(local_pack, local_tables, local_keys):
         def body(carry, xs):
             pack_g, th_g, key_g = xs
+            # materialize the scan's per-game table slice so the play-step
+            # gather's operand is the per-game (~16k-row) table, not a
+            # dynamic-slice view of the full stacked array (the gather
+            # cliff this layout exists to avoid).  Measured on the real
+            # chip: 196k games/s without the barrier, 225k with — the
+            # barrier helps but the scan-over-games structure itself still
+            # runs ~6x below the per-matchup launch loop (1.47M); see the
+            # layout note in CLAUDE.md / BASELINE_RUNS — use trial-sharded
+            # per-matchup sweeps for production throughput.
+            th_g = jax.lax.optimization_barrier(th_g)
             out = simulate_games(pack_g, cfg, heads_eval, th_g, key_g,
                                  n_per_game, fo, collect_players=False,
                                  game_id=0, collect_stats=False)
