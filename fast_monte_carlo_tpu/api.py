@@ -136,7 +136,9 @@ class MatchupRunner:
 
     def run_pairs_summary(self, n_pairs: int, seed: int = 0,
                           chunk_pairs: int = 32768,
-                          collect_stats: bool = False):
+                          collect_stats: bool = False,
+                          key: Optional[jnp.ndarray] = None,
+                          block: bool = True):
         """Market summary (ScoreSummary) for large n: pipelined score-only
         launches of `chunk_pairs` (default 32768 pairs = the measured
         65,536-game launch optimum, 1.51M games/s), per-launch
@@ -154,7 +156,13 @@ class MatchupRunner:
 
         Chunk keys are fold_in(PRNGKey(seed), chunk) off one root key, so
         different seeds produce fully independent streams (seed+ci offsets
-        would make adjacent seeds share all-but-one chunk).
+        would make adjacent seeds share all-but-one chunk).  `key` replaces
+        the root key (slate drivers pass per-game fold_in'd roots); with
+        block=False the returned summary stays device-resident and no host
+        transfer happens — callers driving many matchups force ONE transfer
+        at the end so the in-order dispatch queue never drains
+        (simulate_slate_summaries; per-matchup transfers measured 451k vs
+        1,223k games/s on the 60M-game sweep).
 
         With shard=True each chunk is a shard_map launch over the full
         device mesh: every device reduces its trial shard to ScoreMoments
@@ -166,7 +174,7 @@ class MatchupRunner:
         moments_jit = jax.jit(score_moments)
         chunk_pairs = min(chunk_pairs, n_pairs)
         n_chunks = -(-n_pairs // chunk_pairs)
-        root = jax.random.PRNGKey(seed)
+        root = key if key is not None else jax.random.PRNGKey(seed)
         acc = None
         cfg_r, heads_fn_r = self._resolved(collect_stats)
         for ci in range(n_chunks):
@@ -185,9 +193,10 @@ class MatchupRunner:
                 m = moments_jit(out.score)
             acc = m if acc is None else acc + m
         summary = jax.jit(summary_from_moments)(acc)
-        # forced tiny host transfer: on the axon backend block_until_ready
-        # can return before execution finishes (verify-skill note)
-        _ = np.asarray(summary.n)
+        if block:
+            # forced tiny host transfer: on the axon backend
+            # block_until_ready can return before execution finishes
+            _ = np.asarray(summary.n)
         return summary
 
 
@@ -716,5 +725,75 @@ def simulate_slate(
             "mean_margin_a": float(margin.mean()),
             "mean_total": float(total.mean()),
             "n_games": len(sims_df),
+        })
+    return pd.DataFrame(rows)
+
+
+def simulate_slate_summaries(
+    games: List[Tuple[str, str]],
+    *,
+    sp_path: str,
+    year: int = 2025,
+    week: int = 1,
+    n_pairs: int = 50000,
+    artifact_dir: str = "/root/reference",
+    focus_csv: Optional[str] = None,
+    mode: str = "table",
+    table_quality: str = "nano",
+    cfg: Optional[SimConfig] = None,
+    seed: int = 0,
+    shard: bool = False,
+    chunk_pairs: int = 32768,
+) -> pd.DataFrame:
+    """Production slate sweep: the per-matchup launch loop with device-
+    accumulated ScoreMoments and ONE host transfer at the very end — the
+    measured-fastest slate shape (BASELINE config #3: 1.47M games/s on one
+    chip; per-matchup transfers would serialize dispatch at 451k).
+
+    shard=True runs every launch as a shard_map over the full trial mesh
+    (parallel.simulate_moments_sharded: per-device moment reduction + one
+    ~1.3 KB psum per chunk) and scales chunk_pairs by the device count so
+    each device keeps the measured 65,536-game launch optimum.  This is the
+    RECOMMENDED multi-chip slate path — the game-sharded SlateRunner's
+    scan-over-games structure measured ~6x slower on one chip
+    (benchmarks/slate_gamesharded_bench.py); use that layout only when the
+    slate's tables exceed device memory.
+
+    Per-game root keys are fold_in(PRNGKey(seed), game), so no two games
+    (or seeds) share draw streams.  Returns one summary row per matchup
+    (same columns as SlateRunner.run_summaries)."""
+    cfg = cfg or SimConfig()
+    heads = load_heads(artifact_dir)
+    sp_df = load_sp_flex(sp_path)
+    if shard:
+        chunk_pairs *= jax.device_count()
+    root = jax.random.PRNGKey(seed)
+    summs = []
+    for gi, (ta, tb) in enumerate(games):
+        a = build_team_context_from_sp_flex(
+            ta, year, week, sp_df, focus_csv=focus_csv,
+            player_slots=cfg.engine.player_slots)
+        b = build_team_context_from_sp_flex(
+            tb, year, week, sp_df, focus_csv=focus_csv,
+            player_slots=cfg.engine.player_slots)
+        runner = MatchupRunner(a, b, heads, cfg, mode=mode,
+                               table_quality=table_quality, shard=shard)
+        summs.append(runner.run_pairs_summary(
+            n_pairs, key=jax.random.fold_in(root, gi),
+            chunk_pairs=chunk_pairs, block=False))
+    # one end transfer gates the whole in-order device queue (axon's
+    # block_until_ready can return early — force a tiny np.asarray)
+    _ = np.asarray(summs[-1].n)
+    rows = []
+    for (ta, tb), s in zip(games, summs):
+        mean = np.asarray(s.mean_pts)
+        win = np.asarray(s.win_rate)
+        rows.append({
+            "team_a": ta, "team_b": tb,
+            "mean_a": float(mean[0]), "mean_b": float(mean[1]),
+            "win_a": float(win[0]), "win_b": float(win[1]),
+            "mean_margin_a": float(mean[0] - mean[1]),
+            "mean_total": float(mean[0] + mean[1]),
+            "n_games": int(np.asarray(s.n)),
         })
     return pd.DataFrame(rows)

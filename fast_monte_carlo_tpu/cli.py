@@ -33,7 +33,7 @@ def _cmd_sim(args) -> int:
         args.team_a, args.team_b, year=args.year, week=args.week,
         sp_path=args.sp, artifact_dir=args.artifacts, focus_csv=args.focus,
         n=args.n, collect_players=args.players, save_csv=save, mode=args.mode,
-        seed=args.seed, cfg=cfg)
+        seed=args.seed, cfg=cfg, shard=args.shard)
     print(summary)
     pairs = max(1, len(sims_df) // 2)
     print(f"\nTiming: {meta['total_time_sec']:.2f}s total | {pairs} sims "
@@ -82,7 +82,7 @@ def _cmd_edges_device(args) -> int:
                                         focus_csv=args.focus)
     heads = load_heads(args.artifacts)
     runner = MatchupRunner(a, b, heads, mode=args.mode,
-                           table_quality=args.quality)
+                           table_quality=args.quality, shard=args.shard)
     want_players = bool(args.props)
     t0 = time.perf_counter()
     if args.n > 65536 and not want_players:
@@ -115,7 +115,30 @@ def _cmd_slate(args) -> int:
 
     games = [tuple(r) for r in pd.read_csv(args.games).iloc[:, :2].itertuples(index=False)]
     t0 = time.perf_counter()
-    if args.batched:
+    if args.shard == "trial":
+        # the RECOMMENDED multi-chip slate: per-matchup launches, trial
+        # axis sharded over the full mesh, moments psum'd per chunk
+        from .api import simulate_slate_summaries
+        df = simulate_slate_summaries(
+            games, sp_path=args.sp, year=args.year, week=args.week,
+            n_pairs=args.n, artifact_dir=args.artifacts,
+            table_quality=args.quality, shard=True)
+    elif args.shard == "game":
+        # game-sharded layout: each device holds only its own matchups'
+        # nano tables — for slates whose stacked tables exceed device
+        # memory (measured ~6x slower than --shard trial on one chip)
+        from .api import SlateRunner
+        from .data import build_team_context_from_sp_flex, load_sp_flex
+        from .models.heads import load_heads
+
+        sp = load_sp_flex(args.sp)
+        ms = [(build_team_context_from_sp_flex(a, args.year, args.week, sp),
+               build_team_context_from_sp_flex(b, args.year, args.week, sp))
+              for a, b in games]
+        sr = SlateRunner(ms, load_heads(args.artifacts),
+                         quality=args.quality, game_shard=True)
+        df = sr.run_summaries(args.n)
+    elif args.batched:
         from .api import SlateRunner
         from .data import build_team_context_from_sp_flex, load_sp_flex
         from .models.heads import load_heads
@@ -217,6 +240,8 @@ def main(argv=None) -> int:
     ps.add_argument("--focus", default=None, help="focus players csv")
     ps.add_argument("--players", action="store_true", help="collect player stats")
     ps.add_argument("--save", action="store_true")
+    ps.add_argument("--shard", action="store_true",
+                    help="shard the trial axis over all devices")
     ps.add_argument("--sd-mode", default="axis", dest="sd_mode",
                     choices=["axis", "frozen", "marginal", "cachewarm"],
                     help="score_diff treatment for the table heads "
@@ -245,6 +270,9 @@ def main(argv=None) -> int:
     pe.add_argument("--mode", default="table")
     pe.add_argument("--quality", default="nano")
     pe.add_argument("--focus", default=None)
+    pe.add_argument("--shard", action="store_true",
+                    help="with --device: shard the trial axis over all "
+                         "devices (per-device moments + one psum)")
     pe.add_argument("--artifacts", default="/root/reference")
     pe.set_defaults(fn=_cmd_edges)
 
@@ -256,6 +284,12 @@ def main(argv=None) -> int:
     pl.add_argument("--week", type=int, default=1)
     pl.add_argument("--mode", default="table")
     pl.add_argument("--quality", default="nano")
+    pl.add_argument("--shard", default="none",
+                    choices=["none", "trial", "game"],
+                    help="multi-device slate: 'trial' shards each "
+                         "matchup's trial axis over the mesh (recommended);"
+                         " 'game' gives each device its own matchups' "
+                         "tables (for memory-bound table sets)")
     pl.add_argument("--batched", action="store_true",
                     help="run the whole slate as one compiled program "
                          "(('game','trial') layout)")

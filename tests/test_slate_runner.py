@@ -102,3 +102,33 @@ def test_slate_game_sharded_chunks_accumulate(slate):
     assert (df.n_games == 256).all()
     with pytest.raises(ValueError):
         gs.run(16)
+
+
+def test_simulate_slate_summaries_sharded(reference_dir):
+    """simulate_slate_summaries: the RECOMMENDED multi-chip slate path
+    (per-matchup launches, trial axis sharded over the mesh, one end
+    transfer).  The sharded sweep is deterministic in (seed, device count)
+    — per-device fold_in keys make the stream a function of the layout —
+    and must agree with the single-device sweep within MC error."""
+    import jax
+
+    from fast_monte_carlo_tpu.api import simulate_slate_summaries
+
+    sp_path = str(reference_dir / "PregameSPPlus2025_1.csv")
+    games = [("Kansas State", "Iowa State"), ("Alabama", "Georgia")]
+    ndev = jax.device_count()
+    kw = dict(sp_path=sp_path, n_pairs=64 * ndev, mode="analytic", seed=7)
+    got = simulate_slate_summaries(games, shard=True, chunk_pairs=64, **kw)
+    assert len(got) == 2 and (got.n_games == 128 * ndev).all()
+    # deterministic: identical call -> identical rows
+    again = simulate_slate_summaries(games, shard=True, chunk_pairs=64, **kw)
+    for col in ("mean_a", "mean_b", "win_a", "win_b", "n_games"):
+        assert (got[col] == again[col]).all(), col
+    # distributional agreement with the single-device sweep
+    want = simulate_slate_summaries(games, shard=False,
+                                    chunk_pairs=64 * ndev, **kw)
+    for i in range(2):
+        assert abs(got.iloc[i].win_a - want.iloc[i].win_a) < 0.08, i
+        assert abs(got.iloc[i].mean_total - want.iloc[i].mean_total) < 3.0, i
+    # two different matchups actually ran under per-game fold_in roots
+    assert got.iloc[0].win_a != got.iloc[1].win_a
