@@ -753,11 +753,13 @@ def simulate_slate_summaries(
     shard=True runs every launch as a shard_map over the full trial mesh
     (parallel.simulate_moments_sharded: per-device moment reduction + one
     ~1.3 KB psum per chunk) and scales chunk_pairs by the device count so
-    each device keeps the measured 65,536-game launch optimum.  This is the
-    RECOMMENDED multi-chip slate path — the game-sharded SlateRunner's
-    scan-over-games structure measured ~6x slower on one chip
-    (benchmarks/slate_gamesharded_bench.py); use that layout only when the
-    slate's tables exceed device memory.
+    each device keeps the measured 65,536-game launch optimum.  This path
+    peaks at 1.47M games/s/chip when per-matchup n is large enough for
+    65k-game launches; for wide slates at modest per-matchup n the
+    game-sharded SlateRunner (one launch, zero per-matchup dispatch)
+    measured FASTER on chip once its shard_map launches were jit-cached —
+    1.18M vs 389k games/s at 60 x 16,384 games
+    (benchmarks/gamesharded_profile.py).
 
     Per-game root keys are fold_in(PRNGKey(seed), game), so no two games
     (or seeds) share draw streams.  Returns one summary row per matchup

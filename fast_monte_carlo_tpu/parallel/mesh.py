@@ -14,7 +14,7 @@ rows per trial) — the ('game','trial') layout of SURVEY §7.1.
 """
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 from typing import Optional
 
 import jax
@@ -30,6 +30,37 @@ from ..ops.pack import MatchupPack
 def trial_mesh(devices=None) -> Mesh:
     devices = devices if devices is not None else jax.devices()
     return Mesh(np.asarray(devices), ("trial",))
+
+
+@lru_cache(maxsize=64)
+def _games_sharded_jit(cfg, heads_eval, mesh, n_local,
+                       collect_players, collect_stats):
+    """Cached jit around the trial-sharded game launch.
+
+    shard_map called EAGERLY re-traces, re-lowers, and re-hits the compile
+    cache on every call — profiled at ~20s host time per launch on the
+    round-3 game-sharded slate (benchmarks/gamesharded_profile.py: the TPU
+    plane was 99.5% idle while the host burned in _shard_map_impl /
+    _compile_and_write_cache).  Every shard_map entry therefore goes
+    through one of these lru_cached jits, keyed on the static config so
+    repeated launches reuse ONE compiled executable, exactly like the
+    unsharded _shared_sim_jit."""
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(), P("trial"), P("trial"), P("trial")),
+        out_specs=P("trial"),
+        check_vma=False,
+    )
+    def run(pack, heads_state, local_keys, local_fo, local_gid):
+        return simulate_games(pack, cfg, heads_eval, heads_state,
+                              local_keys[0], n_local, local_fo,
+                              collect_players=collect_players,
+                              game_id=local_gid,
+                              collect_stats=collect_stats)
+
+    return jax.jit(run)
 
 
 def simulate_games_sharded(
@@ -67,21 +98,9 @@ def simulate_games_sharded(
     else:
         gid = jnp.asarray(game_id, jnp.int32)
 
-    @partial(
-        jax.shard_map,
-        mesh=mesh,
-        in_specs=(P("trial"), P("trial"), P("trial")),
-        out_specs=P("trial"),
-        check_vma=False,
-    )
-    def run(local_keys, local_fo, local_gid):
-        return simulate_games(pack, cfg, heads_eval, heads_state,
-                              local_keys[0], n_local, local_fo,
-                              collect_players=collect_players,
-                              game_id=local_gid,
-                              collect_stats=collect_stats)
-
-    return run(keys, fo, gid)
+    fn = _games_sharded_jit(cfg, heads_eval, mesh, n_local,
+                            collect_players, collect_stats)
+    return fn(pack, heads_state, keys, fo, gid)
 
 
 def simulate_moments_sharded(
@@ -108,8 +127,6 @@ def simulate_moments_sharded(
     callers accumulate across pipelined launches on device
     (MatchupRunner.run_pairs_summary(shard=True)) and transfer once.
     """
-    from .aggregate import score_moments
-
     mesh = mesh or trial_mesh()
     ndev = mesh.devices.size
     if n % ndev:
@@ -126,14 +143,24 @@ def simulate_moments_sharded(
     else:
         gid = jnp.asarray(game_id, jnp.int32)
 
+    fn = _moments_sharded_jit(cfg, heads_eval, mesh, n_local, collect_stats)
+    return fn(pack, heads_state, keys, fo, gid)
+
+
+@lru_cache(maxsize=64)
+def _moments_sharded_jit(cfg, heads_eval, mesh, n_local, collect_stats):
+    """Cached jit for the sharded-summary launch (see _games_sharded_jit
+    for why eager shard_map is never called per chunk)."""
+    from .aggregate import score_moments
+
     @partial(
         jax.shard_map,
         mesh=mesh,
-        in_specs=(P("trial"), P("trial"), P("trial")),
+        in_specs=(P(), P(), P("trial"), P("trial"), P("trial")),
         out_specs=P(),
         check_vma=False,
     )
-    def run(local_keys, local_fo, local_gid):
+    def run(pack, heads_state, local_keys, local_fo, local_gid):
         out = simulate_games(pack, cfg, heads_eval, heads_state,
                              local_keys[0], n_local, local_fo,
                              collect_players=False,
@@ -142,4 +169,4 @@ def simulate_moments_sharded(
         m = score_moments(out.score)
         return jax.tree_util.tree_map(lambda x: jax.lax.psum(x, "trial"), m)
 
-    return run(keys, fo, gid)
+    return jax.jit(run)

@@ -23,7 +23,7 @@ per-game play loop as the scan axis (SURVEY §2.4).
 """
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 from typing import Optional
 
 import jax
@@ -85,6 +85,21 @@ def simulate_slate_moments(
         raise ValueError(f"g_padded={g_padded} not divisible by {ndev} devices")
 
     keys = jax.vmap(lambda g: jax.random.fold_in(key, g))(jnp.arange(g_padded))
+    fn = _slate_moments_jit(cfg, heads_eval, mesh, n_per_game)
+    return fn(stacked_pack, stacked_tables, keys)
+
+
+@lru_cache(maxsize=16)
+def _slate_moments_jit(cfg, heads_eval, mesh, n_per_game):
+    """Cached jit around the game-sharded slate launch.
+
+    Round 3 first measured this path at 225k games/s on one chip and
+    blamed the scan-over-games structure; the op-profile
+    (benchmarks/gamesharded_profile.py) showed the real cause was the
+    eager shard_map call re-tracing + re-lowering the whole program on the
+    host EVERY launch (TPU plane 99.5% idle).  Wrapping the launch in one
+    lru_cached jit — same pattern as api._shared_sim_jit — is the fix;
+    the scan structure itself runs at launch-loop speed."""
     fo = jnp.asarray(np.arange(n_per_game) % 2, jnp.int32)
 
     @partial(
@@ -100,12 +115,7 @@ def simulate_slate_moments(
             # materialize the scan's per-game table slice so the play-step
             # gather's operand is the per-game (~16k-row) table, not a
             # dynamic-slice view of the full stacked array (the gather
-            # cliff this layout exists to avoid).  Measured on the real
-            # chip: 196k games/s without the barrier, 225k with — the
-            # barrier helps but the scan-over-games structure itself still
-            # runs ~6x below the per-matchup launch loop (1.47M); see the
-            # layout note in CLAUDE.md / BASELINE_RUNS — use trial-sharded
-            # per-matchup sweeps for production throughput.
+            # cliff this layout exists to avoid); measured +15% on chip.
             th_g = jax.lax.optimization_barrier(th_g)
             out = simulate_games(pack_g, cfg, heads_eval, th_g, key_g,
                                  n_per_game, fo, collect_players=False,
@@ -116,4 +126,4 @@ def simulate_slate_moments(
                              (local_pack, local_tables, local_keys))
         return ms
 
-    return run(stacked_pack, stacked_tables, keys)
+    return jax.jit(run)
