@@ -755,11 +755,13 @@ def simulate_slate_summaries(
     ~1.3 KB psum per chunk) and scales chunk_pairs by the device count so
     each device keeps the measured 65,536-game launch optimum.  This path
     peaks at 1.47M games/s/chip when per-matchup n is large enough for
-    65k-game launches; for wide slates at modest per-matchup n the
-    game-sharded SlateRunner (one launch, zero per-matchup dispatch)
-    measured FASTER on chip once its shard_map launches were jit-cached —
-    1.18M vs 389k games/s at 60 x 16,384 games
-    (benchmarks/gamesharded_profile.py).
+    65k-game launches.  The game-sharded SlateRunner (one launch, zero
+    per-matchup dispatch) measured ≥ this loop at every per-game batch
+    once its shard_map launches were jit-cached — 1.18M vs 389k games/s
+    at 60 x 16,384 games, 1.460M vs 1.466M at the 65,536-game optimum
+    (benchmarks/slate_gamesharded_bench.py) — but it needs fusible
+    matchups and returns score summaries only; this loop additionally
+    serves focus rosters and player collection.
 
     Per-game root keys are fold_in(PRNGKey(seed), game), so no two games
     (or seeds) share draw streams.  Returns one summary row per matchup

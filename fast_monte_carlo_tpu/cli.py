@@ -125,10 +125,10 @@ def _cmd_slate(args) -> int:
             table_quality=args.quality, shard=True)
     elif args.shard == "game":
         # game-sharded layout: each device holds only its own matchups'
-        # nano tables, whole slate in ONE launch — measured 1.18M games/s
-        # on one chip at 60 x 16k games (3x the per-matchup loop at that
-        # batch); --shard trial still peaks higher when per-matchup n is
-        # large enough for 65k-game launches
+        # nano tables, whole slate in ONE launch — ≥ the per-matchup loop
+        # at every per-game batch on one chip (1.18M vs 389k games/s at
+        # 60 x 16k games; 1.460M vs 1.466M at the 65,536-game optimum,
+        # benchmarks/slate_gamesharded_bench.py); needs fusible matchups
         from .api import SlateRunner
         from .data import build_team_context_from_sp_flex, load_sp_flex
         from .models.heads import load_heads
