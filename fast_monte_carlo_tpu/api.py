@@ -530,13 +530,19 @@ class SlateRunner:
 
     def run_summaries(self, n_pairs_per_game: int, seed: int = 0,
                       chunk_pairs: int = 32768,
-                      mesh=None) -> pd.DataFrame:
+                      mesh=None, return_summaries: bool = False):
         """Game-sharded slate sweep (requires game_shard=True): pipelined
         launches of `chunk_pairs` pairs per matchup, each launch a shard_map
         over the ('game',) mesh whose devices scan their local matchup
         stripe and reduce every game to ScoreMoments in-scan.  Moments
         accumulate ON DEVICE across launches (the BASELINE-config-#4
-        pattern); one end transfer yields the per-matchup summary rows."""
+        pattern); one end transfer yields the per-matchup summary rows.
+
+        return_summaries=True additionally returns the per-matchup
+        ScoreSummary objects (margin/total/points histograms included) the
+        rows were derived from — edge.slate_market_table prices every
+        matchup's spread/total/moneyline off them with no further
+        simulation or transfer."""
         from .parallel import game_mesh, pad_games, simulate_slate_moments
         from .parallel.aggregate import summary_from_moments
 
@@ -562,9 +568,8 @@ class SlateRunner:
             acc = m if acc is None else jax.tree_util.tree_map(
                 lambda a, b: a + b, m, acc)
         summ = jax.jit(jax.vmap(summary_from_moments))(acc)
-        mean = np.asarray(summ.mean_pts)      # (gp, 2) — one end transfer
-        win = np.asarray(summ.win_rate)
-        n_arr = np.asarray(summ.n)
+        host = jax.tree_util.tree_map(np.asarray, summ)  # one end transfer
+        mean, win, n_arr = host.mean_pts, host.win_rate, host.n
         rows = []
         for gi, (a, b) in enumerate(self.matchups):
             rows.append({
@@ -575,7 +580,12 @@ class SlateRunner:
                 "mean_total": float(mean[gi, 0] + mean[gi, 1]),
                 "n_games": int(n_arr[gi]),
             })
-        return pd.DataFrame(rows)
+        df = pd.DataFrame(rows)
+        if return_summaries:
+            per_game = [jax.tree_util.tree_map(lambda x: x[gi], host)
+                        for gi in range(len(self.matchups))]
+            return df, per_game
+        return df
 
     def run(self, n_pairs_per_game: int, seed: int = 0) -> GameState:
         """Returns the final GameState for G * 2*n_pairs games; trial t is
@@ -744,7 +754,8 @@ def simulate_slate_summaries(
     seed: int = 0,
     shard: bool = False,
     chunk_pairs: int = 32768,
-) -> pd.DataFrame:
+    return_summaries: bool = False,
+):
     """Production slate sweep: the per-matchup launch loop with device-
     accumulated ScoreMoments and ONE host transfer at the very end — the
     measured-fastest slate shape (BASELINE config #3: 1.47M games/s on one
@@ -765,7 +776,9 @@ def simulate_slate_summaries(
 
     Per-game root keys are fold_in(PRNGKey(seed), game), so no two games
     (or seeds) share draw streams.  Returns one summary row per matchup
-    (same columns as SlateRunner.run_summaries)."""
+    (same columns as SlateRunner.run_summaries); return_summaries=True
+    additionally returns the per-matchup ScoreSummary objects (histograms
+    included) for edge.slate_market_table pricing."""
     cfg = cfg or SimConfig()
     heads = load_heads(artifact_dir)
     sp_df = load_sp_flex(sp_path)
@@ -788,16 +801,19 @@ def simulate_slate_summaries(
     # one end transfer gates the whole in-order device queue (axon's
     # block_until_ready can return early — force a tiny np.asarray)
     _ = np.asarray(summs[-1].n)
+    host = [jax.tree_util.tree_map(np.asarray, s) for s in summs]
     rows = []
-    for (ta, tb), s in zip(games, summs):
-        mean = np.asarray(s.mean_pts)
-        win = np.asarray(s.win_rate)
+    for (ta, tb), s in zip(games, host):
+        mean, win = s.mean_pts, s.win_rate
         rows.append({
             "team_a": ta, "team_b": tb,
             "mean_a": float(mean[0]), "mean_b": float(mean[1]),
             "win_a": float(win[0]), "win_b": float(win[1]),
             "mean_margin_a": float(mean[0] - mean[1]),
             "mean_total": float(mean[0] + mean[1]),
-            "n_games": int(np.asarray(s.n)),
+            "n_games": int(s.n),
         })
-    return pd.DataFrame(rows)
+    df = pd.DataFrame(rows)
+    if return_summaries:
+        return df, host
+    return df

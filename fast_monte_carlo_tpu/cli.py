@@ -114,15 +114,22 @@ def _cmd_slate(args) -> int:
     import pandas as pd
 
     games = [tuple(r) for r in pd.read_csv(args.games).iloc[:, :2].itertuples(index=False)]
+    lines_df = pd.read_csv(args.lines) if getattr(args, "lines", None) else None
+    summaries = None
     t0 = time.perf_counter()
-    if args.shard == "trial":
+    if args.shard == "trial" or (lines_df is not None and not args.batched
+                                 and args.shard == "none"):
         # the RECOMMENDED multi-chip slate: per-matchup launches, trial
-        # axis sharded over the full mesh, moments psum'd per chunk
+        # axis sharded over the full mesh, moments psum'd per chunk.
+        # --lines also routes the unsharded default here: market pricing
+        # needs the device-histogram summaries this path accumulates.
         from .api import simulate_slate_summaries
-        df = simulate_slate_summaries(
+        res = simulate_slate_summaries(
             games, sp_path=args.sp, year=args.year, week=args.week,
-            n_pairs=args.n, artifact_dir=args.artifacts,
-            table_quality=args.quality, shard=True)
+            n_pairs=args.n, artifact_dir=args.artifacts, mode=args.mode,
+            table_quality=args.quality, shard=args.shard == "trial",
+            return_summaries=lines_df is not None)
+        df, summaries = res if lines_df is not None else (res, None)
     elif args.shard == "game":
         # game-sharded layout: each device holds only its own matchups'
         # nano tables, whole slate in ONE launch — ≥ the per-matchup loop
@@ -139,7 +146,8 @@ def _cmd_slate(args) -> int:
               for a, b in games]
         sr = SlateRunner(ms, load_heads(args.artifacts),
                          quality=args.quality, game_shard=True)
-        df = sr.run_summaries(args.n)
+        res = sr.run_summaries(args.n, return_summaries=lines_df is not None)
+        df, summaries = res if lines_df is not None else (res, None)
     elif args.batched:
         from .api import SlateRunner
         from .data import build_team_context_from_sp_flex, load_sp_flex
@@ -164,6 +172,13 @@ def _cmd_slate(args) -> int:
     dt = time.perf_counter() - t0
     print(f"\n{len(games)} matchups x {args.n} pairs = {total_games} games "
           f"in {dt:.1f}s ({total_games/dt:,.0f} games/s incl. table builds)")
+    if lines_df is not None:
+        if summaries is None:
+            print("\n--lines needs a summary slate path "
+                  "(not --batched); no markets priced")
+            return 1
+        from .edge import print_slate_edges, slate_market_table
+        print_slate_edges(slate_market_table(games, summaries, lines_df))
     return 0
 
 
@@ -295,6 +310,12 @@ def main(argv=None) -> int:
     pl.add_argument("--batched", action="store_true",
                     help="run the whole slate as one compiled program "
                          "(('game','trial') layout)")
+    pl.add_argument("--lines", default=None,
+                    help="csv of market lines (team_a[,team_b],spread,"
+                         "total; spread from team_a's perspective): prints "
+                         "per-matchup spread/total/moneyline edges priced "
+                         "off the device summaries (routes the unsharded "
+                         "default through the summary sweep)")
     pl.add_argument("--artifacts", default="/root/reference")
     pl.set_defaults(fn=_cmd_slate)
 

@@ -553,6 +553,103 @@ def market_odds_from_summary(summary, team: str, opp: str, *,
     return out
 
 
+def summary_moneyline(summary, team: str, opp: str) -> Dict:
+    """Fair moneylines off a device-reduced summary's margin histogram:
+    each side is priced from P(its margin > 0), ties counting for neither
+    side — the same per-perspective semantics as moneyline_from_sims (and
+    the reference's _wins_from_scores, edge_finder.py:235-281)."""
+    from .parallel.aggregate import MARGIN_OFF
+
+    mh = np.asarray(summary.margin_hist, dtype=float)
+    margins = Dist.from_hist(mh, np.arange(len(mh)) - MARGIN_OFF)
+    p_team, p_opp = margins.over(0.0), margins.under(0.0)
+    return {
+        "team": {"name": team, "p_win": round(p_team, 6),
+                 "ml_fair": prob_to_american(p_team)},
+        "opp": {"name": opp, "p_win": round(p_opp, 6),
+                "ml_fair": prob_to_american(p_opp)},
+    }
+
+
+def slate_market_table(games, summaries, lines: Optional[pd.DataFrame] = None,
+                       price: int = -110) -> pd.DataFrame:
+    """Price a whole slate's game markets in one pass: one row per matchup
+    with fair moneylines and — where `lines` quotes them — spread/total
+    probabilities, fair prices, and the best side's edge/EV at `price`.
+
+    `summaries` are the per-matchup ScoreSummary objects returned by
+    SlateRunner.run_summaries(return_summaries=True) or
+    api.simulate_slate_summaries(return_summaries=True); every market here
+    is a reduction over their device-built margin/total histograms, so a
+    60-game slate prices with zero further simulation or device transfer.
+    `lines` is a DataFrame with `spread` and/or `total` columns (spread
+    quoted from team_a's perspective, reference convention), matched to
+    matchups by a normalized `team_a` column when present, else by row
+    position.
+
+    The reference prices one matchup at a time from saved CSVs
+    (edge_finder.py find_edges :586-614 over :283-336); this is that loop
+    collapsed onto the slate's device summaries."""
+    def _name(x):
+        return getattr(x, "name", x)
+
+    def _line_for(gi: int, ta: str):
+        if lines is None:
+            return None, None
+        if "team_a" in lines.columns:
+            sub = lines[lines["team_a"].astype(str).map(_norm_team)
+                        == _norm_team(ta)]
+            if sub.empty:
+                return None, None
+            r = sub.iloc[0]
+        elif gi < len(lines):
+            r = lines.iloc[gi]
+        else:
+            return None, None
+        sp = r.get("spread")
+        tt = r.get("total")
+        return (float(sp) if pd.notna(sp) else None,
+                float(tt) if pd.notna(tt) else None)
+
+    rows = []
+    for gi, ((a, b), s) in enumerate(zip(games, summaries)):
+        ta, tb = _name(a), _name(b)
+        sp, tt = _line_for(gi, ta)
+        ml = summary_moneyline(s, ta, tb)
+        row = {"team_a": ta, "team_b": tb, "n": int(np.asarray(s.n)),
+               "p_win_a": ml["team"]["p_win"], "p_win_b": ml["opp"]["p_win"],
+               "ml_fair_a": ml["team"]["ml_fair"],
+               "ml_fair_b": ml["opp"]["ml_fair"]}
+        mk = market_odds_from_summary(s, ta, tb, spread=sp, total=tt)
+        if sp is not None:
+            m = mk["spread"]
+            rec = best_side_ev(m["p_cover"], price=price)
+            row.update({
+                "spread": sp,
+                "p_cover_a": m["p_cover"],
+                "fair_cover_a": m["american_cover"],
+                "mean_margin_a": m["mean_margin"],
+                "spread_bet": (f"{ta} {sp:+g}" if rec["side"] == "Over"
+                               else f"{tb} {-sp:+g}"),
+                "spread_edge_pct": round(rec["edge"] * 100, 2),
+                "spread_ev_$100": round(rec["ev"], 2),
+            })
+        if tt is not None:
+            t = mk["total"]
+            rec = best_side_ev(t["p_over"], price=price)
+            row.update({
+                "total": tt,
+                "p_over": t["p_over"],
+                "fair_over": t["american_over"],
+                "mean_total": t["mean_total"],
+                "total_bet": f"{rec['side']} {tt:g}",
+                "total_edge_pct": round(rec["edge"] * 100, 2),
+                "total_ev_$100": round(rec["ev"], 2),
+            })
+        rows.append(row)
+    return pd.DataFrame(rows)
+
+
 # ---------------------------------------------------------------------------
 # pretty printers (edge_finder.py:393-582)
 # ---------------------------------------------------------------------------
@@ -642,6 +739,36 @@ def print_prop_table(df: pd.DataFrame) -> None:
                   f"{r['line']:.1f}  (edge {r['edge_pct']:+.2f}%, "
                   f"EV ${r['ev_$100']:+.2f}/$100, mean {r['mean']:.1f}, "
                   f"med {r['median']:.1f}, n={int(r['samples'])})")
+
+
+def print_slate_edges(df: pd.DataFrame) -> None:
+    """Compact per-matchup view of slate_market_table, best edges first."""
+    if df is None or df.empty:
+        print("\n— Slate Market Edges —\n  (no matchups priced)")
+        return
+    out = df.copy()
+    edge_cols = [c for c in ("spread_edge_pct", "total_edge_pct")
+                 if c in out.columns]
+    if edge_cols:
+        out["__best__"] = out[edge_cols].abs().max(axis=1)
+        out = out.sort_values("__best__", ascending=False)
+    print("\n— Slate Market Edges (fair vs -110) —")
+    for _, r in out.iterrows():
+        print(f"\n{r['team_a']} vs {r['team_b']}  (n={int(r['n'])})")
+        print(f"  ML fair: {r['team_a']} {_odds_str(int(r['ml_fair_a']))} "
+              f"({100*r['p_win_a']:.1f}%)  |  {r['team_b']} "
+              f"{_odds_str(int(r['ml_fair_b']))} ({100*r['p_win_b']:.1f}%)")
+        if "spread" in out.columns and pd.notna(r.get("spread")):
+            print(f"  Spread {r['team_a']} {r['spread']:+.1f}: cover "
+                  f"{100*r['p_cover_a']:.1f}% fair "
+                  f"{_odds_str(int(r['fair_cover_a']))}  ->  "
+                  f"{r['spread_bet']}  edge {r['spread_edge_pct']:+.2f}%  "
+                  f"EV ${r['spread_ev_$100']:+.2f}/$100")
+        if "total" in out.columns and pd.notna(r.get("total")):
+            print(f"  Total {r['total']:.1f}: over {100*r['p_over']:.1f}% "
+                  f"fair {_odds_str(int(r['fair_over']))}  ->  "
+                  f"{r['total_bet']}  edge {r['total_edge_pct']:+.2f}%  "
+                  f"EV ${r['total_ev_$100']:+.2f}/$100")
 
 
 def find_edges(*, csv_base: Optional[str], team_a: str, team_b: str,

@@ -166,6 +166,31 @@ def test_simulate_upcoming_matchup_end_to_end(reference_dir, focus_csv, tmp_path
     assert not players_df.empty
 
 
+def test_cli_slate_lines(reference_dir, tmp_path, capsys):
+    """cli slate --lines: per-matchup market edges priced off the device
+    summaries (the unsharded default routes through the summary sweep)."""
+    import pandas as pd
+
+    from fast_monte_carlo_tpu.cli import main
+
+    games_csv = tmp_path / "games.csv"
+    pd.DataFrame({"team_a": ["Kansas State"],
+                  "team_b": ["Iowa State"]}).to_csv(games_csv, index=False)
+    lines_csv = tmp_path / "lines.csv"
+    pd.DataFrame({"team_a": ["Kansas State"], "spread": [-3.5],
+                  "total": [55.5]}).to_csv(lines_csv, index=False)
+    rc = main([
+        "slate", "--games", str(games_csv),
+        "--sp", str(reference_dir / "PregameSPPlus2025_1.csv"),
+        "-n", "64", "--mode", "analytic", "--lines", str(lines_csv),
+    ])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "Slate Market Edges" in out
+    assert "Spread Kansas State -3.5" in out
+    assert "Total 55.5" in out
+
+
 def test_cli_edges_device(reference_dir, tmp_path, capsys):
     """cli edges --device: sim + markets + props entirely on-device."""
     import pandas as pd

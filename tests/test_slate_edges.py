@@ -1,0 +1,102 @@
+"""Slate-wide market pricing off device-reduced summaries.
+
+edge.slate_market_table collapses the reference's one-matchup-at-a-time
+edge loop (edge_finder.py find_edges :586-614 over :283-336) onto the
+per-matchup ScoreSummary histograms the slate paths accumulate on device.
+"""
+import numpy as np
+import pandas as pd
+import pytest
+
+from fast_monte_carlo_tpu.edge import (
+    breakeven_minus110, print_slate_edges, prob_to_american,
+    slate_market_table, summary_moneyline,
+)
+from fast_monte_carlo_tpu.parallel.aggregate import (
+    MARGIN_OFF, MAX_PTS, ScoreSummary,
+)
+
+
+def _summary(margin_counts: dict, total_counts: dict, n: int) -> ScoreSummary:
+    mh = np.zeros(2 * MARGIN_OFF)
+    for m, c in margin_counts.items():
+        mh[m + MARGIN_OFF] = c
+    th = np.zeros(2 * MAX_PTS)
+    for t, c in total_counts.items():
+        th[t] = c
+    return ScoreSummary(
+        n=np.float32(n), mean_pts=np.zeros(2), sd_pts=np.zeros(2),
+        win_rate=np.zeros(2), tie_rate=np.float32(0.0),
+        pts_hist=np.zeros((2, MAX_PTS)), margin_hist=mh, total_hist=th)
+
+
+def test_summary_moneyline_hand_counts():
+    # margins: +3 x60, -7 x30, 0 x10 -> p_a=.6, p_b=.3 (ties to neither)
+    s = _summary({3: 60, -7: 30, 0: 10}, {45: 100}, 100)
+    ml = summary_moneyline(s, "A", "B")
+    assert ml["team"]["p_win"] == 0.6 and ml["opp"]["p_win"] == 0.3
+    assert ml["team"]["ml_fair"] == prob_to_american(0.6)
+    assert ml["opp"]["ml_fair"] == prob_to_american(0.3)
+
+
+def test_slate_market_table_hand_counts(capsys):
+    # cover iff margin > 2.5 at spread -2.5 -> 60/100
+    s1 = _summary({3: 60, -7: 30, 0: 10}, {40: 25, 50: 75}, 100)
+    s2 = _summary({10: 80, -3: 20}, {55: 100}, 100)   # no line row
+    lines = pd.DataFrame(
+        [{"team_a": "Alpha St.", "spread": -2.5, "total": 45.5}])
+    df = slate_market_table([("Alpha St.", "Beta"), ("Gamma", "Delta")],
+                            [s1, s2], lines)
+    r = df.iloc[0]
+    assert r.p_cover_a == pytest.approx(0.6)
+    assert r.fair_cover_a == prob_to_american(0.6)
+    assert r.p_over == pytest.approx(0.75)
+    assert r.spread_bet == "Alpha St. -2.5"
+    assert r.total_bet == "Over 45.5"
+    be = breakeven_minus110()
+    assert r.spread_edge_pct == pytest.approx(100 * (0.6 - be), abs=0.01)
+    assert r.total_edge_pct == pytest.approx(100 * (0.75 - be), abs=0.01)
+    r2 = df.iloc[1]
+    assert r2.p_win_a == pytest.approx(0.8)
+    assert pd.isna(r2.spread) and pd.isna(r2.total)
+    print_slate_edges(df)
+    out = capsys.readouterr().out
+    assert "Slate Market Edges" in out and "Alpha St." in out
+
+
+def test_slate_market_table_underdog_sides():
+    # p_cover .3 -> bet the other side at +2.5; p_over .2 -> Under
+    s = _summary({3: 30, -7: 70}, {40: 80, 50: 20}, 100)
+    lines = pd.DataFrame([{"spread": -2.5, "total": 45.5}])  # positional
+    df = slate_market_table([("A", "B")], [s], lines)
+    assert df.iloc[0].spread_bet == "B +2.5"
+    assert df.iloc[0].total_bet == "Under 45.5"
+
+
+def test_simulate_slate_summaries_return_summaries(reference_dir):
+    from fast_monte_carlo_tpu.api import simulate_slate_summaries
+    from fast_monte_carlo_tpu.edge import market_odds_from_summary
+
+    sp_path = str(reference_dir / "PregameSPPlus2025_1.csv")
+    games = [("Kansas State", "Iowa State"), ("Alabama", "Georgia")]
+    df, summs = simulate_slate_summaries(
+        games, sp_path=sp_path, n_pairs=128, mode="analytic", seed=3,
+        chunk_pairs=128, return_summaries=True)
+    assert len(summs) == 2
+    for i in range(2):
+        assert int(np.asarray(summs[i].n)) == int(df.iloc[i].n_games)
+        assert float(summs[i].margin_hist.sum()) == pytest.approx(
+            float(summs[i].n))
+    lines = pd.DataFrame([
+        {"team_a": "Kansas State", "spread": -3.5, "total": 55.5},
+        {"team_a": "Alabama", "spread": 2.5, "total": 51.0},
+    ])
+    tab = slate_market_table(games, summs, lines)
+    mk = market_odds_from_summary(summs[0], "Kansas State", "Iowa State",
+                                  spread=-3.5, total=55.5)
+    assert tab.iloc[0].p_cover_a == mk["spread"]["p_cover"]
+    assert tab.iloc[0].p_over == mk["total"]["p_over"]
+    # hist-derived moneyline == the summary's win rate (margin>0 <=> win)
+    for i in range(2):
+        assert tab.iloc[i].p_win_a == pytest.approx(df.iloc[i].win_a,
+                                                    abs=1e-6)

@@ -104,6 +104,35 @@ def test_slate_game_sharded_chunks_accumulate(slate):
         gs.run(16)
 
 
+def test_slate_game_sharded_return_summaries(slate):
+    """return_summaries exposes each matchup's device-accumulated
+    ScoreSummary (histograms included) so edge.slate_market_table prices
+    the whole slate with no further simulation."""
+    import pandas as pd
+
+    from fast_monte_carlo_tpu.edge import slate_market_table
+
+    cfg, ms, heads = slate
+    gs = SlateRunner(ms, heads, cfg, quality="nano", game_shard=True)
+    df, summs = gs.run_summaries(64, seed=2, chunk_pairs=64,
+                                 return_summaries=True)
+    assert len(summs) == 3
+    for i in range(3):
+        assert int(np.asarray(summs[i].n)) == int(df.iloc[i].n_games)
+    lines = pd.DataFrame({"spread": [-3.0, 1.5, -6.5],
+                          "total": [52.5, 48.5, 58.5]})  # positional match
+    tab = slate_market_table(ms, summs, lines)  # (TeamContext, TeamContext)
+    assert len(tab) == 3
+    assert (tab.team_a == df.team_a).all()
+    assert (tab.n == df.n_games).all()
+    for i in range(3):
+        # hist-derived moneyline == the summary win rate (margin>0 <=> win)
+        assert tab.iloc[i].p_win_a == pytest.approx(df.iloc[i].win_a,
+                                                    abs=1e-6)
+        assert 0.0 <= tab.iloc[i].p_cover_a <= 1.0
+        assert 0.0 <= tab.iloc[i].p_over <= 1.0
+
+
 def test_simulate_slate_summaries_sharded(reference_dir):
     """simulate_slate_summaries: the RECOMMENDED multi-chip slate path
     (per-matchup launches, trial axis sharded over the mesh, one end
