@@ -50,10 +50,12 @@ B4_PAIRS = int(os.environ.get("B4_PAIRS", 50_000))
 B4_CHUNKS = int(os.environ.get("B4_CHUNKS", 10))
 # threefry + score-only was the measured best for the MULTI-matchup sweep
 # in round 2 (#3: 1.47M vs rbg+stats 1.36M; #4: 1.245M vs 1.26M — a
-# wash).  Since round 3 the rbg + score-only fusion pathology is FIXED
-# (auto dot select, config.resolve_nano_select), so B_RNG=rbg now runs
-# score-only too; B_STATS=1 re-enables box-score accrual.
-RNG_IMPL = os.environ.get("B_RNG", "threefry")
+# wash) ONLY because the rbg + score-only fusion pathology penalized rbg.
+# Round 3 fixed that (auto dot select, config.resolve_nano_select) and
+# re-measured: rbg #3 1,599,337 / #4 1,341,025 games/s vs threefry
+# 1,467,808 / 1,212,883 — +9-10% on both, so rbg is now the default.
+# B_STATS=1 re-enables box-score accrual.
+RNG_IMPL = os.environ.get("B_RNG", "rbg")
 STATS = os.environ.get("B_STATS") == "1"
 
 import dataclasses

@@ -34,10 +34,16 @@ from fast_monte_carlo_tpu.parallel import game_mesh
 N_MATCHUPS = int(sys.argv[1]) if len(sys.argv) > 1 else 60
 PAIRS = int(sys.argv[2]) if len(sys.argv) > 2 else 50_000
 CHUNK = 32_768
+RNG_IMPL = __import__("os").environ.get("B_RNG", "threefry")
 
 
 def main():
-    cfg = SimConfig()   # threefry + score-only: the measured sweep optimum
+    import dataclasses
+
+    cfg = SimConfig()   # score-only; B_RNG=rbg for the round-3 default RNG
+    if RNG_IMPL != "threefry":
+        cfg = cfg.replace(engine=dataclasses.replace(
+            cfg.engine, rng_impl=RNG_IMPL))
     sp = load_sp_flex("/root/reference/PregameSPPlus2025_1.csv")
     ranked = sp.sort_values("RATING", ascending=False)["team"].tolist()
     games = [(ranked[i], ranked[i + 1]) for i in range(0, 2 * N_MATCHUPS, 2)]

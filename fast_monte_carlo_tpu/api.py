@@ -817,3 +817,80 @@ def simulate_slate_summaries(
     if return_summaries:
         return df, host
     return df
+
+
+def simulate_slate_props(
+    games: List[Tuple[str, str]],
+    *,
+    sp_path: str,
+    props_csv: str,
+    year: int = 2025,
+    week: int = 1,
+    n_pairs: int = 8192,
+    artifact_dir: str = "/root/reference",
+    focus_csv: Optional[str] = None,
+    mode: str = "table",
+    table_quality: str = "nano",
+    cfg: Optional[SimConfig] = None,
+    seed: int = 0,
+    min_abs_edge_pct: float = 2.0,
+) -> pd.DataFrame:
+    """Slate-wide player-prop scan: every matchup simulates with player
+    collection and reduces its prop-sheet rows to per-prop scalars ON
+    DEVICE (edge.reduce_props_device); all matchups' sim+reduce launches
+    are enqueued before any host transfer, so the dispatch pipeline never
+    drains (the device-accumulation pattern of simulate_slate_summaries).
+    Prop rows are matched to matchups by team name; matchups with no
+    matching rows are skipped entirely (no simulation).
+
+    The reference scans one matchup's props at a time from its saved
+    players file (edge_finder.py scan_props_for_matchup :340-390 inside
+    find_edges :586-614); this runs that scan across the week's sheet with
+    zero files.  Index arrays are padded (edge.resolve_prop_rows) so the
+    reduction compiles once per padded size, not per matchup.
+
+    Returns the scan_props_for_matchup schema + edge/EV columns with a
+    leading `matchup` column, best edges first across the whole slate."""
+    from .edge import (
+        prop_table_from_reductions, reduce_props_device, resolve_prop_rows,
+    )
+
+    cfg = cfg or SimConfig()
+    heads = load_heads(artifact_dir)
+    sp_df = load_sp_flex(sp_path)
+    props = pd.read_csv(props_csv)
+    root = jax.random.PRNGKey(seed)
+    pending = []
+    for gi, (ta, tb) in enumerate(games):
+        a = build_team_context_from_sp_flex(
+            ta, year, week, sp_df, focus_csv=focus_csv,
+            player_slots=cfg.engine.player_slots)
+        b = build_team_context_from_sp_flex(
+            tb, year, week, sp_df, focus_csv=focus_csv,
+            player_slots=cfg.engine.player_slots)
+        indices, meta = resolve_prop_rows(a, b, props)
+        if not meta:
+            continue
+        runner = MatchupRunner(a, b, heads, cfg, mode=mode,
+                               table_quality=table_quality)
+        out = runner.run_pairs(n_pairs, key=jax.random.fold_in(root, gi),
+                               collect_players=True, block=False)
+        pending.append((ta, tb, meta,
+                        reduce_props_device(out.pstats, indices)))
+    if not pending:
+        return pd.DataFrame()
+    # one transfer gates the whole in-order device queue (axon's
+    # block_until_ready can return early — force a tiny np.asarray)
+    _ = np.asarray(pending[-1][3]["n_active"])
+    frames = []
+    for ta, tb, meta, red in pending:
+        host = {k: np.asarray(v) for k, v in red.items()}
+        df = prop_table_from_reductions(meta, host, min_abs_edge_pct)
+        if not df.empty:
+            df.insert(0, "matchup", f"{ta} vs {tb}")
+            frames.append(df)
+    if not frames:
+        return pd.DataFrame()
+    out_df = pd.concat(frames, ignore_index=True)
+    order = out_df["edge_pct"].abs().sort_values(ascending=False).index
+    return out_df.loc[order].reset_index(drop=True)

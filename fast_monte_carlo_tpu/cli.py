@@ -179,6 +179,15 @@ def _cmd_slate(args) -> int:
             return 1
         from .edge import print_slate_edges, slate_market_table
         print_slate_edges(slate_market_table(games, summaries, lines_df))
+    if getattr(args, "props", None):
+        from .api import simulate_slate_props
+        from .edge import print_prop_table
+        pdf = simulate_slate_props(
+            games, sp_path=args.sp, props_csv=args.props, year=args.year,
+            week=args.week, n_pairs=args.props_n, mode=args.mode,
+            artifact_dir=args.artifacts, table_quality=args.quality,
+            focus_csv=args.focus, min_abs_edge_pct=args.min_edge)
+        print_prop_table(pdf)
     return 0
 
 
@@ -316,6 +325,17 @@ def main(argv=None) -> int:
                          "per-matchup spread/total/moneyline edges priced "
                          "off the device summaries (routes the unsharded "
                          "default through the summary sweep)")
+    pl.add_argument("--props", default=None,
+                    help="prop sheet csv (team,player,stat,yards): scans "
+                         "the whole slate's player props with per-matchup "
+                         "player-collection sims reduced on device "
+                         "(separate from the score-only slate sims above)")
+    pl.add_argument("--props-n", type=int, default=8192, dest="props_n",
+                    help="pairs per matchup for the prop sims")
+    pl.add_argument("--min-edge", type=float, default=2.0, dest="min_edge",
+                    help="min |edge| %% to show a prop (reference: 2)")
+    pl.add_argument("--focus", default=None,
+                    help="focus players csv for prop rosters")
     pl.add_argument("--artifacts", default="/root/reference")
     pl.set_defaults(fn=_cmd_slate)
 

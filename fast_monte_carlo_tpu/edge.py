@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import ast
 import re
+from functools import lru_cache
 from pathlib import Path
 from typing import Dict, Optional, Tuple
 
@@ -432,20 +433,16 @@ _STAT_TO_ROLE_COL = {
 }
 
 
-def scan_props_device(out, team_a_ctx, team_b_ctx, prop_sheet_path: str,
-                      min_abs_edge_pct: float = 2.0) -> pd.DataFrame:
-    """Prop scan over DEVICE-resident player stats: same math and output
-    schema as scan_props_for_matchup (edge_finder.py:340-390), but the
-    per-prop reductions (P(over/under/push), mean/median/p75/p90) run on the
-    accelerator in one jitted pass over the GameState's pstats — no player
-    parquet round-trip, no pandas row explosion.
+def resolve_prop_rows(team_a_ctx, team_b_ctx, props: pd.DataFrame):
+    """Map a prop sheet's rows onto one matchup's pstats coordinates.
 
-    `out` is a GameState with collect_players=True; prop rows that name an
-    untracked player or unknown stat are skipped (reference behavior:
+    Returns (indices, meta): indices = (side, role, slot, col, line) int32/
+    f32 arrays PADDED to a multiple of 8 rows (by repeating the first row)
+    so reduce_props_device compiles once per padded size and is reused
+    across a slate's matchups; meta is the unpadded row list — hosts slice
+    reductions to len(meta).  Rows naming an untracked player, a team not
+    in this matchup, or an unknown stat are skipped (reference behavior:
     skip-on-error, edge_finder.py:380-382)."""
-    import jax
-    import jax.numpy as jnp
-
     from .stats import ROLE_PASS, ROLE_REC, ROLE_RUSH
 
     role_idx = {"pass": ROLE_PASS, "rush": ROLE_RUSH, "rec": ROLE_REC}
@@ -456,7 +453,6 @@ def scan_props_device(out, team_a_ctx, team_b_ctx, prop_sheet_path: str,
     sides = {_norm_team(team_a_ctx.name): (0, team_a_ctx),
              _norm_team(team_b_ctx.name): (1, team_b_ctx)}
 
-    props = pd.read_csv(prop_sheet_path)
     rows, meta = [], []
     for _, r in props.iterrows():
         key = _norm_team(r["team"])
@@ -478,11 +474,19 @@ def scan_props_device(out, team_a_ctx, team_b_ctx, prop_sheet_path: str,
         meta.append({"team": r["team"], "player": r["player"],
                      "stat": stat_col, "line": float(r["yards"])})
     if not rows:
-        return pd.DataFrame()
-
+        return None, []
+    pad = (-len(rows)) % 8
+    rows = rows + [rows[0]] * pad
     idx = np.asarray(rows, dtype=np.float32)
-    side_i, role_i, slot_i, col_i = (idx[:, j].astype(np.int32) for j in range(4))
-    lines = idx[:, 4]
+    side_i, role_i, slot_i, col_i = (
+        idx[:, j].astype(np.int32) for j in range(4))
+    return (side_i, role_i, slot_i, col_i, idx[:, 4]), meta
+
+
+@lru_cache(maxsize=1)
+def _reduce_props_jit():
+    import jax
+    import jax.numpy as jnp
 
     @jax.jit
     def reduce_props(pstats, side_i, role_i, slot_i, col_i, lines):
@@ -505,9 +509,20 @@ def scan_props_device(out, team_a_ctx, team_b_ctx, prop_sheet_path: str,
             "n_active": cnt,
         }
 
-    red = {k: np.asarray(v) for k, v in reduce_props(
-        out.pstats, side_i, role_i, slot_i, col_i, lines).items()}
+    return reduce_props
 
+
+def reduce_props_device(pstats, indices):
+    """One jitted pass turning (B, ...) pstats into per-prop scalars; the
+    returned dict stays DEVICE-resident so slate drivers can enqueue every
+    matchup's reduction before any host transfer."""
+    return _reduce_props_jit()(pstats, *indices)
+
+
+def prop_table_from_reductions(meta, red, min_abs_edge_pct: float = 2.0
+                               ) -> pd.DataFrame:
+    """Finalize host-side reductions (np arrays, padded len >= len(meta))
+    into the scan_props_for_matchup output schema + edge/EV columns."""
     results = []
     for i, m in enumerate(meta):
         p_over = float(red["p_over"][i])
@@ -526,6 +541,26 @@ def scan_props_device(out, team_a_ctx, team_b_ctx, prop_sheet_path: str,
     df["abs_edge"] = df["edge_pct"].abs()
     df = df.sort_values(["abs_edge", "ev_$100"], ascending=[False, False])
     return df[df["abs_edge"] >= min_abs_edge_pct].drop(columns=["abs_edge"])
+
+
+def scan_props_device(out, team_a_ctx, team_b_ctx, prop_sheet_path: str,
+                      min_abs_edge_pct: float = 2.0) -> pd.DataFrame:
+    """Prop scan over DEVICE-resident player stats: same math and output
+    schema as scan_props_for_matchup (edge_finder.py:340-390), but the
+    per-prop reductions (P(over/under/push), mean/median/p75/p90) run on the
+    accelerator in one jitted pass over the GameState's pstats — no player
+    parquet round-trip, no pandas row explosion.
+
+    `out` is a GameState with collect_players=True; prop rows that name an
+    untracked player or unknown stat are skipped (reference behavior:
+    skip-on-error, edge_finder.py:380-382)."""
+    indices, meta = resolve_prop_rows(team_a_ctx, team_b_ctx,
+                                      pd.read_csv(prop_sheet_path))
+    if not meta:
+        return pd.DataFrame()
+    red = {k: np.asarray(v)
+           for k, v in reduce_props_device(out.pstats, indices).items()}
+    return prop_table_from_reductions(meta, red, min_abs_edge_pct)
 
 
 # ---------------------------------------------------------------------------

@@ -191,6 +191,36 @@ def test_cli_slate_lines(reference_dir, tmp_path, capsys):
     assert "Total 55.5" in out
 
 
+def test_cli_slate_props(reference_dir, tmp_path, capsys):
+    """cli slate --props: whole-slate prop scan with device reductions."""
+    import pandas as pd
+
+    from fast_monte_carlo_tpu.cli import main
+
+    from fast_monte_carlo_tpu.models.heads import load_heads
+
+    heads = load_heads(reference_dir)
+    s1_cats = heads.stage1.layout.categories["passer_name"]
+    qb = s1_cats[sorted(
+        set(heads.stage1.used_cat_locals("passer_name").tolist()))[0]]
+    games_csv = tmp_path / "games.csv"
+    pd.DataFrame({"team_a": ["Kansas State"],
+                  "team_b": ["Iowa State"]}).to_csv(games_csv, index=False)
+    props_csv = tmp_path / "props.csv"
+    pd.DataFrame({"team": ["Kansas State"], "player": [qb], "pos": ["QB"],
+                  "usage": [80], "stat": ["pass_yards"],
+                  "yards": [250.5]}).to_csv(props_csv, index=False)
+    rc = main([
+        "slate", "--games", str(games_csv),
+        "--sp", str(reference_dir / "PregameSPPlus2025_1.csv"),
+        "-n", "32", "--mode", "analytic", "--props", str(props_csv),
+        "--props-n", "64", "--min-edge", "0", "--focus", str(props_csv),
+    ])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "Player Props value" in out and "[Passing]" in out
+
+
 def test_cli_edges_device(reference_dir, tmp_path, capsys):
     """cli edges --device: sim + markets + props entirely on-device."""
     import pandas as pd

@@ -73,6 +73,70 @@ def test_slate_market_table_underdog_sides():
     assert df.iloc[0].total_bet == "Under 45.5"
 
 
+def test_simulate_slate_props(reference_dir, tmp_path):
+    """Slate-wide prop scan: per-matchup device reductions, deferred
+    transfers; rows for teams outside the slate (or untracked players) are
+    skipped; each surviving row is bitwise-equal to the single-matchup
+    scan_props_device at the same fold_in key (the refactor's regression
+    check)."""
+    import jax
+
+    from fast_monte_carlo_tpu.api import MatchupRunner, simulate_slate_props
+    from fast_monte_carlo_tpu.data import (
+        build_team_context_from_sp_flex, load_sp_flex,
+    )
+    from fast_monte_carlo_tpu.edge import scan_props_device
+    from fast_monte_carlo_tpu.models.heads import load_heads
+
+    sp_path = str(reference_dir / "PregameSPPlus2025_1.csv")
+    heads = load_heads(reference_dir)
+    # QB names the stage-1 model actually knows -> tracked focus slots
+    s1_cats = heads.stage1.layout.categories["passer_name"]
+    s1_used = sorted(set(heads.stage1.used_cat_locals("passer_name").tolist()))
+    teams = ["Kansas State", "Iowa State", "Alabama", "Georgia"]
+    rows = []
+    for t, qi in zip(teams, s1_used[:4]):
+        rows.append(dict(team=t, player=s1_cats[qi], pos="QB", usage=80,
+                         stat="pass_yards", yards=250.5))
+        rows.append(dict(team=t, player=f"{t} Back", pos="RB", usage=60,
+                         stat="rush_yards", yards=80.5))
+    rows.append(dict(team="Nowhere U", player="Ghost", pos="QB", usage=50,
+                     stat="pass_yards", yards=10.0))
+    focus = tmp_path / "players.csv"
+    pd.DataFrame(rows).to_csv(focus, index=False)
+
+    games = [("Kansas State", "Iowa State"), ("Alabama", "Georgia")]
+    df = simulate_slate_props(
+        games, sp_path=sp_path, props_csv=str(focus), focus_csv=str(focus),
+        n_pairs=96, mode="analytic", seed=5, min_abs_edge_pct=0.0)
+    assert len(df) == 8   # QB + RB per team; the Nowhere U row skipped
+    assert set(df.matchup) == {"Kansas State vs Iowa State",
+                               "Alabama vs Georgia"}
+    for _, r in df.iterrows():
+        assert 0.0 <= r.p_over <= 1.0 and 0.0 <= r.p_under <= 1.0
+        assert int(r.samples) > 0
+
+    # single-matchup path at the same key reproduces matchup 0's rows
+    sp = load_sp_flex(sp_path)
+    a = build_team_context_from_sp_flex("Kansas State", 2025, 1, sp,
+                                        focus_csv=str(focus))
+    b = build_team_context_from_sp_flex("Iowa State", 2025, 1, sp,
+                                        focus_csv=str(focus))
+    runner = MatchupRunner(a, b, heads, mode="analytic")
+    out = runner.run_pairs(96, key=jax.random.fold_in(jax.random.PRNGKey(5), 0),
+                           collect_players=True)
+    single = scan_props_device(out, a, b, str(focus), min_abs_edge_pct=0.0)
+    assert len(single) == 4
+    sub = df[df.matchup == "Kansas State vs Iowa State"]
+    for _, srow in single.iterrows():
+        drow = sub[(sub.player == srow.player) & (sub.stat == srow.stat)]
+        assert len(drow) == 1, (srow.player, srow.stat)
+        drow = drow.iloc[0]
+        for col in ("p_over", "p_under", "mean", "median", "samples",
+                    "edge_pct", "ev_$100"):
+            assert srow[col] == drow[col], col
+
+
 def test_simulate_slate_summaries_return_summaries(reference_dir):
     from fast_monte_carlo_tpu.api import simulate_slate_summaries
     from fast_monte_carlo_tpu.edge import market_odds_from_summary
