@@ -115,7 +115,10 @@ def _slate_moments_jit(cfg, heads_eval, mesh, n_per_game):
             # materialize the scan's per-game table slice so the play-step
             # gather's operand is the per-game (~16k-row) table, not a
             # dynamic-slice view of the full stacked array (the gather
-            # cliff this layout exists to avoid); measured +15% on chip.
+            # cliff this layout exists to avoid).  Re-measured post-jit-fix
+            # (round 3): +18% at 16,384 games/game (1.179M vs 1.001M,
+            # the recommended weekly shape), -1.5% (inside day variance)
+            # at the 65,536 optimum (1.466M vs 1.488M) — keep.
             th_g = jax.lax.optimization_barrier(th_g)
             out = simulate_games(pack_g, cfg, heads_eval, th_g, key_g,
                                  n_per_game, fo, collect_players=False,
