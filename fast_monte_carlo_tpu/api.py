@@ -170,8 +170,11 @@ class MatchupRunner:
         — the production multi-chip path; scores never leave the devices."""
         if n_pairs <= 0:
             raise ValueError(f"n_pairs must be positive, got {n_pairs}")
-        from .parallel.aggregate import score_moments, summary_from_moments
-        moments_jit = jax.jit(score_moments)
+        # module-cached jits: a fresh jax.jit wrapper per CALL would
+        # re-trace every call — at one run_pairs_summary per matchup that
+        # host cost serialized the slate loop at 1.03M games/s vs 1.50M
+        # (rbg, 65k launches; the same bug class as the eager shard_map)
+        moments_jit = _score_moments_jit()
         chunk_pairs = min(chunk_pairs, n_pairs)
         n_chunks = -(-n_pairs // chunk_pairs)
         root = key if key is not None else jax.random.PRNGKey(seed)
@@ -192,12 +195,30 @@ class MatchupRunner:
                                      collect_stats=collect_stats, block=False)
                 m = moments_jit(out.score)
             acc = m if acc is None else acc + m
-        summary = jax.jit(summary_from_moments)(acc)
+        summary = _summary_from_moments_jit()(acc)
         if block:
             # forced tiny host transfer: on the axon backend
             # block_until_ready can return before execution finishes
             _ = np.asarray(summary.n)
         return summary
+
+
+@lru_cache(maxsize=1)
+def _score_moments_jit():
+    from .parallel.aggregate import score_moments
+    return jax.jit(score_moments)
+
+
+@lru_cache(maxsize=1)
+def _summary_from_moments_jit():
+    from .parallel.aggregate import summary_from_moments
+    return jax.jit(summary_from_moments)
+
+
+@lru_cache(maxsize=1)
+def _summary_from_moments_vmap_jit():
+    from .parallel.aggregate import summary_from_moments
+    return jax.jit(jax.vmap(summary_from_moments))
 
 
 @lru_cache(maxsize=32)
@@ -544,7 +565,6 @@ class SlateRunner:
         matchup's spread/total/moneyline off them with no further
         simulation or transfer."""
         from .parallel import game_mesh, pad_games, simulate_slate_moments
-        from .parallel.aggregate import summary_from_moments
 
         if not self.game_shard:
             raise ValueError("run_summaries needs SlateRunner(game_shard=True)")
@@ -567,7 +587,7 @@ class SlateRunner:
                 jax.random.fold_in(root, ci), gp, 2 * chunk_pairs, mesh=mesh)
             acc = m if acc is None else jax.tree_util.tree_map(
                 lambda a, b: a + b, m, acc)
-        summ = jax.jit(jax.vmap(summary_from_moments))(acc)
+        summ = _summary_from_moments_vmap_jit()(acc)
         host = jax.tree_util.tree_map(np.asarray, summ)  # one end transfer
         mean, win, n_arr = host.mean_pts, host.win_rate, host.n
         rows = []
@@ -798,10 +818,15 @@ def simulate_slate_summaries(
         summs.append(runner.run_pairs_summary(
             n_pairs, key=jax.random.fold_in(root, gi),
             chunk_pairs=chunk_pairs, block=False))
-    # one end transfer gates the whole in-order device queue (axon's
-    # block_until_ready can return early — force a tiny np.asarray)
-    _ = np.asarray(summs[-1].n)
-    host = [jax.tree_util.tree_map(np.asarray, s) for s in summs]
+    # stack the per-matchup summaries on device and transfer ONCE: each
+    # host np.asarray is a full tunnel round trip (~20ms on axon), so a
+    # per-matchup-per-field readback would cost ~60x8 round trips — the
+    # same class of tax as the per-chunk transfers this path exists to
+    # avoid (measured polluting slate timings by ~1.2s / 60 matchups)
+    stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *summs)
+    stacked = jax.tree_util.tree_map(np.asarray, stacked)
+    host = [jax.tree_util.tree_map(lambda x: x[gi], stacked)
+            for gi in range(len(summs))]
     rows = []
     for (ta, tb), s in zip(games, host):
         mean, win = s.mean_pts, s.win_rate
@@ -879,12 +904,23 @@ def simulate_slate_props(
                         reduce_props_device(out.pstats, indices)))
     if not pending:
         return pd.DataFrame()
-    # one transfer gates the whole in-order device queue (axon's
-    # block_until_ready can return early — force a tiny np.asarray)
-    _ = np.asarray(pending[-1][3]["n_active"])
+    # batch the readback: pack each matchup's 8 reduction fields into one
+    # (8, P) device array, stack matchups sharing a padded P, and transfer
+    # one array per group — per-field np.asarray readbacks are full tunnel
+    # round trips (~20ms each on axon, ~60x8 for a weekly slate)
+    fields = sorted(pending[0][3])
+    packed = [jnp.stack([red[k] for k in fields]) for *_, red in pending]
+    by_p: Dict[int, list] = {}
+    for i, p in enumerate(packed):
+        by_p.setdefault(p.shape[1], []).append(i)
+    host_packed: Dict[int, np.ndarray] = {}
+    for pw, idxs in by_p.items():
+        arr = np.asarray(jnp.stack([packed[i] for i in idxs]))
+        for j, i in enumerate(idxs):
+            host_packed[i] = arr[j]
     frames = []
-    for ta, tb, meta, red in pending:
-        host = {k: np.asarray(v) for k, v in red.items()}
+    for i, (ta, tb, meta, _red) in enumerate(pending):
+        host = dict(zip(fields, host_packed[i]))
         df = prop_table_from_reductions(meta, host, min_abs_edge_pct)
         if not df.empty:
             df.insert(0, "matchup", f"{ta} vs {tb}")

@@ -109,7 +109,31 @@ class HeadsPack:
     merged: Optional[object] = None
 
 
+def _heads_sig(heads: ModelHeads) -> tuple:
+    """Cheap identity fingerprint of the pack-relevant fields: reassigning
+    any forest (e.g. tests swapping in a retrained stage2) changes the ids
+    and invalidates the instance memo below."""
+    return (
+        id(heads.stage1), id(heads.stage2), tuple(heads.stage2_class_order),
+        tuple(map(id, heads.pass_quants or ())),
+        tuple(map(id, heads.rush_quants or ())),
+        tuple(map(id, heads.sack_quants or ())),
+        id(heads.fumble), id(heads.play),
+        float(heads.play_temperature),
+        tuple(heads.play_classes or ()),
+    )
+
+
 def pack_heads(heads: ModelHeads) -> HeadsPack:
+    # memoized per heads instance: packing re-flattens and re-uploads every
+    # forest (12 pack_forest calls + the MergedForest build) — pure in the
+    # heads, so a 60-matchup slate must pay it once, not per MatchupRunner
+    # (measured ~13s of a 38s warm slate API call before this memo)
+    cached = getattr(heads, "_heads_pack_memo", None)
+    sig = _heads_sig(heads)
+    if cached is not None and cached[0] == sig:
+        return cached[1]
+
     def trio(t):
         return tuple(pack_forest(f) for f in t) if t else None
 
@@ -123,7 +147,7 @@ def pack_heads(heads: ModelHeads) -> HeadsPack:
     if heads.stage2 is not None:
         pos = {c: i for i, c in enumerate(heads.stage2_class_order)}
         s2_order = (pos["incomplete"], pos["intercepted"], pos["sack"])
-    return HeadsPack(
+    hp = HeadsPack(
         stage1=pack_forest(heads.stage1) if heads.stage1 else None,
         stage2=pack_forest(heads.stage2) if heads.stage2 else None,
         pq=trio(heads.pass_quants),
@@ -137,6 +161,8 @@ def pack_heads(heads: ModelHeads) -> HeadsPack:
         stage2_order=s2_order,
         merged=_merge_heads(heads),
     )
+    heads._heads_pack_memo = (sig, hp)
+    return hp
 
 
 def _merge_heads(heads: ModelHeads):

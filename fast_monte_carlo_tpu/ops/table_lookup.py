@@ -8,7 +8,7 @@ axis profiles (fine / coarse) share their index computations across heads.
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import Optional, Tuple
+from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -269,6 +269,19 @@ def _table_cache_key(team_a, team_b, heads, cfg, fine, coarse, fused) -> str:
 
 TABLE_CACHE_DIR: Optional[str] = ".table_cache"
 
+# device-resident TableHeads by (disk key, repr(cfg), coach_map items);
+# FIFO-capped — ~14MB of device buffers per entry (two weekly slates)
+_DEVICE_TABLE_CACHE: Dict[tuple, "TableHeads"] = {}
+_DEVICE_TABLE_CACHE_MAX = 128
+
+
+def _remember(dev_key, th: "TableHeads") -> "TableHeads":
+    if dev_key is not None:
+        while len(_DEVICE_TABLE_CACHE) >= _DEVICE_TABLE_CACHE_MAX:
+            _DEVICE_TABLE_CACHE.pop(next(iter(_DEVICE_TABLE_CACHE)))
+        _DEVICE_TABLE_CACHE[dev_key] = th
+    return th
+
 
 def cachewarm_events(team_a, team_b, heads, cfg: SimConfig, coach_map=None,
                      cache_dir: Optional[str] = "auto"):
@@ -423,10 +436,22 @@ def build_table_heads(team_a, team_b, heads, cfg: SimConfig, coach_map=None,
         warm_a, warm_b = warm[0], warm[1]
 
     cache_path = None
+    dev_key = None
     if cache_dir == "auto":
         cache_dir = TABLE_CACHE_DIR
     if cache_dir:
         key = _table_cache_key(team_a, team_b, heads, cfg, fine, coarse, fused)
+        # in-process DEVICE-table cache on top of the disk cache: a disk
+        # hit still pays per-call unpickle + a ~14MB/matchup host->device
+        # upload, which through the axon tunnel dominates repeated slate
+        # API calls (re-uploading a 60-matchup slate's tables measured
+        # 30-120s against 2.4s of simulation).  Identical (contexts,
+        # heads, profiles, model constants, full cfg, coach_map) return
+        # the already device-resident TableHeads.
+        dev_key = (key, repr(cfg), tuple(sorted((coach_map or {}).items())))
+        hit = _DEVICE_TABLE_CACHE.get(dev_key)
+        if hit is not None:
+            return hit
         cache_path = _P(cache_dir) / f"tables_{key}.pkl"
         if cache_path.exists():
             try:
@@ -434,7 +459,7 @@ def build_table_heads(team_a, team_b, heads, cfg: SimConfig, coach_map=None,
                     ts_a, ts_b = pickle.load(fh)
                 _apply_sd_mode(ts_a, cfg, fused, warm_a)
                 _apply_sd_mode(ts_b, cfg, fused, warm_b)
-                return _finish(ts_a, ts_b)
+                return _remember(dev_key, _finish(ts_a, ts_b))
             except Exception:
                 pass
 
@@ -471,7 +496,7 @@ def build_table_heads(team_a, team_b, heads, cfg: SimConfig, coach_map=None,
             _save(ts_a, ts_b)
             _apply_sd_mode(ts_a, cfg, fused, warm_a)
             _apply_sd_mode(ts_b, cfg, fused, warm_b)
-            return _finish(ts_a, ts_b)
+            return _remember(dev_key, _finish(ts_a, ts_b))
     ts_a = build_tables(da, heads, cfg, fine, coarse)
     ts_b = build_tables(db, heads, cfg, fine, coarse)
     if fused is not None:
@@ -480,7 +505,7 @@ def build_table_heads(team_a, team_b, heads, cfg: SimConfig, coach_map=None,
     _save(ts_a, ts_b)
     _apply_sd_mode(ts_a, cfg, fused, warm_a)
     _apply_sd_mode(ts_b, cfg, fused, warm_b)
-    return _finish(ts_a, ts_b)
+    return _remember(dev_key, _finish(ts_a, ts_b))
 
 
 def _bin(v: jnp.ndarray, edges: jnp.ndarray) -> jnp.ndarray:
