@@ -154,10 +154,12 @@ for gi, r in enumerate(runners):
     if (gi + 1) % 10 == 0:
         print(f"[#4] matchup {gi+1}/{G} dispatched @ "
               f"{time.perf_counter()-t0:.1f}s", flush=True)
-_ = np.asarray(per_game_accs[-1][0][:1])   # gates the whole in-order queue
-for gi, accs in enumerate(per_game_accs):
-    mh[gi] += np.asarray(accs[0]); th[gi] += np.asarray(accs[1])
-    sums[gi] += np.asarray(accs[2]); sqs[gi] += np.asarray(accs[3])
+# stack per-matchup accumulators on device, read back as FOUR arrays —
+# per-matchup np.asarray readbacks are ~20ms tunnel round trips each
+# (60 matchups x 4 fields cost ~4.8s of the timed region before this)
+stacked = tuple(jnp.stack([a[i] for a in per_game_accs]) for i in range(4))
+mh += np.asarray(stacked[0]); th += np.asarray(stacked[1])
+sums += np.asarray(stacked[2]); sqs += np.asarray(stacked[3])
 run4_s = time.perf_counter() - t0
 n4 = G * B4_CHUNKS * 2 * B4_PAIRS
 print(f"[#4] {n4:,} games in {run4_s:.1f}s -> {n4/run4_s:,.0f} games/s",
