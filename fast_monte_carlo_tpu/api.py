@@ -117,7 +117,7 @@ class MatchupRunner:
         fold_in'd keys so adjacent seeds never share chunk streams."""
         n_games = 2 * n_pairs
         k = key if key is not None else jax.random.PRNGKey(seed)
-        fo = jnp.asarray(np.arange(n_games) % 2, jnp.int32)
+        fo = _fo_alternating(n_games)
         cfg, heads_fn = self._resolved(collect_stats)
         if self.shard:
             def fn(pack, hs, kk, f):
@@ -186,8 +186,7 @@ class MatchupRunner:
                 from .parallel import simulate_moments_sharded
                 m = simulate_moments_sharded(
                     self.pack, cfg_r, heads_fn_r, self.heads_state,
-                    ck, 2 * chunk_pairs,
-                    jnp.asarray(np.arange(2 * chunk_pairs) % 2, jnp.int32),
+                    ck, 2 * chunk_pairs, _fo_alternating(2 * chunk_pairs),
                     collect_stats=collect_stats)
             else:
                 out = self.run_pairs(chunk_pairs, key=ck,
@@ -201,6 +200,14 @@ class MatchupRunner:
             # block_until_ready can return before execution finishes
             _ = np.asarray(summary.n)
         return summary
+
+
+@lru_cache(maxsize=8)
+def _fo_alternating(n_games: int):
+    """Device-resident alternating first-offense vector, cached per size:
+    rebuilding + re-uploading it every launch is per-launch host work and
+    an H2D round trip for a constant input."""
+    return jnp.asarray(np.arange(n_games) % 2, jnp.int32)
 
 
 @lru_cache(maxsize=1)

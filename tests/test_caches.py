@@ -1,0 +1,62 @@
+"""In-process caches added in round 3: heads pack memo, device-table
+cache, per-size first-offense vectors.  These exist because re-packing
+forests / re-uploading tables / re-building constant inputs per call
+dominated the warm slate API path (38s -> 3.75s measured on the TPU
+tunnel; CLAUDE.md round-3 notes)."""
+import jax
+import numpy as np
+
+from fast_monte_carlo_tpu.api import _fo_alternating
+from fast_monte_carlo_tpu.config import SimConfig
+from fast_monte_carlo_tpu.data import build_team_context_from_sp_flex, load_sp_flex
+from fast_monte_carlo_tpu.models.heads import load_heads
+from fast_monte_carlo_tpu.ops.pack import pack_heads
+
+
+def test_pack_heads_memo_and_invalidation(reference_dir):
+    heads = load_heads(reference_dir)
+    p1 = pack_heads(heads)
+    p2 = pack_heads(heads)
+    assert p1 is p2, "same heads instance must reuse the packed forests"
+    # reassigning a forest field invalidates the memo (tests swap in
+    # retrained heads this way — test_train.py)
+    old = heads.stage2
+    heads.stage2 = heads.stage1
+    p3 = pack_heads(heads)
+    assert p3 is not p2
+    heads.stage2 = old
+    p4 = pack_heads(heads)
+    assert p4 is not p3  # and re-packs again after restoring
+
+
+def test_device_table_cache(reference_dir):
+    from fast_monte_carlo_tpu.models.tables import nano_profile
+    from fast_monte_carlo_tpu.ops.table_lookup import build_table_heads
+
+    cfg = SimConfig()
+    sp = load_sp_flex(str(reference_dir / "PregameSPPlus2025_1.csv"))
+    a = build_team_context_from_sp_flex("Kansas State", 2025, 1, sp)
+    b = build_team_context_from_sp_flex("Iowa State", 2025, 1, sp)
+    heads = load_heads(reference_dir)
+    t1 = build_table_heads(a, b, heads, cfg, nano=nano_profile())
+    # rebuilt contexts with identical content still hit (key hashes
+    # names/ratings/shares, not object identity)
+    a2 = build_team_context_from_sp_flex("Kansas State", 2025, 1, sp)
+    b2 = build_team_context_from_sp_flex("Iowa State", 2025, 1, sp)
+    t2 = build_table_heads(a2, b2, heads, cfg, nano=nano_profile())
+    assert t1 is t2, "identical inputs must return the device-resident hit"
+    # a config change (any field — the key hashes the full repr) misses
+    import dataclasses
+    cfg2 = cfg.replace(engine=dataclasses.replace(cfg.engine, rng_impl="rbg"))
+    t3 = build_table_heads(a, b, heads, cfg2, nano=nano_profile())
+    assert t3 is not t1
+    np.testing.assert_array_equal(np.asarray(t3.nano.values),
+                                  np.asarray(t1.nano.values))
+
+
+def test_fo_alternating_cached():
+    f1 = _fo_alternating(64)
+    f2 = _fo_alternating(64)
+    assert f1 is f2
+    np.testing.assert_array_equal(np.asarray(f1), np.arange(64) % 2)
+    assert _fo_alternating(128).shape == (128,)
