@@ -785,21 +785,26 @@ def simulate_slate_summaries(
 ):
     """Production slate sweep: the per-matchup launch loop with device-
     accumulated ScoreMoments and ONE host transfer at the very end — the
-    measured-fastest slate shape (BASELINE config #3: 1.47M games/s on one
-    chip; per-matchup transfers would serialize dispatch at 451k).
+    measured-fastest slate shape on one chip (clean-timed rbg: 1.28M
+    games/s at 16,384 games/matchup, **1.63M at the 65,536-game launch
+    optimum**; per-matchup transfers would serialize dispatch at 451k,
+    and even per-matchup end readbacks cost ~20ms tunnel round trips each
+    — hence the stacked single readback).  Warm repeat calls run at
+    ~1.05M games/s END-TO-END including context/runner rebuilds: model
+    forests pack once per heads instance and matchup tables are cached
+    device-resident (ops/pack.pack_heads memo, ops/table_lookup
+    _DEVICE_TABLE_CACHE).
 
     shard=True runs every launch as a shard_map over the full trial mesh
     (parallel.simulate_moments_sharded: per-device moment reduction + one
     ~1.3 KB psum per chunk) and scales chunk_pairs by the device count so
-    each device keeps the measured 65,536-game launch optimum.  This path
-    peaks at 1.47M games/s/chip when per-matchup n is large enough for
-    65k-game launches.  The game-sharded SlateRunner (one launch, zero
-    per-matchup dispatch) measured ≥ this loop at every per-game batch
-    once its shard_map launches were jit-cached — 1.18M vs 389k games/s
-    at 60 x 16,384 games, 1.460M vs 1.466M at the 65,536-game optimum
-    (benchmarks/slate_gamesharded_bench.py) — but it needs fusible
-    matchups and returns score summaries only; this loop additionally
-    serves focus rosters and player collection.
+    each device keeps the measured 65,536-game launch optimum.  The
+    game-sharded SlateRunner (one launch, zero per-matchup dispatch) runs
+    ~8-10% below this loop single-chip (1.15M @16k / 1.47-1.50M @65k,
+    benchmarks/slate_gamesharded_bench.py) and is the multi-chip
+    game-axis layout; it needs fusible matchups and returns score
+    summaries only, while this loop additionally serves focus rosters and
+    player collection.
 
     Per-game root keys are fold_in(PRNGKey(seed), game), so no two games
     (or seeds) share draw streams.  Returns one summary row per matchup

@@ -132,10 +132,11 @@ def _cmd_slate(args) -> int:
         df, summaries = res if lines_df is not None else (res, None)
     elif args.shard == "game":
         # game-sharded layout: each device holds only its own matchups'
-        # nano tables, whole slate in ONE launch — ≥ the per-matchup loop
-        # at every per-game batch on one chip (1.18M vs 389k games/s at
-        # 60 x 16k games; 1.460M vs 1.466M at the 65,536-game optimum,
-        # benchmarks/slate_gamesharded_bench.py); needs fusible matchups
+        # nano tables, whole slate in ONE launch — the multi-chip game-
+        # axis layout, ~8-10% below the per-matchup loop single-chip
+        # (1.15M @16k / 1.47-1.50M @65k games/matchup vs the loop's
+        # 1.28M / 1.63M, benchmarks/slate_gamesharded_bench.py); needs
+        # fusible matchups
         from .api import SlateRunner
         from .data import build_team_context_from_sp_flex, load_sp_flex
         from .models.heads import load_heads
