@@ -871,6 +871,7 @@ def simulate_slate_props(
     cfg: Optional[SimConfig] = None,
     seed: int = 0,
     min_abs_edge_pct: float = 2.0,
+    shard: bool = False,
 ) -> pd.DataFrame:
     """Slate-wide player-prop scan: every matchup simulates with player
     collection and reduces its prop-sheet rows to per-prop scalars ON
@@ -879,6 +880,11 @@ def simulate_slate_props(
     drains (the device-accumulation pattern of simulate_slate_summaries).
     Prop rows are matched to matchups by team name; matchups with no
     matching rows are skipped entirely (no simulation).
+
+    shard=True shards each matchup's trial axis over the full mesh
+    (MatchupRunner(shard=True) -> parallel.simulate_games_sharded); the
+    prop reduction jit consumes the trial-sharded pstats directly and
+    GSPMD inserts the cross-device sums.
 
     The reference scans one matchup's props at a time from its saved
     players file (edge_finder.py scan_props_for_matchup :340-390 inside
@@ -909,7 +915,7 @@ def simulate_slate_props(
         if not meta:
             continue
         runner = MatchupRunner(a, b, heads, cfg, mode=mode,
-                               table_quality=table_quality)
+                               table_quality=table_quality, shard=shard)
         out = runner.run_pairs(n_pairs, key=jax.random.fold_in(root, gi),
                                collect_players=True, block=False)
         pending.append((ta, tb, meta,

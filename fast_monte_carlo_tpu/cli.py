@@ -187,7 +187,8 @@ def _cmd_slate(args) -> int:
             games, sp_path=args.sp, props_csv=args.props, year=args.year,
             week=args.week, n_pairs=args.props_n, mode=args.mode,
             artifact_dir=args.artifacts, table_quality=args.quality,
-            focus_csv=args.focus, min_abs_edge_pct=args.min_edge)
+            focus_csv=args.focus, min_abs_edge_pct=args.min_edge,
+            shard=args.shard == "trial")
         print_prop_table(pdf)
     return 0
 

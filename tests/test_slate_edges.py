@@ -137,6 +137,34 @@ def test_simulate_slate_props(reference_dir, tmp_path):
             assert srow[col] == drow[col], col
 
 
+def test_simulate_slate_props_sharded(reference_dir, tmp_path):
+    """shard=True shards each prop sim's trial axis over the 8-device mesh;
+    the reduction jit consumes sharded pstats (GSPMD inserts the sums).
+    Sharded and unsharded scans agree within MC error."""
+    from fast_monte_carlo_tpu.api import simulate_slate_props
+    from fast_monte_carlo_tpu.models.heads import load_heads
+
+    heads = load_heads(reference_dir)
+    s1_cats = heads.stage1.layout.categories["passer_name"]
+    qb = s1_cats[sorted(
+        set(heads.stage1.used_cat_locals("passer_name").tolist()))[0]]
+    focus = tmp_path / "players.csv"
+    pd.DataFrame([dict(team="Kansas State", player=qb, pos="QB", usage=80,
+                       stat="pass_yards", yards=230.5)]).to_csv(focus,
+                                                                index=False)
+    kw = dict(sp_path=str(reference_dir / "PregameSPPlus2025_1.csv"),
+              props_csv=str(focus), focus_csv=str(focus), n_pairs=256,
+              mode="analytic", seed=9, min_abs_edge_pct=0.0)
+    got = simulate_slate_props([("Kansas State", "Iowa State")],
+                               shard=True, **kw)
+    want = simulate_slate_props([("Kansas State", "Iowa State")],
+                                shard=False, **kw)
+    assert len(got) == 1 and len(want) == 1
+    assert abs(got.iloc[0].p_over - want.iloc[0].p_over) < 0.12
+    assert abs(got.iloc[0]["mean"] - want.iloc[0]["mean"]) < 25.0
+    assert int(got.iloc[0].samples) > 0
+
+
 def test_simulate_slate_summaries_return_summaries(reference_dir):
     from fast_monte_carlo_tpu.api import simulate_slate_summaries
     from fast_monte_carlo_tpu.edge import market_odds_from_summary
