@@ -30,6 +30,31 @@ def _summary(margin_counts: dict, total_counts: dict, n: int) -> ScoreSummary:
         pts_hist=np.zeros((2, MAX_PTS)), margin_hist=mh, total_hist=th)
 
 
+def test_dist_hist_matches_samples():
+    """The Dist core's two representations — raw per-trial samples (file
+    path) and integer-support histograms (device path) — must agree on
+    every market query for integer-valued data; all markets in edge.py
+    reduce through these five queries."""
+    from fast_monte_carlo_tpu.edge import Dist
+
+    rng = np.random.default_rng(7)
+    vals = rng.integers(-40, 41, size=5000).astype(float)
+    support = np.arange(-60, 61).astype(float)
+    counts = np.array([(vals == s).sum() for s in support], float)
+    dv = Dist.from_values(vals)
+    dh = Dist.from_hist(counts, support)
+    assert dv.n == dh.n == 5000
+    for line in (-7.5, -3.0, -0.5, 0.0, 2.5, 7.0, 10.5):
+        assert dv.over(line) == dh.over(line), line
+        assert dv.under(line) == dh.under(line), line
+        assert dv.push(line) == dh.push(line), line
+    assert dv.mean() == pytest.approx(dh.mean(), abs=1e-9)
+    # medians may differ by interpolation convention at even n; both must
+    # land on or between the two central order statistics
+    lo, hi = np.sort(vals)[2499], np.sort(vals)[2500]
+    assert lo <= dv.median() <= hi and lo <= dh.median() <= hi
+
+
 def test_summary_moneyline_hand_counts():
     # margins: +3 x60, -7 x30, 0 x10 -> p_a=.6, p_b=.3 (ties to neither)
     s = _summary({3: 60, -7: 30, 0: 10}, {45: 100}, 100)
