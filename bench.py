@@ -31,7 +31,11 @@ REFERENCE_DIR = "/root/reference"
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--mode", default="table", choices=["table", "exact", "analytic"])
-    ap.add_argument("-n", type=int, default=1048576, help="games per timed run")
+    # default is the steady-state shape (64 pipelined 65k launches): the
+    # 1M-game/16-launch shape spends a measurable share in pipeline
+    # fill/drain (same-day: 1,585k @1M vs 1,646k @4M games/s; rounds 1-2
+    # recorded at 1M — note the shape when comparing across rounds)
+    ap.add_argument("-n", type=int, default=4194304, help="games per timed run")
     ap.add_argument("--pairs", action="store_true", help="n counts pairs")
     ap.add_argument("--smoke", action="store_true", help="tiny CPU smoke run")
     ap.add_argument("--seed", type=int, default=0)
