@@ -1,0 +1,83 @@
+"""Extend the cached oracle sample to a larger n (high-power referee data).
+
+Generates `oracle_margins_{N}.npz` with the SAME stream deep_validation.py
+and cover_ladder.py use — one sequential np.random.default_rng(123),
+first_offense = i % 2 — so the existing oracle_margins_8000.npz is exactly
+the first 8000 games of this run (verified on completion when present).
+
+The oracle is ~5-10 games/s on one host core, so a 32k run is 1-2 h of CPU;
+progress checkpoints (scores + bit-generator state) land in
+`oracle_margins_wip.pkl` every CHUNK games and the run resumes from there
+if interrupted.  Usage:
+
+    python benchmarks/oracle_extend.py 32000
+"""
+import os
+import pickle
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+
+from fast_monte_carlo_tpu.config import SimConfig
+from fast_monte_carlo_tpu.data import build_team_context_from_sp_flex, load_sp_flex
+from fast_monte_carlo_tpu.models.heads import load_heads
+from fast_monte_carlo_tpu.oracle import OracleMatchup
+
+CHUNK = 500
+
+n_target = int(sys.argv[1]) if len(sys.argv) > 1 else 32000
+wip = REPO / "benchmarks" / "oracle_margins_wip.pkl"
+out = REPO / "benchmarks" / f"oracle_margins_{n_target}.npz"
+
+cfg = SimConfig()
+sp = load_sp_flex("/root/reference/PregameSPPlus2025_1.csv")
+A = build_team_context_from_sp_flex("Kansas State", 2025, 1, sp)
+B = build_team_context_from_sp_flex("Iowa State", 2025, 1, sp)
+heads = load_heads("/root/reference")
+m = OracleMatchup(A, B, heads, cfg)
+
+rng = np.random.default_rng(123)
+scores = []
+if wip.exists():
+    with open(wip, "rb") as f:
+        ck = pickle.load(f)
+    scores = list(ck["scores"])
+    rng.bit_generator.state = ck["rng_state"]
+    print(f"resumed at {len(scores)} games", flush=True)
+
+t0 = time.perf_counter()
+done_at_start = len(scores)
+while len(scores) < n_target:
+    stop = min(len(scores) + CHUNK, n_target)
+    for i in range(len(scores), stop):
+        scores.append(m.simulate_game(i % 2, rng)["score"])
+    with open(wip, "wb") as f:
+        pickle.dump({"scores": np.asarray(scores, dtype=np.float32),
+                     "rng_state": rng.bit_generator.state}, f)
+    rate = (len(scores) - done_at_start) / (time.perf_counter() - t0)
+    print(f"{len(scores)}/{n_target} games ({rate:.1f}/s)", flush=True)
+
+sc = np.asarray(scores, dtype=float)
+np.savez_compressed(out, margin=sc[:, 0] - sc[:, 1], score=sc)
+print(f"wrote {out.name}: n={len(sc)}, win_A={np.mean(sc[:,0]>sc[:,1]):.4f} "
+      f"(SE {np.std(sc[:,0]>sc[:,1])/np.sqrt(len(sc)):.4f}), "
+      f"mean margin {np.mean(sc[:,0]-sc[:,1]):.2f}, "
+      f"mean total {np.mean(sc.sum(1)):.2f}", flush=True)
+
+old = REPO / "benchmarks" / "oracle_margins_8000.npz"
+if old.exists() and n_target >= 8000:
+    prev = np.load(old)["score"]
+    assert np.allclose(prev, sc[:8000]), "stream mismatch vs cached 8000!"
+    print("prefix check ok: first 8000 games match oracle_margins_8000.npz",
+          flush=True)
+wip.unlink(missing_ok=True)

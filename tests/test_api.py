@@ -243,3 +243,72 @@ def test_cli_edges_device(reference_dir, tmp_path, capsys):
     assert rc == 0
     assert "Game Market" in out and "Total:" in out
     assert "simulated + reduced on" in out
+
+
+def test_cli_sim_then_file_edges(reference_dir, tmp_path, capsys, monkeypatch):
+    """The reference's end-to-end workflow via the CLI: `sim --save` writes
+    scores_/players_ files, then the file-based `edges` command (no
+    --device) discovers them by fuzzy team match and prints the market
+    report (edge_finder.py find_edges :586-614 over saved files)."""
+    from fast_monte_carlo_tpu.cli import main
+
+    monkeypatch.chdir(tmp_path)
+    rc = main([
+        "sim", "Kansas State", "Iowa State",
+        "--sp", str(reference_dir / "PregameSPPlus2025_1.csv"),
+        "-n", "24", "--mode", "analytic", "--save", "--players",
+    ])
+    out = capsys.readouterr().out
+    assert rc == 0 and "sims/sec" in out and "saved scores_" in out
+    saved = list(tmp_path.glob("scores_*"))
+    assert saved, "sim --save wrote no scores file"
+
+    rc = main([
+        "edges", "--team-a", "Kansas State", "--team-b", "Iowa State",
+        "--spread", "-3.5", "--total", "55.5", "--dir", str(tmp_path),
+    ])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "Game Market" in out and "Moneyline" in out
+
+
+def test_cli_train(tmp_path, capsys):
+    """`cli train` drives the pipeline recipes from a plays csv: train the
+    sack quantile heads small and check the artifacts load."""
+    import joblib
+    import numpy as np
+    import pandas as pd
+
+    from fast_monte_carlo_tpu.cli import main
+    from fast_monte_carlo_tpu.train import pipeline as P
+
+    rng = np.random.default_rng(3)
+    n = 600
+    df = pd.DataFrame({
+        "down": rng.integers(1, 5, n), "distance": rng.uniform(1, 15, n).round(1),
+        "yardsToGoal": rng.integers(1, 100, n).astype(float),
+        "score_diff": rng.integers(-21, 22, n),
+        "seconds_remaining": rng.integers(0, 3601, n),
+        "offenseTimeouts": 3, "defenseTimeouts": 3,
+        "sp_rating_off": rng.normal(5, 10, n).round(1),
+        "sp_offense_rating_off": rng.normal(30, 7, n).round(1),
+        "sp_defense_rating_def": rng.normal(25, 7, n).round(1),
+        "sp_rating_def": rng.normal(5, 10, n).round(1),
+        "passer_name": rng.choice(["Qb One", "Qb Two"], n),
+        "target_name": rng.choice(["Wr One", "Wr Two"], n),
+        "rusher_name": rng.choice(["Rb One", "Rb Two"], n),
+        "pass_outcome": rng.choice(["complete", "incomplete", "sack"], n,
+                                   p=[0.6, 0.3, 0.1]),
+        "yardsGained": -rng.uniform(0, 12, n).round(0),
+    })
+    df = P.derive_state_features(df)
+    data = tmp_path / "plays.csv"
+    df.to_csv(data, index=False)
+    out_dir = tmp_path / "artifacts"
+    rc = main(["train", "--data", str(data), "--out", str(out_dir),
+               "--heads", "sack", "--trees", "10"])
+    assert rc == 0
+    assert "sack quantiles ->" in capsys.readouterr().out
+    for q in (10, 50, 90):
+        m = joblib.load(out_dir / f"sack_yards_q{q}.joblib")
+        assert hasattr(m, "predict")

@@ -2,10 +2,10 @@
 3.5 combined SE) of the CPU oracle referee (BASELINE.json north_star).
 
 Opt-in (FMC_NORTHSTAR=1): the power comes from a 65k-game engine run
-against the cached 8000-game oracle margins
-(benchmarks/oracle_margins_8000.npz, seed-123 stream — regenerate with
-benchmarks/deep_validation.py if SimConfig fidelity constants change),
-which takes minutes on the CPU test backend.  The regular suite's
+against the largest cached oracle-margin sample
+(benchmarks/oracle_margins_*.npz, seed-123 stream — extend with
+benchmarks/oracle_extend.py; regenerate if SimConfig fidelity constants
+change), which takes minutes on the CPU test backend.  The regular suite's
 engine-vs-oracle bounds (tests/test_engine.py) stay the fast gate.
 
 Run:  FMC_NORTHSTAR=1 python -m pytest tests/test_northstar.py -q
@@ -21,8 +21,11 @@ pytestmark = pytest.mark.skipif(
     reason="north-star parity run is opt-in (FMC_NORTHSTAR=1); "
            "takes minutes at full power")
 
-ORACLE_NPZ = Path(__file__).resolve().parents[1] / "benchmarks" / \
-    "oracle_margins_8000.npz"
+# prefer the largest cached oracle sample present (all share the seed-123
+# stream: bigger files are strict supersets — benchmarks/oracle_extend.py)
+_BENCH = Path(__file__).resolve().parents[1] / "benchmarks"
+ORACLE_NPZ = max(_BENCH.glob("oracle_margins_*.npz"), default=None,
+                 key=lambda p: int(p.stem.rsplit("_", 1)[1]))
 
 
 @pytest.fixture(scope="module")
@@ -47,8 +50,9 @@ def engine_scores(reference_dir):
 
 @pytest.fixture(scope="module")
 def oracle_scores():
-    assert ORACLE_NPZ.exists(), (
-        f"{ORACLE_NPZ} missing — regenerate via benchmarks/deep_validation.py")
+    assert ORACLE_NPZ is not None, (
+        "no benchmarks/oracle_margins_*.npz cache — regenerate via "
+        "benchmarks/oracle_extend.py (or deep_validation.py)")
     return np.load(ORACLE_NPZ)["score"].astype(float)
 
 

@@ -217,3 +217,68 @@ def test_simulate_slate_summaries_return_summaries(reference_dir):
     for i in range(2):
         assert tab.iloc[i].p_win_a == pytest.approx(df.iloc[i].win_a,
                                                     abs=1e-6)
+
+
+def test_simulate_slate_props_mixed_pad_groups(reference_dir, tmp_path):
+    """Matchups whose prop counts pad to DIFFERENT sizes (8 vs 16) land in
+    separate stacked-readback groups (api.simulate_slate_props packs one
+    (8, P) array per matchup and transfers one stack per padded P); the
+    grouped transfer must map every field back to the right matchup.  The
+    16-pad matchup is cross-checked bitwise against the single-matchup
+    scan_props_device at the same fold_in key."""
+    import jax
+
+    from fast_monte_carlo_tpu.api import MatchupRunner, simulate_slate_props
+    from fast_monte_carlo_tpu.data import (
+        build_team_context_from_sp_flex, load_sp_flex,
+    )
+    from fast_monte_carlo_tpu.edge import scan_props_device
+    from fast_monte_carlo_tpu.models.heads import load_heads
+
+    sp_path = str(reference_dir / "PregameSPPlus2025_1.csv")
+    heads = load_heads(reference_dir)
+    s1_cats = heads.stage1.layout.categories["passer_name"]
+    s1_used = sorted(set(heads.stage1.used_cat_locals("passer_name").tolist()))
+    teams = ["Kansas State", "Iowa State", "Alabama", "Georgia"]
+    rows = []
+    for t, qi in zip(teams, s1_used[:4]):
+        rows.append(dict(team=t, player=s1_cats[qi], pos="QB", usage=60,
+                         stat="pass_yards", yards=250.5))
+        rows.append(dict(team=t, player=f"{t} Back", pos="RB", usage=50,
+                         stat="rush_yards", yards=80.5))
+    # pad matchup 2 past one 8-row bucket: 4 receivers a side -> 16 rows
+    for t in ("Alabama", "Georgia"):
+        for wi in range(4):
+            rows.append(dict(team=t, player=f"{t} WR{wi}", pos="WR",
+                             usage=20, stat="rec_yards",
+                             yards=40.5 + 5 * wi))
+    focus = tmp_path / "players.csv"
+    pd.DataFrame(rows).to_csv(focus, index=False)
+
+    games = [("Kansas State", "Iowa State"), ("Alabama", "Georgia")]
+    df = simulate_slate_props(
+        games, sp_path=sp_path, props_csv=str(focus), focus_csv=str(focus),
+        n_pairs=96, mode="analytic", seed=11, min_abs_edge_pct=0.0)
+    sub1 = df[df.matchup == "Kansas State vs Iowa State"]
+    sub2 = df[df.matchup == "Alabama vs Georgia"]
+    assert len(sub1) == 4 and len(sub2) == 12
+
+    # matchup index 1 (the 16-pad group) bitwise vs the single-matchup scan
+    sp = load_sp_flex(sp_path)
+    a = build_team_context_from_sp_flex("Alabama", 2025, 1, sp,
+                                        focus_csv=str(focus))
+    b = build_team_context_from_sp_flex("Georgia", 2025, 1, sp,
+                                        focus_csv=str(focus))
+    runner = MatchupRunner(a, b, heads, mode="analytic")
+    out = runner.run_pairs(
+        96, key=jax.random.fold_in(jax.random.PRNGKey(11), 1),
+        collect_players=True)
+    single = scan_props_device(out, a, b, str(focus), min_abs_edge_pct=0.0)
+    assert len(single) == 12
+    for _, srow in single.iterrows():
+        drow = sub2[(sub2.player == srow.player) & (sub2.stat == srow.stat)]
+        assert len(drow) == 1, (srow.player, srow.stat)
+        drow = drow.iloc[0]
+        for col in ("p_over", "p_under", "mean", "median", "samples",
+                    "edge_pct", "ev_$100"):
+            assert srow[col] == drow[col], col
