@@ -35,8 +35,11 @@ from fast_monte_carlo_tpu.models.heads import load_heads
 
 n_pairs = int(sys.argv[1]) if len(sys.argv) > 1 else 4096
 
-npz = REPO / "benchmarks" / "oracle_margins_8000.npz"
-if npz.exists():
+# largest cached referee sample (strict supersets of one seed-123 stream;
+# benchmarks/oracle_extend.py) — more blocks = a longer decay curve
+npz = max((REPO / "benchmarks").glob("oracle_margins_*.npz"), default=None,
+          key=lambda p: int(p.stem.rsplit("_", 1)[1]))
+if npz is not None:
     sc = np.load(npz)["score"].astype(float)
     m = sc[:, 0] - sc[:, 1]
     print(f"referee oracle run (n={len(m)}, one cache): overall margin sd "
