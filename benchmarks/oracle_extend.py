@@ -55,6 +55,19 @@ if wip.exists():
     rng.bit_generator.state = ck["rng_state"]
     print(f"resumed at {len(scores)} games", flush=True)
 
+MILESTONES = (16000, 32000, 65536, 131072)
+
+
+def write_npz(n: int) -> None:
+    sc = np.asarray(scores[:n], dtype=float)
+    path = REPO / "benchmarks" / f"oracle_margins_{n}.npz"
+    np.savez_compressed(path, margin=sc[:, 0] - sc[:, 1], score=sc)
+    print(f"wrote {path.name}: n={n}, win_A={np.mean(sc[:,0]>sc[:,1]):.4f} "
+          f"(SE {np.std(sc[:,0]>sc[:,1])/np.sqrt(n):.4f}), "
+          f"mean margin {np.mean(sc[:,0]-sc[:,1]):.2f}, "
+          f"mean total {np.mean(sc.sum(1)):.2f}", flush=True)
+
+
 t0 = time.perf_counter()
 done_at_start = len(scores)
 while len(scores) < n_target:
@@ -64,20 +77,22 @@ while len(scores) < n_target:
     with open(wip, "wb") as f:
         pickle.dump({"scores": np.asarray(scores, dtype=np.float32),
                      "rng_state": rng.bit_generator.state}, f)
+    for ms in MILESTONES:       # emit intermediate caches along the way
+        if len(scores) >= ms and not (
+                REPO / "benchmarks" / f"oracle_margins_{ms}.npz").exists():
+            write_npz(ms)
     rate = (len(scores) - done_at_start) / (time.perf_counter() - t0)
     print(f"{len(scores)}/{n_target} games ({rate:.1f}/s)", flush=True)
 
-sc = np.asarray(scores, dtype=float)
-np.savez_compressed(out, margin=sc[:, 0] - sc[:, 1], score=sc)
-print(f"wrote {out.name}: n={len(sc)}, win_A={np.mean(sc[:,0]>sc[:,1]):.4f} "
-      f"(SE {np.std(sc[:,0]>sc[:,1])/np.sqrt(len(sc)):.4f}), "
-      f"mean margin {np.mean(sc[:,0]-sc[:,1]):.2f}, "
-      f"mean total {np.mean(sc.sum(1)):.2f}", flush=True)
+if not out.exists():
+    write_npz(n_target)
 
+sc = np.asarray(scores, dtype=float)
 old = REPO / "benchmarks" / "oracle_margins_8000.npz"
 if old.exists() and n_target >= 8000:
     prev = np.load(old)["score"]
     assert np.allclose(prev, sc[:8000]), "stream mismatch vs cached 8000!"
     print("prefix check ok: first 8000 games match oracle_margins_8000.npz",
           flush=True)
-wip.unlink(missing_ok=True)
+# the wip checkpoint is kept (scores + rng state): a later, larger target
+# resumes from it instead of re-simulating the whole stream
