@@ -1,16 +1,29 @@
 """Extend the cached oracle sample to a larger n (high-power referee data).
 
-Generates `oracle_margins_{N}.npz` with the SAME stream deep_validation.py
-and cover_ladder.py use — one sequential np.random.default_rng(123),
-first_offense = i % 2 — so the existing oracle_margins_8000.npz is exactly
-the first 8000 games of this run (verified on completion when present).
+Two referee protocols:
 
-The oracle is ~5-10 games/s on one host core, so a 32k run is 1-2 h of CPU;
-progress checkpoints (scores + bit-generator state) land in
-`oracle_margins_wip.pkl` every CHUNK games and the run resumes from there
-if interrupted.  Usage:
+* WARM (default): one ever-warming memo cache over the whole stream — the
+  SAME stream deep_validation.py and cover_ladder.py use (one sequential
+  np.random.default_rng(123), first_offense = i % 2), so the existing
+  oracle_margins_8000.npz is exactly the first 8000 games of this run
+  (prefix-verified).  As VALIDATION.md documents, this referee is
+  NON-stationary: margin sd decays toward the frozen limit as the cache
+  fills, so very large n drifts from the reference's as-executed behavior.
+* COLD (--cold [N]): memo caches reset every N games (default 250 — the
+  reference's per-worker cache lifetime at its default run shape: n=500
+  pairs over 4 Pool processes, fast_monte_carlo_cfb.py:1474-1496,
+  :1302-1328).  Stationary AND faithful to the reference's real run
+  length; seed-456 stream, outputs oracle_margins_cold_{n}.npz.  This is
+  the referee the high-power north-star test prefers.
+
+The oracle is ~5-10 games/s on one host core.  Progress checkpoints
+(scores + bit-generator state) land in a wip pickle every CHUNK games and
+the run resumes from there if interrupted; the wip is kept on completion
+so a later larger target continues the stream.  Milestone npz caches are
+emitted en route.  Usage:
 
     python benchmarks/oracle_extend.py 32000
+    python benchmarks/oracle_extend.py 131072 --cold
 """
 import os
 import pickle
@@ -35,9 +48,19 @@ from fast_monte_carlo_tpu.oracle import OracleMatchup
 
 CHUNK = 500
 
-n_target = int(sys.argv[1]) if len(sys.argv) > 1 else 32000
-wip = REPO / "benchmarks" / "oracle_margins_wip.pkl"
-out = REPO / "benchmarks" / f"oracle_margins_{n_target}.npz"
+args = [a for a in sys.argv[1:] if not a.startswith("--")]
+n_target = int(args[0]) if args else 32000
+cold = "--cold" in sys.argv
+cold_period = 250
+for a in sys.argv[1:]:
+    if a.startswith("--cold="):
+        cold, cold_period = True, int(a.split("=", 1)[1])
+assert CHUNK % cold_period == 0 or not cold, (
+    "checkpoints must land on reset boundaries so resumes stay faithful")
+
+tag = "cold_" if cold else ""
+wip = REPO / "benchmarks" / f"oracle_margins_{tag}wip.pkl"
+out = REPO / "benchmarks" / f"oracle_margins_{tag}{n_target}.npz"
 
 cfg = SimConfig()
 sp = load_sp_flex("/root/reference/PregameSPPlus2025_1.csv")
@@ -46,7 +69,7 @@ B = build_team_context_from_sp_flex("Iowa State", 2025, 1, sp)
 heads = load_heads("/root/reference")
 m = OracleMatchup(A, B, heads, cfg)
 
-rng = np.random.default_rng(123)
+rng = np.random.default_rng(456 if cold else 123)
 scores = []
 if wip.exists():
     with open(wip, "rb") as f:
@@ -60,7 +83,7 @@ MILESTONES = (16000, 32000, 65536, 131072)
 
 def write_npz(n: int) -> None:
     sc = np.asarray(scores[:n], dtype=float)
-    path = REPO / "benchmarks" / f"oracle_margins_{n}.npz"
+    path = REPO / "benchmarks" / f"oracle_margins_{tag}{n}.npz"
     np.savez_compressed(path, margin=sc[:, 0] - sc[:, 1], score=sc)
     print(f"wrote {path.name}: n={n}, win_A={np.mean(sc[:,0]>sc[:,1]):.4f} "
           f"(SE {np.std(sc[:,0]>sc[:,1])/np.sqrt(n):.4f}), "
@@ -73,13 +96,15 @@ done_at_start = len(scores)
 while len(scores) < n_target:
     stop = min(len(scores) + CHUNK, n_target)
     for i in range(len(scores), stop):
+        if cold and i % cold_period == 0:
+            m.reset_caches()
         scores.append(m.simulate_game(i % 2, rng)["score"])
     with open(wip, "wb") as f:
         pickle.dump({"scores": np.asarray(scores, dtype=np.float32),
                      "rng_state": rng.bit_generator.state}, f)
     for ms in MILESTONES:       # emit intermediate caches along the way
         if len(scores) >= ms and not (
-                REPO / "benchmarks" / f"oracle_margins_{ms}.npz").exists():
+                REPO / "benchmarks" / f"oracle_margins_{tag}{ms}.npz").exists():
             write_npz(ms)
     rate = (len(scores) - done_at_start) / (time.perf_counter() - t0)
     print(f"{len(scores)}/{n_target} games ({rate:.1f}/s)", flush=True)
@@ -89,7 +114,7 @@ if not out.exists():
 
 sc = np.asarray(scores, dtype=float)
 old = REPO / "benchmarks" / "oracle_margins_8000.npz"
-if old.exists() and n_target >= 8000:
+if not cold and old.exists() and n_target >= 8000:
     prev = np.load(old)["score"]
     assert np.allclose(prev, sc[:8000]), "stream mismatch vs cached 8000!"
     print("prefix check ok: first 8000 games match oracle_margins_8000.npz",

@@ -124,6 +124,23 @@ class OracleMatchup:
         self.record_states = record_states
         self.dropback_states: list = []
 
+    def reset_caches(self) -> None:
+        """Empty the memo caches, as a fresh reference worker process would.
+
+        The reference's caches are module globals that live exactly as long
+        as one Pool worker (fast_monte_carlo_cfb.py:90-94, :1302-1328): at
+        the default run shape (n=500 pairs over 4 processes, :1474-1496)
+        each cache sees only ~250 games before it is discarded.  A long
+        single-cache oracle stream therefore drifts from the as-executed
+        reference (VALIDATION.md: margin sd decays toward the frozen limit
+        as the cache warms); resetting every ~250 games makes the referee
+        stationary AND faithful to the reference's real run length."""
+        self._caches = [dict(play={}, s1={}, s2={}, pq={}, rq={}, sq={},
+                             fq={}) for _ in range(2)]
+        self.first_sd = [dict(s1={}, s2={}, pq={}, rq={}, sq={}, fq={})
+                         for _ in range(2)]
+        self._visit = 0
+
     # -- model wrappers with reference-faithful memoization ----------------
 
     def _cached(self, side, cache, key, fn, sd=None):

@@ -21,11 +21,22 @@ pytestmark = pytest.mark.skipif(
     reason="north-star parity run is opt-in (FMC_NORTHSTAR=1); "
            "takes minutes at full power")
 
-# prefer the largest cached oracle sample present (all share the seed-123
-# stream: bigger files are strict supersets — benchmarks/oracle_extend.py)
+# Referee sample selection: prefer the largest COLD-protocol cache
+# (oracle_margins_cold_*.npz — memo caches reset every 250 games, the
+# reference's per-worker cache lifetime, so the referee is stationary and
+# faithful to the as-executed run shape), else the largest warm
+# single-cache stream (non-stationary: its margin sd decays as the cache
+# fills — VALIDATION.md).  benchmarks/oracle_extend.py generates both.
 _BENCH = Path(__file__).resolve().parents[1] / "benchmarks"
-ORACLE_NPZ = max(_BENCH.glob("oracle_margins_*.npz"), default=None,
-                 key=lambda p: int(p.stem.rsplit("_", 1)[1]))
+
+
+def _largest(pattern: str):
+    return max(_BENCH.glob(pattern), default=None,
+               key=lambda p: int(p.stem.rsplit("_", 1)[1]))
+
+
+ORACLE_NPZ = _largest("oracle_margins_cold_*.npz") or \
+    _largest("oracle_margins_[0-9]*.npz")
 
 
 @pytest.fixture(scope="module")

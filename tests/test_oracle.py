@@ -46,6 +46,30 @@ def test_oracle_boxscore_sane(matchup):
         assert r["stats"][1, TS["points"]] == r["score"][1]
 
 
+def test_reset_caches_restores_fresh_worker_behavior(matchup):
+    """reset_caches() == a fresh reference worker process: after warming the
+    memo caches on other games, a reset instance reproduces a fresh
+    instance's trajectory bit for bit at the same rng state (the cold-cache
+    referee protocol, benchmarks/oracle_extend.py --cold)."""
+    fresh = OracleMatchup(matchup.teams[0], matchup.teams[1], matchup.heads,
+                          matchup.cfg)
+    baseline = [fresh.simulate_game(i % 2, np.random.default_rng(77))
+                for i in range(2)]
+
+    warm_rng = np.random.default_rng(5)
+    for i in range(6):                       # warm the shared fixture's caches
+        matchup.simulate_game(i % 2, warm_rng)
+    assert any(matchup._caches[0][c] for c in matchup._caches[0])
+    matchup.reset_caches()
+    assert all(not matchup._caches[s][c]
+               for s in range(2) for c in matchup._caches[s])
+    redo = [matchup.simulate_game(i % 2, np.random.default_rng(77))
+            for i in range(2)]
+    for r0, r1 in zip(baseline, redo):
+        assert r0["score"] == r1["score"]
+        np.testing.assert_array_equal(r0["stats"], r1["stats"])
+
+
 def test_oracle_ml_play_policy_runs(matchup, reference_dir):
     """ML play-call path (recovered pickle) produces sane play balance."""
     sp = load_sp_flex(str(reference_dir / "PregameSPPlus2025_1.csv"))
