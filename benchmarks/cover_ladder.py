@@ -8,7 +8,12 @@ this is the deliverable quantity, not margin sd per se.
 Oracle margins are cached to benchmarks/oracle_margins_{n}.npz so repeated
 analyses don't re-pay the ~2 min/1000-game oracle cost.
 
-Usage: python benchmarks/cover_ladder.py [n_oracle] [engine_pairs]
+Usage: python benchmarks/cover_ladder.py [n_oracle] [engine_pairs] [--cold]
+
+--cold uses the cold-protocol referee cache (oracle_margins_cold_{n}.npz,
+caches reset every 250 games = the reference's per-worker run length —
+see VALIDATION.md 'referee goes cold'); default is the warm single-cache
+stream the round-2 ladder used.
 """
 import dataclasses
 import sys
@@ -30,8 +35,11 @@ from fast_monte_carlo_tpu.config import SimConfig
 from fast_monte_carlo_tpu.data import build_team_context_from_sp_flex, load_sp_flex
 from fast_monte_carlo_tpu.models.heads import load_heads
 
-n_oracle = int(sys.argv[1]) if len(sys.argv) > 1 else 8000
-n_pairs = int(sys.argv[2]) if len(sys.argv) > 2 else 131072
+pos = [a for a in sys.argv[1:] if not a.startswith("--")]
+n_oracle = int(pos[0]) if pos else 8000
+n_pairs = int(pos[1]) if len(pos) > 1 else 131072
+cold = "--cold" in sys.argv
+tag = "cold_" if cold else ""
 
 cfg0 = SimConfig()
 sp = load_sp_flex("/root/reference/PregameSPPlus2025_1.csv")
@@ -39,17 +47,21 @@ A = build_team_context_from_sp_flex("Kansas State", 2025, 1, sp)
 B = build_team_context_from_sp_flex("Iowa State", 2025, 1, sp)
 heads = load_heads("/root/reference")
 
-cache = REPO / "benchmarks" / f"oracle_margins_{n_oracle}.npz"
+cache = REPO / "benchmarks" / f"oracle_margins_{tag}{n_oracle}.npz"
 if cache.exists():
     o_margin = np.load(cache)["margin"]
     print(f"oracle margins: loaded {len(o_margin)} from {cache.name}", flush=True)
 else:
     from fast_monte_carlo_tpu.oracle import OracleMatchup
     m = OracleMatchup(A, B, heads, cfg0)
-    rng = np.random.default_rng(123)
+    rng = np.random.default_rng(456 if cold else 123)
     t0 = time.perf_counter()
-    sc = np.asarray([m.simulate_game(i % 2, rng)["score"]
-                     for i in range(n_oracle)], dtype=float)
+    sc = []
+    for i in range(n_oracle):
+        if cold and i % 250 == 0:
+            m.reset_caches()
+        sc.append(m.simulate_game(i % 2, rng)["score"])
+    sc = np.asarray(sc, dtype=float)
     o_margin = sc[:, 0] - sc[:, 1]
     np.savez_compressed(cache, margin=o_margin, score=sc)
     print(f"oracle: {n_oracle} games in {time.perf_counter()-t0:.0f}s", flush=True)
@@ -88,7 +100,8 @@ lines = [
     "## Cover-probability ladder: oracle vs engine sd modes",
     "",
     f"Kansas State vs Iowa State; oracle n={len(o_margin)} "
-    f"(sd {o_sd:.2f}), engine n={2*n_pairs} per mode "
+    f"({'COLD protocol: caches reset every 250 games' if cold else 'warm single-cache stream'}, "
+    f"sd {o_sd:.2f}), engine n={2*n_pairs} per mode "
     f"(sd axis {rows['axis'][1]:.2f} / frozen {rows['frozen'][1]:.2f} / "
     f"marginal {rows['marginal'][1]:.2f}).  Δpp = engine − oracle cover "
     "prob in percentage points; |Δ| within ~2·SE(oracle) is "

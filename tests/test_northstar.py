@@ -35,8 +35,11 @@ def _largest(pattern: str):
                key=lambda p: int(p.stem.rsplit("_", 1)[1]))
 
 
-ORACLE_NPZ = _largest("oracle_margins_cold_*.npz") or \
-    _largest("oracle_margins_[0-9]*.npz")
+_COLD = _largest("oracle_margins_cold_*.npz")
+_WARM = _largest("oracle_margins_[0-9]*.npz")
+# protocol beats raw n, but only once the cold sample has real power
+ORACLE_NPZ = _COLD if _COLD is not None and \
+    int(_COLD.stem.rsplit("_", 1)[1]) >= 16000 else (_WARM or _COLD)
 
 
 @pytest.fixture(scope="module")
