@@ -76,6 +76,18 @@ if wip.exists():
         ck = pickle.load(f)
     scores = list(ck["scores"])
     rng.bit_generator.state = ck["rng_state"]
+    if not cold:
+        # the WARM protocol is "one ever-warming cache": a resume must
+        # restore the memo caches too, or games after the seam are drawn
+        # against a re-warming cache and the stream is no longer the
+        # advertised single-cache trajectory (cold runs don't need this —
+        # CHUNK % cold_period == 0 puts every resume on a reset boundary)
+        if "caches" not in ck:
+            raise SystemExit(
+                f"{wip.name} predates cache checkpointing: resuming it "
+                "would reset the warm caches mid-stream. Delete the wip "
+                "to restart the stream, or use --cold.")
+        m._caches = ck["caches"]
     print(f"resumed at {len(scores)} games", flush=True)
 
 MILESTONES = (16000, 32000, 65536, 131072)
@@ -100,8 +112,11 @@ while len(scores) < n_target:
             m.reset_caches()
         scores.append(m.simulate_game(i % 2, rng)["score"])
     with open(wip, "wb") as f:
-        pickle.dump({"scores": np.asarray(scores, dtype=np.float32),
-                     "rng_state": rng.bit_generator.state}, f)
+        state = {"scores": np.asarray(scores, dtype=np.float32),
+                 "rng_state": rng.bit_generator.state}
+        if not cold:
+            state["caches"] = m._caches
+        pickle.dump(state, f)
     for ms in MILESTONES:       # emit intermediate caches along the way
         if len(scores) >= ms and not (
                 REPO / "benchmarks" / f"oracle_margins_{tag}{ms}.npz").exists():

@@ -35,12 +35,20 @@ from fast_monte_carlo_tpu.models.heads import load_heads
 
 n_pairs = int(sys.argv[1]) if len(sys.argv) > 1 else 4096
 
-# largest cached referee sample (strict supersets of one seed-123 stream;
-# benchmarks/oracle_extend.py) — more blocks = a longer decay curve
-npz = max((REPO / "benchmarks").glob("oracle_margins_*.npz"), default=None,
-          key=lambda p: int(p.stem.rsplit("_", 1)[1]))
+# largest cached WARM referee sample (strict supersets of one seed-123
+# stream; benchmarks/oracle_extend.py) — more blocks = a longer decay
+# curve.  Excludes the cold-protocol caches (oracle_margins_cold_*.npz:
+# seed 456, caches reset every 250 games — a stationary stream that would
+# silently flatten this decay analysis).
+WARM_SEAM = 12000  # the warm stream was once resumed without cache
+# restore at game 12000 (pre-fix oracle_extend.py checkpoints carried no
+# caches), so games >= 12000 are a SECOND cache trajectory; the one-cache
+# decay analysis must stop there
+npz = max((p for p in (REPO / "benchmarks").glob("oracle_margins_*.npz")
+           if "cold" not in p.stem),
+          default=None, key=lambda p: int(p.stem.rsplit("_", 1)[1]))
 if npz is not None:
-    sc = np.load(npz)["score"].astype(float)
+    sc = np.load(npz)["score"].astype(float)[:WARM_SEAM]
     m = sc[:, 0] - sc[:, 1]
     print(f"referee oracle run (n={len(m)}, one cache): overall margin sd "
           f"{m.std(ddof=1):.2f}")

@@ -116,6 +116,14 @@ class MatchupRunner:
         `key` overrides the PRNGKey(seed) derivation — chunked drivers pass
         fold_in'd keys so adjacent seeds never share chunk streams."""
         n_games = 2 * n_pairs
+        if self.shard and n_games % jax.device_count():
+            # fail at the API surface, not deep inside shard_map after
+            # the table builds; raw-output semantics forbid silent
+            # round-up here (run_pairs_summary / the slate drivers round
+            # up instead, where only reductions are returned)
+            raise ValueError(
+                f"shard=True needs 2*n_pairs divisible by the device "
+                f"count ({jax.device_count()}); got n_pairs={n_pairs}")
         k = key if key is not None else jax.random.PRNGKey(seed)
         fo = _fo_alternating(n_games)
         cfg, heads_fn = self._resolved(collect_stats)
@@ -176,6 +184,13 @@ class MatchupRunner:
         # (rbg, 65k launches; the same bug class as the eager shard_map)
         moments_jit = _score_moments_jit()
         chunk_pairs = min(chunk_pairs, n_pairs)
+        if self.shard:
+            # shard_map splits the 2*chunk_pairs games across the mesh;
+            # round the chunk up to a device multiple so arbitrary -n
+            # values don't crash simulate_moments_sharded's divisibility
+            # check (n rounds up to whole launches anyway, documented).
+            ndev = jax.device_count()
+            chunk_pairs = -(-chunk_pairs // ndev) * ndev
         n_chunks = -(-n_pairs // chunk_pairs)
         root = key if key is not None else jax.random.PRNGKey(seed)
         acc = None
@@ -812,6 +827,11 @@ def simulate_slate_summaries(
     additionally returns the per-matchup ScoreSummary objects (histograms
     included) for edge.slate_market_table pricing."""
     cfg = cfg or SimConfig()
+    if not games:
+        # mirror simulate_slate_props' empty-input contract instead of
+        # letting tree_map die on zero summaries
+        df = pd.DataFrame()
+        return (df, []) if return_summaries else df
     heads = load_heads(artifact_dir)
     sp_df = load_sp_flex(sp_path)
     if shard:
@@ -902,6 +922,13 @@ def simulate_slate_props(
     heads = load_heads(artifact_dir)
     sp_df = load_sp_flex(sp_path)
     props = pd.read_csv(props_csv)
+    if shard:
+        # each launch splits 2*n_pairs games across the mesh; round up to
+        # a device multiple so arbitrary -n values don't trip the
+        # divisibility check (prop scans consume only reductions, so a
+        # few extra games are the documented whole-launch round-up)
+        ndev = jax.device_count()
+        n_pairs = -(-n_pairs // ndev) * ndev
     root = jax.random.PRNGKey(seed)
     pending = []
     for gi, (ta, tb) in enumerate(games):

@@ -188,6 +188,8 @@ class Dist:
                  support: Optional[np.ndarray] = None):
         if (values is None) == (counts is None):
             raise ValueError("Dist takes either values or counts+support")
+        if counts is not None and support is None:
+            raise ValueError("Dist(counts=...) requires support")
         self.values = None if values is None else np.asarray(values, float)
         self.counts = None if counts is None else np.asarray(counts, float)
         self.support = None if support is None else np.asarray(support, float)

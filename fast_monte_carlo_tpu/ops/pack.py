@@ -161,7 +161,12 @@ def pack_heads(heads: ModelHeads) -> HeadsPack:
         stage2_order=s2_order,
         merged=_merge_heads(heads),
     )
-    heads._heads_pack_memo = (sig, hp)
+    # the third slot pins strong references to every forest in the sig:
+    # ids are only unique among LIVE objects, so without these a freed
+    # forest's id could be reused by a replacement and false-hit the memo
+    refs = (heads.stage1, heads.stage2, heads.pass_quants,
+            heads.rush_quants, heads.sack_quants, heads.fumble, heads.play)
+    heads._heads_pack_memo = (sig, hp, refs)
     return hp
 
 

@@ -448,7 +448,13 @@ def build_table_heads(team_a, team_b, heads, cfg: SimConfig, coach_map=None,
         # 30-120s against 2.4s of simulation).  Identical (contexts,
         # heads, profiles, model constants, full cfg, coach_map) return
         # the already device-resident TableHeads.
-        dev_key = (key, repr(cfg), tuple(sorted((coach_map or {}).items())))
+        # the disk key is layout-agnostic (disk stores pre-relayout
+        # TableSets; _finish re-lays-out on load) but the device cache
+        # stores the post-_finish object, so the key must record whether
+        # the nano relayout was applied to this build.
+        layout = "nano" if nano is not None else "fused"
+        dev_key = (key, layout, repr(cfg),
+                   tuple(sorted((coach_map or {}).items())))
         hit = _DEVICE_TABLE_CACHE.get(dev_key)
         if hit is not None:
             return hit

@@ -16,8 +16,14 @@ GAMES_KEEP = ["sim_id", "team", "opp", "pts", "opp_pts", "margin", "total", "see
 
 
 def make_signature(meta: dict) -> str:
-    s = json.dumps(meta, sort_keys=True, separators=(",", ":"))
-    return hashlib.sha256(s.encode()).hexdigest()
+    """sha256 over the canonical JSON form of the meta dict.
+
+    The canonicalization (sorted keys, no whitespace) must stay stable
+    forever: it IS the content address (reference sim_store.py:6-8), and
+    bundles written under one form would not round-trip under another."""
+    canonical = json.dumps(meta, sort_keys=True, separators=(",", ":"))
+    digest = hashlib.sha256(canonical.encode("utf-8"))
+    return digest.hexdigest()
 
 
 def save_sim_bundle(run_dir: str | Path, games_df: pd.DataFrame,

@@ -459,7 +459,9 @@ def reconstruct_stage2(team_a, team_b, heads, out_dir, *, cfg=None,
         p = np.exp(z)
         p /= p.sum(axis=1, keepdims=True)
     u = rng.random(len(df))
-    lab = (u[:, None] > np.cumsum(p, axis=1)).sum(axis=1)
+    # inverse-CDF guard: float32 cumsum can land ~1e-7 below 1.0, letting
+    # a float64 u overrun the last class
+    lab = np.minimum((u[:, None] > np.cumsum(p, axis=1)).sum(axis=1), 2)
     df["pass_outcome"] = np.asarray(
         ["incomplete", "intercepted", "sack"])[lab]
     return _train_multiclass(df, df["pass_outcome"],

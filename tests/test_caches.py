@@ -52,6 +52,13 @@ def test_device_table_cache(reference_dir):
     assert t3 is not t1
     np.testing.assert_array_equal(np.asarray(t3.nano.values),
                                   np.asarray(t1.nano.values))
+    # a FUSED-layout build of the same profile must not hit the nano
+    # entry: the disk key is layout-agnostic (relayout happens on load)
+    # but the device cache stores the post-relayout object, so the key
+    # carries the layout tag
+    t4 = build_table_heads(a, b, heads, cfg, fused=nano_profile())
+    assert t4 is not t1
+    assert t4.nano is None and t1.nano is not None
 
 
 def test_fo_alternating_cached():

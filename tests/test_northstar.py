@@ -56,6 +56,10 @@ _WARM = _largest("oracle_margins_[0-9]*.npz")
 # protocol beats raw n, but only once the cold sample has real power
 ORACLE_NPZ = _COLD if _COLD is not None and \
     int(_COLD.stem.rsplit("_", 1)[1]) >= 16000 else (_WARM or _COLD)
+# the warm stream's caches were once reset mid-stream at game 12,000
+# (VALIDATION.md "Stream-integrity correction"); when falling back to a
+# warm cache, only the clean single-cache prefix is a valid referee
+WARM_SEAM = 12000
 
 # fixed warm-seed set for the cachewarm ensemble (pre-registered, not
 # tuned: the four seeds measured in the round-3 spread study)
@@ -123,7 +127,10 @@ def oracle_scores():
     assert ORACLE_NPZ is not None, (
         "no benchmarks/oracle_margins*.npz cache — regenerate via "
         "benchmarks/oracle_extend.py (--cold for the preferred protocol)")
-    return np.load(ORACLE_NPZ)["score"].astype(float)
+    sc = np.load(ORACLE_NPZ)["score"].astype(float)
+    if "cold" not in ORACLE_NPZ.stem:
+        sc = sc[:WARM_SEAM]
+    return sc
 
 
 def test_win_prob_within_north_star(cachewarm_wins, oracle_scores):

@@ -121,6 +121,24 @@ def test_run_pairs_summary_sharded(reference_dir):
     assert int(np.asarray(got.pts_hist).sum()) == 2048
 
 
+def test_run_pairs_summary_sharded_rounds_up_odd_n(reference_dir):
+    """Arbitrary -n values must not crash the shard path on the device-count
+    divisibility check: chunk_pairs rounds UP to a device multiple (the
+    documented whole-launch round-up), and raw run_pairs — which cannot
+    silently round — raises a clear error at the API surface instead."""
+    from fast_monte_carlo_tpu.api import MatchupRunner
+
+    sp = load_sp_flex(str(reference_dir / "PregameSPPlus2025_1.csv"))
+    a = build_team_context_from_sp_flex("Kansas State", 2025, 1, sp)
+    b = build_team_context_from_sp_flex("Iowa State", 2025, 1, sp)
+    rs = MatchupRunner(a, b, None, SimConfig(), mode="analytic", shard=True)
+    got = rs.run_pairs_summary(101, seed=4, chunk_pairs=101)
+    # 101 pairs round up to 104 (13 per device x 8): whole-launch semantics
+    assert int(got.n) == 2 * 104
+    with pytest.raises(ValueError, match="divisible by the device count"):
+        rs.run_pairs(101, seed=4)
+
+
 def test_accumulated_summary_matches_single_batch(reference_dir):
     """run_pairs_summary's device-accumulated moments equal summarize_scores
     over the concatenated per-chunk batches (the 1.22M games/s sweep

@@ -55,6 +55,28 @@ def test_dist_hist_matches_samples():
     assert lo <= dv.median() <= hi and lo <= dh.median() <= hi
 
 
+def test_dist_counts_require_support():
+    """counts without support must fail loudly at construction, not with an
+    opaque NoneType TypeError at the first market query."""
+    from fast_monte_carlo_tpu.edge import Dist
+
+    with pytest.raises(ValueError, match="requires support"):
+        Dist(counts=np.ones(5))
+
+
+def test_simulate_slate_summaries_empty_slate(reference_dir):
+    """An empty games list returns an empty frame (the slate-props
+    contract) instead of crashing tree_map on zero summaries."""
+    from fast_monte_carlo_tpu.api import simulate_slate_summaries
+
+    sp_path = str(reference_dir / "PregameSPPlus2025_1.csv")
+    df = simulate_slate_summaries([], sp_path=sp_path, n_pairs=8)
+    assert df.empty
+    df2, summs = simulate_slate_summaries(
+        [], sp_path=sp_path, n_pairs=8, return_summaries=True)
+    assert df2.empty and summs == []
+
+
 def test_summary_moneyline_hand_counts():
     # margins: +3 x60, -7 x30, 0 x10 -> p_a=.6, p_b=.3 (ties to neither)
     s = _summary({3: 60, -7: 30, 0: 10}, {45: 100}, 100)
