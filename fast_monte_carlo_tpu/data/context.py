@@ -23,8 +23,13 @@ from typing import List, Optional, Set
 import numpy as np
 import pandas as pd
 
+import os
+
 from .sp import load_sp_flex, lookup_sp_flex, lookup_sp_historical
-from .usage import OTHER_SENTINEL, UNKNOWN, ROLE_NAME_COLS, build_focus_usage_tables, usage_for_team
+from .usage import (
+    _FALLBACK_FILES, OTHER_SENTINEL, UNKNOWN, ROLE_NAME_COLS,
+    build_focus_usage_tables, usage_for_team,
+)
 
 
 @dataclass
@@ -102,6 +107,48 @@ def _build(team: str, year: int, week: int, rating: float, off: float, deff: flo
     )
 
 
+# In-process memos for the warm slate path: a 60-matchup slate builds 120
+# contexts per API call (and would re-parse the focus CSV for each) —
+# measured ~12ms/context of pure host pandas on the 1-core VM, ~1.5s of a
+# 3.75s warm slate call.  Keys are CONTENT (team + looked-up SP+ numbers +
+# file fingerprints), never object identity, so rebuilt sp_df frames and
+# edited files behave correctly.  Returned TeamContexts are shared and
+# treated as immutable everywhere (the engine packs them into arrays).
+_CONTEXT_MEMO: dict = {}
+_FOCUS_MEMO: dict = {}
+
+
+def _file_fp(path) -> tuple:
+    """(path, mtime_ns, size) — stat-based staleness fingerprint."""
+    try:
+        st = os.stat(path)
+        return (str(path), st.st_mtime_ns, st.st_size)
+    except OSError:
+        return (str(path), None, None)
+
+
+def _focus_tables_cached(focus_csv: str) -> dict:
+    fp = _file_fp(focus_csv)
+    hit = _FOCUS_MEMO.get(fp)
+    if hit is None:
+        hit = _FOCUS_MEMO[fp] = build_focus_usage_tables(focus_csv)
+    return hit
+
+
+def _sp_fp(sp_df: pd.DataFrame) -> int:
+    """Content fingerprint of an SP+ frame, computed once and stashed in
+    df.attrs so memo hits skip the pandas fuzzy lookup entirely (the
+    lookup, not the dict probe, dominated the warm path).  In-place
+    mutation of a frame after its first use would go unseen — no code
+    path here mutates loaded SP+ frames."""
+    fp = sp_df.attrs.get("_fmc_content_fp")
+    if fp is None:
+        fp = hash((tuple(map(str, sp_df.columns)),
+                   int(pd.util.hash_pandas_object(sp_df, index=False).sum())))
+        sp_df.attrs["_fmc_content_fp"] = fp
+    return fp
+
+
 def build_team_context_from_sp_flex(
     team: str,
     year: int,
@@ -118,9 +165,20 @@ def build_team_context_from_sp_flex(
         if sp_path is None:
             raise ValueError("provide sp_df or sp_path")
         sp_df = load_sp_flex(sp_path)
+    key = (team, year, week, _sp_fp(sp_df),
+           _file_fp(focus_csv) if focus_csv else None,
+           tuple(_file_fp(os.path.join(usage_dir, f))
+                 for f in _FALLBACK_FILES.values()),
+           player_slots)
+    hit = _CONTEXT_MEMO.get(key)
+    if hit is not None:
+        return hit
     rating, off, deff = lookup_sp_flex(team, sp_df)
-    focus = build_focus_usage_tables(focus_csv) if focus_csv else {}
-    return _build(team, year, week, rating, off, deff, focus, usage_dir, player_slots)
+    focus = _focus_tables_cached(focus_csv) if focus_csv else {}
+    ctx = _build(team, year, week, rating, off, deff, focus, usage_dir,
+                 player_slots)
+    _CONTEXT_MEMO[key] = ctx
+    return ctx
 
 
 def build_team_context(

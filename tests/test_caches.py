@@ -61,6 +61,38 @@ def test_device_table_cache(reference_dir):
     assert t4.nano is None and t1.nano is not None
 
 
+def test_context_memo(reference_dir, tmp_path):
+    """build_team_context_from_sp_flex memoizes on CONTENT (team + SP+
+    frame fingerprint + file fingerprints), so warm slate calls skip 120
+    pandas lookups; rebuilt frames with identical content hit, edited
+    focus files miss (stat fingerprint)."""
+    from fast_monte_carlo_tpu.data import load_sp_flex
+
+    sp = load_sp_flex(str(reference_dir / "PregameSPPlus2025_1.csv"))
+    c1 = build_team_context_from_sp_flex("Kansas State", 2025, 1, sp)
+    sp2 = load_sp_flex(str(reference_dir / "PregameSPPlus2025_1.csv"))
+    assert build_team_context_from_sp_flex("Kansas State", 2025, 1, sp2) is c1
+    assert build_team_context_from_sp_flex("Iowa State", 2025, 1, sp) is not c1
+    # different player_slots is a different context
+    c8 = build_team_context_from_sp_flex("Kansas State", 2025, 1, sp,
+                                         player_slots=4)
+    assert c8 is not c1 and c8.qb.k == 4
+    # focus-file content is fingerprinted: same path, new mtime/size -> miss
+    focus = tmp_path / "focus.csv"
+    focus.write_text("team,player,pos,usage,stat\n"
+                     "Kansas State,A QB,QB,100,pass_yards\n")
+    f1 = build_team_context_from_sp_flex("Kansas State", 2025, 1, sp,
+                                         focus_csv=str(focus))
+    assert f1 is not c1 and f1.qb.names[0] == "A QB"
+    import os as _os
+    focus.write_text("team,player,pos,usage,stat\n"
+                     "Kansas State,B QB,QB,100,pass_yards\n")
+    _os.utime(focus, ns=(1, 1))
+    f2 = build_team_context_from_sp_flex("Kansas State", 2025, 1, sp,
+                                         focus_csv=str(focus))
+    assert f2 is not f1 and f2.qb.names[0] == "B QB"
+
+
 def test_fo_alternating_cached():
     f1 = _fo_alternating(64)
     f2 = _fo_alternating(64)
