@@ -805,10 +805,12 @@ def simulate_slate_summaries(
     optimum**; per-matchup transfers would serialize dispatch at 451k,
     and even per-matchup end readbacks cost ~20ms tunnel round trips each
     — hence the stacked single readback).  Warm repeat calls run at
-    ~1.05M games/s END-TO-END including context/runner rebuilds: model
-    forests pack once per heads instance and matchup tables are cached
-    device-resident (ops/pack.pack_heads memo, ops/table_lookup
-    _DEVICE_TABLE_CACHE).
+    ~1.39M games/s END-TO-END including context/runner rebuilds and are
+    sim-bound: model forests pack once per heads instance, matchup tables
+    are cached device-resident, and the host rebuild costs are memoized
+    on content fingerprints (ops/pack.pack_heads memo, ops/table_lookup
+    _DEVICE_TABLE_CACHE, models.heads.load_heads artifact-stat memo,
+    data.context build_team_context_from_sp_flex memo).
 
     shard=True runs every launch as a shard_map over the full trial mesh
     (parallel.simulate_moments_sharded: per-device moment reduction + one

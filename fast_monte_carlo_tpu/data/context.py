@@ -109,11 +109,15 @@ def _build(team: str, year: int, week: int, rating: float, off: float, deff: flo
 
 # In-process memos for the warm slate path: a 60-matchup slate builds 120
 # contexts per API call (and would re-parse the focus CSV for each) —
-# measured ~12ms/context of pure host pandas on the 1-core VM, ~1.5s of a
-# 3.75s warm slate call.  Keys are CONTENT (team + looked-up SP+ numbers +
-# file fingerprints), never object identity, so rebuilt sp_df frames and
-# edited files behave correctly.  Returned TeamContexts are shared and
-# treated as immutable everywhere (the engine packs them into arrays).
+# measured ~8ms/context of host pandas on the 1-core VM (~1.0s/call,
+# which overlaps async device dispatch, so the END-TO-END win only
+# appears once the other host costs are also memoized: with this +
+# models.heads.load_heads' memo the warm 60-matchup slate call went
+# 3.8s -> 2.85s and is sim-bound).  Keys are CONTENT (team + looked-up
+# SP+ numbers + file fingerprints), never object identity, so rebuilt
+# sp_df frames and edited files behave correctly.  Returned TeamContexts
+# are shared and treated as immutable everywhere (the engine packs them
+# into arrays).
 _CONTEXT_MEMO: dict = {}
 _FOCUS_MEMO: dict = {}
 

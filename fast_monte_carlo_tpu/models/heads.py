@@ -133,14 +133,60 @@ def _maybe(path: Path) -> Optional[Path]:
     return path if path.exists() else None
 
 
-def load_heads(artifact_dir: str | Path, *, use_play_pickle: bool = True) -> ModelHeads:
+# every artifact filename load_heads probes, in one place so the memo's
+# staleness fingerprint can't silently drift from the loader below
+_ARTIFACT_NAMES = (
+    "pass_stage1_complete_vs_not.json", "pass_stage1_preprocessor.joblib",
+    "pass_stage2_notcomplete.json", "pass_stage2_preprocessor.joblib",
+    "pass_stage2_sklearn.joblib", "pass_stage2_classes.csv",
+    "pass_yards_q10.joblib", "pass_yards_q50.joblib", "pass_yards_q90.joblib",
+    "run_yards_q10.joblib", "run_yards_q50.joblib", "run_yards_q90.joblib",
+    "sack_yards_q10.joblib", "sack_yards_q50.joblib", "sack_yards_q90.joblib",
+    "run_fumble.json", "run_fumble_preprocessor.joblib",
+    "play_model.json", "play_model.xgb", "features.pkl",
+    "label_encoder.pkl", "coach_label_encoder.pkl", "calibration.json",
+)
+
+# In-process memo: the slate/edges API calls load_heads per call, and a
+# full parse (xgb JSON + sklearn pickles -> FlatForests) is ~0.5-0.9s of
+# host time — pure waste on warm calls.  Keyed on the resolved dir plus a
+# stat fingerprint (mtime_ns, size) of every artifact the loader probes,
+# so retrained/edited artifacts miss.  The returned ModelHeads is SHARED
+# across hits and must be treated as immutable (engine packs memoize on
+# the instance); pass memoize=False for a private copy.
+_HEADS_MEMO: dict = {}
+
+
+def _artifacts_fp(d: Path) -> tuple:
+    def one(p: Path):
+        try:
+            st = p.stat()
+            return (st.st_mtime_ns, st.st_size)
+        except OSError:
+            return None
+    return tuple(one(d / name) for name in _ARTIFACT_NAMES)
+
+
+def load_heads(artifact_dir: str | Path, *, use_play_pickle: bool = True,
+               memoize: bool = True) -> ModelHeads:
     """Load + compile every artifact present in `artifact_dir`.
 
     Artifact names follow the reference repo exactly.  `use_play_pickle`
     additionally accepts the pickled estimator ``play_model.xgb`` when
     ``play_model.json`` is absent (the snapshot ships only the pickle).
+    Repeat calls with unchanged artifact files return one shared
+    (immutable-by-convention) instance; ``memoize=False`` opts out.
     """
     d = Path(artifact_dir)
+    if memoize:
+        key = (str(d.resolve()), use_play_pickle, _artifacts_fp(d))
+        hit = _HEADS_MEMO.get(key)
+        if hit is not None:
+            return hit
+        heads = load_heads(artifact_dir, use_play_pickle=use_play_pickle,
+                           memoize=False)
+        _HEADS_MEMO[key] = heads
+        return heads
     heads = ModelHeads()
 
     s1_model = _maybe(d / "pass_stage1_complete_vs_not.json")

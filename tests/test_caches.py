@@ -61,6 +61,24 @@ def test_device_table_cache(reference_dir):
     assert t4.nano is None and t1.nano is not None
 
 
+def test_load_heads_memo(reference_dir, tmp_path):
+    """load_heads memoizes on artifact-file fingerprints: warm slate/edge
+    API calls skip the ~0.5-0.9s artifact re-parse; retrained (rewritten)
+    artifacts miss; memoize=False yields a private instance."""
+    import shutil
+    h1 = load_heads(reference_dir)
+    assert load_heads(reference_dir) is h1
+    assert load_heads(reference_dir, memoize=False) is not h1
+    # a changed artifact file is a miss: copy the dir, touch one artifact
+    d = tmp_path / "arts"
+    shutil.copytree(reference_dir, d)
+    g1 = load_heads(d)
+    assert g1 is not h1
+    import os as _os
+    _os.utime(d / "pass_stage1_complete_vs_not.json", ns=(1, 1))
+    assert load_heads(d) is not g1
+
+
 def test_context_memo(reference_dir, tmp_path):
     """build_team_context_from_sp_flex memoizes on CONTENT (team + SP+
     frame fingerprint + file fingerprints), so warm slate calls skip 120
