@@ -44,8 +44,9 @@ WARM_SEAM = 12000  # the warm stream was once resumed without cache
 # restore at game 12000 (pre-fix oracle_extend.py checkpoints carried no
 # caches), so games >= 12000 are a SECOND cache trajectory; the one-cache
 # decay analysis must stop there
-npz = max((p for p in (REPO / "benchmarks").glob("oracle_margins_*.npz")
-           if "cold" not in p.stem),
+# digits-only glob: also excludes other protocol streams (nomemo, mlpolicy)
+# that would flatten/shift the decay curve just like the cold caches would
+npz = max((REPO / "benchmarks").glob("oracle_margins_[0-9]*.npz"),
           default=None, key=lambda p: int(p.stem.rsplit("_", 1)[1]))
 if npz is not None:
     sc = np.load(npz)["score"].astype(float)[:WARM_SEAM]

@@ -673,6 +673,10 @@ class SlateRunner:
         return pd.DataFrame(rows)
 
 
+# chunk-key convention for checkpointed sweeps (see simulate_matchup_batched)
+_CHUNK_KEY_SCHEME = "fold_in-v2"
+
+
 @lru_cache(maxsize=8)
 def _shared_slate_jit(cfg: SimConfig, heads_fn):
     # slate summaries consume scores only: skip player AND box-score accrual
@@ -700,12 +704,33 @@ def simulate_matchup_batched(
     §5.3/§5.4 rebuild note).  Completed chunks are parquet files in
     `run_dir`; re-invoking skips them, so a killed sweep continues where it
     stopped.  Chunk results are deterministic in (seed, chunk index): each
-    chunk runs under fold_in(PRNGKey(seed), chunk)."""
+    chunk runs under fold_in(PRNGKey(seed), chunk).  A KEY_SCHEME marker
+    in `run_dir` records that convention: dirs holding chunks from the
+    pre-fold_in scheme (PRNGKey(seed+chunk)) are refused rather than
+    silently spliced into a mixed-convention dataset no fresh run could
+    reproduce."""
     from pathlib import Path
 
     cfg = cfg or SimConfig()
     d = Path(run_dir)
     d.mkdir(parents=True, exist_ok=True)
+    scheme = d / "KEY_SCHEME"
+    if scheme.exists():
+        tag = scheme.read_text().strip()
+        if tag != _CHUNK_KEY_SCHEME:
+            raise ValueError(
+                f"{run_dir} was written under chunk-key scheme {tag!r}; "
+                f"this build uses {_CHUNK_KEY_SCHEME!r}. Resuming would mix "
+                "two RNG conventions in one dataset — use a fresh run_dir "
+                "(or delete the old chunks to restart).")
+    elif any(d.glob("scores_chunk_*.parquet")):
+        raise ValueError(
+            f"{run_dir} holds chunks with no KEY_SCHEME marker (written "
+            "before the fold_in chunk-key change). Resuming would splice "
+            "two RNG conventions — use a fresh run_dir or delete the old "
+            "chunks.")
+    else:
+        scheme.write_text(_CHUNK_KEY_SCHEME + "\n")
     runner = None
     n_chunks = (n_pairs_total + batch_pairs - 1) // batch_pairs
     root = jax.random.PRNGKey(seed)

@@ -110,9 +110,28 @@ def _cmd_edges_device(args) -> int:
     return 0
 
 
+def _slate_contexts(args, games):
+    """Build (team_a, team_b) contexts + heads once for the SlateRunner
+    branches of `slate` (game-sharded and batched share this block)."""
+    from .data import build_team_context_from_sp_flex, load_sp_flex
+    from .models.heads import load_heads
+
+    sp = load_sp_flex(args.sp)
+    ms = [(build_team_context_from_sp_flex(a, args.year, args.week, sp),
+           build_team_context_from_sp_flex(b, args.year, args.week, sp))
+          for a, b in games]
+    return ms, load_heads(args.artifacts)
+
+
 def _cmd_slate(args) -> int:
     import pandas as pd
 
+    if getattr(args, "lines", None) and args.batched and args.shard == "none":
+        # fail before simulating: the batched path has no device-histogram
+        # summaries, so it cannot price markets
+        print("--lines needs a summary slate path (drop --batched, or use "
+              "--shard trial|game); no simulation run")
+        return 2
     games = [tuple(r) for r in pd.read_csv(args.games).iloc[:, :2].itertuples(index=False)]
     lines_df = pd.read_csv(args.lines) if getattr(args, "lines", None) else None
     summaries = None
@@ -138,27 +157,16 @@ def _cmd_slate(args) -> int:
         # 1.28M / 1.63M, benchmarks/slate_gamesharded_bench.py); needs
         # fusible matchups
         from .api import SlateRunner
-        from .data import build_team_context_from_sp_flex, load_sp_flex
-        from .models.heads import load_heads
 
-        sp = load_sp_flex(args.sp)
-        ms = [(build_team_context_from_sp_flex(a, args.year, args.week, sp),
-               build_team_context_from_sp_flex(b, args.year, args.week, sp))
-              for a, b in games]
-        sr = SlateRunner(ms, load_heads(args.artifacts),
-                         quality=args.quality, game_shard=True)
+        ms, heads = _slate_contexts(args, games)
+        sr = SlateRunner(ms, heads, quality=args.quality, game_shard=True)
         res = sr.run_summaries(args.n, return_summaries=lines_df is not None)
         df, summaries = res if lines_df is not None else (res, None)
     elif args.batched:
         from .api import SlateRunner
-        from .data import build_team_context_from_sp_flex, load_sp_flex
-        from .models.heads import load_heads
 
-        sp = load_sp_flex(args.sp)
-        ms = [(build_team_context_from_sp_flex(a, args.year, args.week, sp),
-               build_team_context_from_sp_flex(b, args.year, args.week, sp))
-              for a, b in games]
-        sr = SlateRunner(ms, load_heads(args.artifacts),
+        ms, heads = _slate_contexts(args, games)
+        sr = SlateRunner(ms, heads,
                          quality=args.quality if args.quality in
                          ("turbo", "nano", "fused") else "fused")
         out = sr.run(args.n)
@@ -174,10 +182,6 @@ def _cmd_slate(args) -> int:
     print(f"\n{len(games)} matchups x {args.n} pairs = {total_games} games "
           f"in {dt:.1f}s ({total_games/dt:,.0f} games/s incl. table builds)")
     if lines_df is not None:
-        if summaries is None:
-            print("\n--lines needs a summary slate path "
-                  "(not --batched); no markets priced")
-            return 1
         from .edge import print_slate_edges, slate_market_table
         print_slate_edges(slate_market_table(games, summaries, lines_df))
     if getattr(args, "props", None):

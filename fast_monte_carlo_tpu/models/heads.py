@@ -143,7 +143,7 @@ _ARTIFACT_NAMES = (
     "run_yards_q10.joblib", "run_yards_q50.joblib", "run_yards_q90.joblib",
     "sack_yards_q10.joblib", "sack_yards_q50.joblib", "sack_yards_q90.joblib",
     "run_fumble.json", "run_fumble_preprocessor.joblib",
-    "play_model.json", "play_model.xgb", "features.pkl",
+    "play_model.json", "play_model.xgb", "features.pkl", "scaler.pkl",
     "label_encoder.pkl", "coach_label_encoder.pkl", "calibration.json",
 )
 
@@ -153,8 +153,11 @@ _ARTIFACT_NAMES = (
 # stat fingerprint (mtime_ns, size) of every artifact the loader probes,
 # so retrained/edited artifacts miss.  The returned ModelHeads is SHARED
 # across hits and must be treated as immutable (engine packs memoize on
-# the instance); pass memoize=False for a private copy.
+# the instance); pass memoize=False for a private copy.  FIFO-capped:
+# each entry pins a full forest set (and, once packed, its device
+# buffers), so retrain-reload loops must evict, not accumulate.
 _HEADS_MEMO: dict = {}
+_HEADS_MEMO_MAX = 16
 
 
 def _artifacts_fp(d: Path) -> tuple:
@@ -185,6 +188,8 @@ def load_heads(artifact_dir: str | Path, *, use_play_pickle: bool = True,
             return hit
         heads = load_heads(artifact_dir, use_play_pickle=use_play_pickle,
                            memoize=False)
+        while len(_HEADS_MEMO) >= _HEADS_MEMO_MAX:
+            _HEADS_MEMO.pop(next(iter(_HEADS_MEMO)))
         _HEADS_MEMO[key] = heads
         return heads
     heads = ModelHeads()

@@ -191,6 +191,28 @@ def test_cli_slate_lines(reference_dir, tmp_path, capsys):
     assert "Total 55.5" in out
 
 
+def test_cli_slate_lines_batched_rejected_before_sim(tmp_path, capsys):
+    """--lines + --batched is knowable-invalid at argument time: the CLI
+    must refuse BEFORE simulating (pricing needs device summaries the
+    batched path never accumulates)."""
+    import pandas as pd
+
+    from fast_monte_carlo_tpu.cli import main
+
+    games_csv = tmp_path / "games.csv"
+    pd.DataFrame({"team_a": ["A"], "team_b": ["B"]}).to_csv(games_csv, index=False)
+    lines_csv = tmp_path / "lines.csv"
+    pd.DataFrame({"team_a": ["A"], "spread": [-3.5]}).to_csv(lines_csv, index=False)
+    rc = main([
+        "slate", "--games", str(games_csv), "--sp", "/nonexistent.csv",
+        "-n", "64", "--batched", "--lines", str(lines_csv),
+    ])
+    out = capsys.readouterr().out
+    # rejected up front: nonexistent --sp was never read, nothing simulated
+    assert rc == 2
+    assert "no simulation run" in out
+
+
 def test_cli_slate_props(reference_dir, tmp_path, capsys):
     """cli slate --props: whole-slate prop scan with device reductions."""
     import pandas as pd

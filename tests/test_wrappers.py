@@ -86,3 +86,61 @@ def test_batched_resume(tmp_path, reference_dir):
     import pandas as pd
     pd.testing.assert_frame_equal(
         df1.iloc[:64].reset_index(drop=True), df2.iloc[:64].reset_index(drop=True))
+    # the dir carries the chunk-key scheme marker
+    assert (tmp_path / "KEY_SCHEME").read_text().strip() == "fold_in-v2"
+
+
+def test_batched_refuses_foreign_key_scheme(tmp_path, reference_dir):
+    """A run_dir holding chunks from another (or unmarked, pre-fold_in)
+    chunk-key convention must be refused, not silently spliced."""
+    from fast_monte_carlo_tpu.api import simulate_matchup_batched
+    from fast_monte_carlo_tpu.data import build_team_context_from_sp_flex, load_sp_flex
+
+    sp = load_sp_flex(str(reference_dir / "PregameSPPlus2025_1.csv"))
+    a = build_team_context_from_sp_flex("Kansas State", 2025, 1, sp)
+    b = build_team_context_from_sp_flex("Iowa State", 2025, 1, sp)
+
+    legacy = tmp_path / "legacy"
+    legacy.mkdir()
+    (legacy / "scores_chunk_00000.parquet").write_bytes(b"")
+    with pytest.raises(ValueError, match="no KEY_SCHEME marker"):
+        simulate_matchup_batched(a, b, None, 32, 16, legacy, mode="analytic")
+
+    other = tmp_path / "other"
+    other.mkdir()
+    (other / "KEY_SCHEME").write_text("seed_plus_chunk-v1\n")
+    with pytest.raises(ValueError, match="chunk-key scheme"):
+        simulate_matchup_batched(a, b, None, 32, 16, other, mode="analytic")
+
+
+def test_heads_memo_fingerprint_covers_every_probed_artifact():
+    """_ARTIFACT_NAMES (the memo's staleness fingerprint) must name every
+    file load_heads probes — a probe missing from the list means edits to
+    that artifact would serve stale memoized heads (the scaler.pkl bug)."""
+    import inspect
+    import re
+
+    from fast_monte_carlo_tpu.models import heads as H
+
+    src = inspect.getsource(H)
+    # every literal `d / "name"` probe in the module (loader + helpers);
+    # f-string probes (the quantile heads) are enumerated in the list
+    # explicitly and aren't catchable by this scan
+    probed = set(re.findall(r'd\s*/\s*"([^"]+)"', src))
+    assert "scaler.pkl" in probed, "regex drifted from the loader source"
+    missing = probed - set(H._ARTIFACT_NAMES)
+    assert not missing, f"artifact probes missing from _ARTIFACT_NAMES: {missing}"
+
+
+def test_heads_memo_is_bounded(monkeypatch, tmp_path):
+    from fast_monte_carlo_tpu.models import heads as H
+
+    monkeypatch.setattr(H, "_HEADS_MEMO", {})
+    monkeypatch.setattr(H, "_HEADS_MEMO_MAX", 3)
+    # each distinct resolved dir is a distinct memo key (empty dirs: the
+    # artifact fingerprint is all-None, so vary the path)
+    for i in range(6):
+        d = tmp_path / f"art{i}"
+        d.mkdir()
+        H.load_heads(d)
+    assert len(H._HEADS_MEMO) <= 3
