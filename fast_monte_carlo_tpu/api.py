@@ -907,7 +907,7 @@ def simulate_slate_props(
     games: List[Tuple[str, str]],
     *,
     sp_path: str,
-    props_csv: str,
+    props_csv,  # CSV path or a prepared pd.DataFrame of prop rows
     year: int = 2025,
     week: int = 1,
     n_pairs: int = 8192,
@@ -948,7 +948,10 @@ def simulate_slate_props(
     cfg = cfg or SimConfig()
     heads = load_heads(artifact_dir)
     sp_df = load_sp_flex(sp_path)
-    props = pd.read_csv(props_csv)
+    # a path (the CLI / reference-workflow shape) or an already-built
+    # frame (the serving layer posts prop rows inline)
+    props = props_csv if isinstance(props_csv, pd.DataFrame) \
+        else pd.read_csv(props_csv)
     if shard:
         # each launch splits 2*n_pairs games across the mesh; round up to
         # a device multiple so arbitrary -n values don't trip the

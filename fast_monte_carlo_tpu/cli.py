@@ -197,6 +197,24 @@ def _cmd_slate(args) -> int:
     return 0
 
 
+def _cmd_serve(args) -> int:
+    """Run the resident simulation service (see serve.py)."""
+    from .serve import ServeConfig, serve_forever
+
+    warm_games = None
+    if args.warm:
+        import pandas as pd
+        warm_games = [tuple(r) for r in
+                      pd.read_csv(args.warm).iloc[:, :2].itertuples(index=False)]
+    serve_forever(
+        ServeConfig(sp_path=args.sp, artifact_dir=args.artifacts,
+                    year=args.year, week=args.week, mode=args.mode,
+                    table_quality=args.quality, focus_csv=args.focus,
+                    shard=args.shard),
+        host=args.host, port=args.port, warm_games=warm_games)
+    return 0
+
+
 def _cmd_bench(args) -> int:
     import subprocess
     cmd = [sys.executable, "bench.py", "--mode", args.mode, "-n", str(args.n)]
@@ -360,6 +378,23 @@ def main(argv=None) -> int:
     pt.add_argument("--trees", type=int, default=400,
                     help="n_estimators for the quantile heads")
     pt.set_defaults(fn=_cmd_train)
+
+    pv = sub.add_parser(
+        "serve", help="resident HTTP service (warm heads/tables/programs)")
+    pv.add_argument("--sp", required=True, help="SP+ csv path")
+    pv.add_argument("--artifacts", default="/root/reference")
+    pv.add_argument("--host", default="127.0.0.1")
+    pv.add_argument("--port", type=int, default=8787)
+    pv.add_argument("--year", type=int, default=2025)
+    pv.add_argument("--week", type=int, default=1)
+    pv.add_argument("--mode", default="table")
+    pv.add_argument("--quality", default="nano")
+    pv.add_argument("--focus", default=None)
+    pv.add_argument("--shard", action="store_true",
+                    help="default requests to trial-sharded launches")
+    pv.add_argument("--warm", default=None,
+                    help="games csv to pre-compile against at startup")
+    pv.set_defaults(fn=_cmd_serve)
 
     args = p.parse_args(argv)
     _enable_compile_cache()

@@ -1,0 +1,279 @@
+"""Long-lived HTTP serving layer over the slate/matchup/prop APIs.
+
+The reference's production loop is batch-shaped: every question spawns a
+fresh process that reloads all twelve model artifacts, rebuilds contexts,
+simulates, and writes CSVs for a second process to price
+(`fast_monte_carlo_cfb.py:1661-1722` ``simulate_upcoming_matchup``;
+`edge_finder.py:586-614` ``find_edges`` over the saved files).  On TPU the
+economics invert: compiles and uploads are expensive once and free
+thereafter, so the right production shape is ONE resident process whose
+forests stay packed, whose nano tables stay device-resident, and whose
+compiled launch programs stay cached — the warm-call path measured at
+~1.39M games/s end-to-end (2.85s for a 60-matchup slate, sim-bound;
+CLAUDE.md round-3 host-overhead work).  This module is that resident
+process with a JSON/HTTP front:
+
+    POST /slate   {"games": [["Kansas State","Iowa State"], ...],
+                   "n_pairs": 32768, "shard": false,
+                   "lines": [{"team_a": "Kansas State", "spread": -3.5,
+                              "total": 55.5}]}
+    POST /sim     {"team_a": "...", "team_b": "...", "n_pairs": 32768,
+                   "spread": -3.5, "total": 55.5}
+    POST /props   {"games": [...], "props": [{prop-sheet rows}], ...}
+    GET  /health  liveness + device/cache state
+
+Everything stdlib: ``http.server.ThreadingHTTPServer`` accepts requests
+concurrently while a single service lock serializes device work (one
+chip, one tunnel — concurrent launches would interleave dispatch and
+serialize anyway; the lock keeps the host-side memo caches and timing
+honest).  Responses are plain JSON: numpy scalars are unwrapped and NaN
+becomes null.
+"""
+from __future__ import annotations
+
+import json
+import math
+import threading
+import time
+from dataclasses import dataclass
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional
+
+import numpy as np
+import pandas as pd
+
+
+def jsonable(o):
+    """Recursively convert API outputs (frames, numpy scalars, NaN) into
+    JSON-encodable structures."""
+    if isinstance(o, pd.DataFrame):
+        return [jsonable(r) for r in o.to_dict(orient="records")]
+    if isinstance(o, dict):
+        return {str(k): jsonable(v) for k, v in o.items()}
+    if isinstance(o, (list, tuple)):
+        return [jsonable(v) for v in o]
+    if isinstance(o, np.generic):
+        o = o.item()
+    if isinstance(o, float) and not math.isfinite(o):
+        return None
+    return o
+
+
+@dataclass(frozen=True)
+class ServeConfig:
+    """Static per-process serving configuration (the request body carries
+    only per-question knobs: games, trial counts, lines, prop rows)."""
+    sp_path: str
+    artifact_dir: str = "/root/reference"
+    year: int = 2025
+    week: int = 1
+    mode: str = "table"
+    table_quality: str = "nano"
+    focus_csv: Optional[str] = None
+    shard: bool = False          # default; request "shard" overrides
+    max_n_pairs: int = 2_000_000  # per-request guard
+
+
+class SimService:
+    """The resident simulation service: owns the warm state (heads memo,
+    device tables, compiled programs all hydrate on first use and stay)
+    and serializes device work behind one lock."""
+
+    def __init__(self, cfg: ServeConfig):
+        self.cfg = cfg
+        self._lock = threading.Lock()
+        self._t0 = time.time()
+        self._requests = 0
+
+    # -- warmup ---------------------------------------------------------
+    def warm(self, games=None, n_pairs: int = 256) -> dict:
+        """Optional pre-hydration: load heads + SP table now (and, given
+        `games`, run a tiny slate so table builds/uploads and the launch
+        program compile before the first real request)."""
+        from .data import load_sp_flex
+        from .models.heads import load_heads
+
+        with self._lock:
+            load_heads(self.cfg.artifact_dir)
+            load_sp_flex(self.cfg.sp_path)
+        out = {"heads": "loaded", "sp": "loaded"}
+        if games:
+            self.slate({"games": games, "n_pairs": n_pairs})
+            out["compiled"] = f"{len(games)} matchups @ {n_pairs} pairs"
+        return out
+
+    # -- endpoints ------------------------------------------------------
+    def health(self) -> dict:
+        import jax
+
+        from .models.heads import _HEADS_MEMO
+        from .ops.table_lookup import _DEVICE_TABLE_CACHE
+
+        return {
+            "status": "ok",
+            "platform": jax.devices()[0].platform,
+            "device_count": jax.device_count(),
+            "uptime_s": round(time.time() - self._t0, 1),
+            "requests": self._requests,
+            "heads_memo": len(_HEADS_MEMO),
+            "device_tables": len(_DEVICE_TABLE_CACHE),
+            "config": jsonable(self.cfg.__dict__),
+        }
+
+    def _n_pairs(self, body: dict, default: int) -> int:
+        n = int(body.get("n_pairs", default))
+        if not 0 < n <= self.cfg.max_n_pairs:
+            raise ValueError(
+                f"n_pairs must be in (0, {self.cfg.max_n_pairs}], got {n}")
+        return n
+
+    def slate(self, body: dict) -> dict:
+        """Slate summaries (+ market pricing when `lines` rows are given):
+        the per-matchup launch loop with one end transfer."""
+        from .api import simulate_slate_summaries
+        from .edge import slate_market_table
+
+        games = [tuple(g) for g in body["games"]]
+        lines = body.get("lines")
+        t0 = time.perf_counter()
+        with self._lock:
+            self._requests += 1
+            df, summaries = simulate_slate_summaries(
+                games, sp_path=self.cfg.sp_path, year=self.cfg.year,
+                week=self.cfg.week, n_pairs=self._n_pairs(body, 32768),
+                artifact_dir=self.cfg.artifact_dir,
+                focus_csv=self.cfg.focus_csv, mode=body.get("mode", self.cfg.mode),
+                table_quality=self.cfg.table_quality,
+                shard=bool(body.get("shard", self.cfg.shard)),
+                seed=int(body.get("seed", 0)), return_summaries=True)
+            out = {"summaries": jsonable(df)}
+            if lines:
+                mt = slate_market_table(games, summaries,
+                                        pd.DataFrame(lines))
+                out["markets"] = jsonable(mt)
+        out["elapsed_s"] = round(time.perf_counter() - t0, 3)
+        return out
+
+    def sim(self, body: dict) -> dict:
+        """One matchup: summary + fair moneyline, plus spread/total
+        markets when quoted."""
+        from .api import simulate_slate_summaries
+        from .edge import market_odds_from_summary, summary_moneyline
+
+        ta, tb = body["team_a"], body["team_b"]
+        t0 = time.perf_counter()
+        with self._lock:
+            self._requests += 1
+            df, (summary,) = simulate_slate_summaries(
+                [(ta, tb)], sp_path=self.cfg.sp_path, year=self.cfg.year,
+                week=self.cfg.week, n_pairs=self._n_pairs(body, 32768),
+                artifact_dir=self.cfg.artifact_dir,
+                focus_csv=self.cfg.focus_csv, mode=body.get("mode", self.cfg.mode),
+                table_quality=self.cfg.table_quality,
+                shard=bool(body.get("shard", self.cfg.shard)),
+                seed=int(body.get("seed", 0)), return_summaries=True)
+            out = {
+                "summary": jsonable(df)[0],
+                "moneyline": jsonable(summary_moneyline(summary, ta, tb)),
+            }
+            spread, total = body.get("spread"), body.get("total")
+            if spread is not None or total is not None:
+                out["markets"] = jsonable(market_odds_from_summary(
+                    summary, ta, tb,
+                    spread=None if spread is None else float(spread),
+                    total=None if total is None else float(total)))
+        out["elapsed_s"] = round(time.perf_counter() - t0, 3)
+        return out
+
+    def props(self, body: dict) -> dict:
+        """Slate-wide prop scan over inline prop rows (the prop-sheet CSV
+        schema as JSON records)."""
+        from .api import simulate_slate_props
+
+        games = [tuple(g) for g in body["games"]]
+        t0 = time.perf_counter()
+        with self._lock:
+            self._requests += 1
+            df = simulate_slate_props(
+                games, sp_path=self.cfg.sp_path,
+                props_csv=pd.DataFrame(body["props"]),
+                year=self.cfg.year, week=self.cfg.week,
+                n_pairs=self._n_pairs(body, 8192),
+                artifact_dir=self.cfg.artifact_dir,
+                focus_csv=self.cfg.focus_csv, mode=body.get("mode", self.cfg.mode),
+                table_quality=self.cfg.table_quality,
+                min_abs_edge_pct=float(body.get("min_abs_edge_pct", 0.0)),
+                shard=bool(body.get("shard", self.cfg.shard)),
+                seed=int(body.get("seed", 0)))
+        return {"props": jsonable(df),
+                "elapsed_s": round(time.perf_counter() - t0, 3)}
+
+
+_ROUTES = {"/slate": "slate", "/sim": "sim", "/props": "props"}
+
+
+class _Handler(BaseHTTPRequestHandler):
+    service: SimService  # injected by make_server
+
+    # quiet by default; the service records request counts
+    def log_message(self, fmt, *args):  # noqa: D102
+        pass
+
+    def _reply(self, code: int, payload: dict) -> None:
+        data = json.dumps(payload).encode()
+        self.send_response(code)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(data)))
+        self.end_headers()
+        self.wfile.write(data)
+
+    def do_GET(self):  # noqa: N802
+        if self.path == "/health":
+            self._reply(200, self.service.health())
+        else:
+            self._reply(404, {"error": f"unknown path {self.path}"})
+
+    def do_POST(self):  # noqa: N802
+        name = _ROUTES.get(self.path)
+        if name is None:
+            self._reply(404, {"error": f"unknown path {self.path}"})
+            return
+        try:
+            n = int(self.headers.get("Content-Length", 0))
+            body = json.loads(self.rfile.read(n) or b"{}")
+            if not isinstance(body, dict):
+                raise ValueError("request body must be a JSON object")
+        except (ValueError, json.JSONDecodeError) as e:
+            self._reply(400, {"error": f"bad request body: {e}"})
+            return
+        try:
+            self._reply(200, getattr(self.service, name)(body))
+        except (KeyError, ValueError, TypeError) as e:
+            self._reply(400, {"error": f"{type(e).__name__}: {e}"})
+        except Exception as e:  # noqa: BLE001 — surface, don't kill the server
+            self._reply(500, {"error": f"{type(e).__name__}: {e}"})
+
+
+def make_server(service: SimService, host: str = "127.0.0.1",
+                port: int = 8787) -> ThreadingHTTPServer:
+    """Build (but don't start) the HTTP server; port 0 picks a free port
+    (`server.server_address[1]` reports it)."""
+    handler = type("Handler", (_Handler,), {"service": service})
+    return ThreadingHTTPServer((host, port), handler)
+
+
+def serve_forever(cfg: ServeConfig, host: str = "127.0.0.1",
+                  port: int = 8787, warm_games=None) -> None:
+    service = SimService(cfg)
+    if warm_games is not None:
+        print(f"warming: {service.warm(warm_games)}", flush=True)
+    srv = make_server(service, host, port)
+    print(f"fmc-tpu serving on http://{host}:{srv.server_address[1]} "
+          f"(sp={cfg.sp_path}, artifacts={cfg.artifact_dir}, "
+          f"mode={cfg.mode}/{cfg.table_quality})", flush=True)
+    try:
+        srv.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        srv.server_close()

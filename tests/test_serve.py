@@ -1,0 +1,134 @@
+"""The resident HTTP serving layer (serve.py): routing, JSON contract,
+warm-state reuse, and error surfaces — all through a real ThreadingHTTPServer
+on a loopback port (analytic mode keeps each request sub-second on CPU)."""
+import json
+import threading
+import urllib.error
+import urllib.request
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def server(reference_dir):
+    from fast_monte_carlo_tpu.serve import ServeConfig, SimService, make_server
+
+    cfg = ServeConfig(sp_path=str(reference_dir / "PregameSPPlus2025_1.csv"),
+                      artifact_dir=str(reference_dir), mode="analytic",
+                      max_n_pairs=4096)
+    service = SimService(cfg)
+    srv = make_server(service, port=0)  # free port
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}", service
+    srv.shutdown()
+    srv.server_close()
+
+
+def _get(url):
+    with urllib.request.urlopen(url, timeout=60) as r:
+        return r.status, json.loads(r.read())
+
+
+def _post(url, body):
+    req = urllib.request.Request(
+        url, data=json.dumps(body).encode(),
+        headers={"Content-Type": "application/json"}, method="POST")
+    try:
+        with urllib.request.urlopen(req, timeout=300) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def test_health(server):
+    base, _ = server
+    code, out = _get(base + "/health")
+    assert code == 200
+    assert out["status"] == "ok"
+    assert out["device_count"] >= 1
+    assert out["config"]["mode"] == "analytic"
+
+
+def test_sim_with_markets(server):
+    base, _ = server
+    code, out = _post(base + "/sim", {
+        "team_a": "Kansas State", "team_b": "Iowa State",
+        "n_pairs": 256, "spread": -3.5, "total": 55.5})
+    assert code == 200, out
+    s = out["summary"]
+    assert s["team_a"] == "Kansas State" and s["n_games"] == 512
+    assert 0.0 < s["win_a"] < 1.0
+    ml = out["moneyline"]
+    assert ml["team"]["p_win"] + ml["opp"]["p_win"] <= 1.0 + 1e-9
+    mk = out["markets"]
+    # both quoted markets priced; surviving a JSON round-trip already
+    # proves every leaf is a plain python scalar
+    assert {"spread", "total"} <= set(mk)
+    assert isinstance(mk["spread"], dict) and isinstance(mk["total"], dict)
+
+
+def test_slate_with_lines(server):
+    base, _ = server
+    code, out = _post(base + "/slate", {
+        "games": [["Kansas State", "Iowa State"], ["Texas", "Ohio State"]],
+        "n_pairs": 256,
+        "lines": [{"team_a": "Kansas State", "spread": -3.5, "total": 55.5}]})
+    assert code == 200, out
+    assert len(out["summaries"]) == 2
+    assert len(out["markets"]) == 2
+    row = out["markets"][0]
+    assert row["team_a"] == "Kansas State"
+    assert np.isfinite(row["p_win_a"])
+    assert out["elapsed_s"] > 0
+
+
+def test_warm_state_reused_across_requests(server):
+    """Repeat requests must hit the warm path: the resident heads memo and
+    device-table caches persist across requests (the whole point of the
+    serving shape vs the reference's process-per-question loop)."""
+    base, service = server
+    _post(base + "/sim", {"team_a": "Kansas State", "team_b": "Iowa State",
+                          "n_pairs": 256})
+    code, h = _get(base + "/health")
+    assert code == 200
+    assert h["heads_memo"] >= 1
+    assert h["requests"] >= 2
+    assert service._requests == h["requests"]
+
+
+def test_props_inline_rows(server):
+    base, _ = server
+    code, out = _post(base + "/props", {
+        "games": [["Kansas State", "Iowa State"]],
+        "n_pairs": 128,
+        "props": [{"team": "Kansas State", "player": "Unknown",
+                   "pos": "QB", "stat": "pass_yards", "yards": 210.5}]})
+    assert code == 200, out
+    assert isinstance(out["props"], list)
+
+
+def test_bad_body_and_unknown_route(server):
+    base, _ = server
+    code, out = _post(base + "/slate", {"n_pairs": 64})  # missing games
+    assert code == 400 and "error" in out
+    code, out = _post(base + "/nope", {})
+    assert code == 404
+    # oversize n_pairs rejected by the per-request guard
+    code, out = _post(base + "/sim", {
+        "team_a": "Kansas State", "team_b": "Iowa State", "n_pairs": 10**9})
+    assert code == 400 and "n_pairs" in out["error"]
+
+
+def test_jsonable_handles_numpy_and_nan():
+    import pandas as pd
+
+    from fast_monte_carlo_tpu.serve import jsonable
+
+    out = jsonable({"a": np.float32(1.5), "b": np.int64(2),
+                    "c": float("nan"), "d": np.array([1.0, 2.0]).tolist(),
+                    "e": pd.DataFrame({"x": [np.nan, 1.0]})})
+    assert out == {"a": 1.5, "b": 2, "c": None, "d": [1.0, 2.0],
+                   "e": [{"x": None}, {"x": 1.0}]}
+    json.dumps(out)  # must be encodable
