@@ -42,6 +42,7 @@ def _run(a, b, heads, cfg, n, seed=0):
     return np.asarray(out.score), np.asarray(out.sec)
 
 
+@pytest.mark.slow
 def test_non_multiple_of_4_is_bitwise_plain(setup):
     """B % 4 != 0 disables mirroring: identical program, identical draws."""
     a, b, heads = setup
@@ -50,6 +51,7 @@ def test_non_multiple_of_4_is_bitwise_plain(setup):
     np.testing.assert_array_equal(s_plain, s_anti)
 
 
+@pytest.mark.slow
 def test_antithetic_games_finish_and_are_unbiased(setup):
     a, b, heads = setup
     n = 4096

@@ -152,6 +152,7 @@ def test_edges_file_flow(sim_result, tmp_path, monkeypatch, focus_csv, capsys):
     assert "Mean Score" in out
 
 
+@pytest.mark.slow
 def test_simulate_upcoming_matchup_end_to_end(reference_dir, focus_csv, tmp_path, monkeypatch):
     monkeypatch.chdir(tmp_path)
     sims_df, players_df, summary, a, b, meta = simulate_upcoming_matchup(
@@ -267,6 +268,7 @@ def test_cli_edges_device(reference_dir, tmp_path, capsys):
     assert "simulated + reduced on" in out
 
 
+@pytest.mark.slow
 def test_cli_sim_then_file_edges(reference_dir, tmp_path, capsys, monkeypatch):
     """The reference's end-to-end workflow via the CLI: `sim --save` writes
     scores_/players_ files, then the file-based `edges` command (no

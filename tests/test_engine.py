@@ -52,6 +52,7 @@ def test_engine_all_games_finish(setup):
     assert (sc >= 0).all() and sc.max() < 150
 
 
+@pytest.mark.slow
 def test_engine_matches_oracle_distributionally(setup):
     cfg, a, b, heads, pack, hp = setup
     n_engine, n_oracle = 1024, 256
@@ -90,6 +91,7 @@ def test_engine_matches_oracle_distributionally(setup):
             assert d < tol, (key, t, float(e_mean[t, TS[key]]), float(o_st[t, TS[key]]))
 
 
+@pytest.mark.slow
 def test_engine_fumbles_extension(setup):
     cfg, a, b, heads, pack, hp = setup
     cfg2 = cfg.replace(model=dataclasses.replace(cfg.model, enable_fumbles=True))
@@ -104,6 +106,7 @@ def test_engine_fumbles_extension(setup):
     assert 0.0 < fl < 8.0
 
 
+@pytest.mark.slow
 def test_segmented_runner_matches_plain(setup):
     """simulate_games_segmented (multi-launch exact-mode path for the axon
     launch watchdog) finishes all games and matches the plain engine

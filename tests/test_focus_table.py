@@ -68,6 +68,7 @@ def test_multislot_tables_and_pair_map(focus_env):
     assert qbs[0] in set(df.player)
 
 
+@pytest.mark.slow
 def test_player_stats_match_oracle(focus_env):
     heads, a, b, qbs, _ = focus_env
     cfg = SimConfig()

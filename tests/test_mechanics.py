@@ -198,6 +198,7 @@ def test_classic_config_tapers_long_gains():
     assert classic_y < fast_y, (classic_y, fast_y)
 
 
+@pytest.mark.slow
 def test_tail_compaction_finishes_and_matches():
     """Two-phase tail compaction: all games finish, results statistically
     match the uncompacted engine (and exactly match when the active set is

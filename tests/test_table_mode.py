@@ -62,6 +62,7 @@ def test_table_exact_at_grid_points(env):
     assert float(np.max(errs)) < 1e-5
 
 
+@pytest.mark.slow
 def test_table_mode_matches_exact_mode(env):
     cfg, a, b, heads = env
     pack, hp = build_packs(a, b, heads, cfg)

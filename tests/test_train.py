@@ -241,6 +241,7 @@ def test_sp_merge_both_sides():
     assert out.sp_rating_def[0] == -5.0
 
 
+@pytest.mark.slow
 def test_pipeline_stage2_drives_engine(synth_plays, tmp_path, reference_dir):
     """VERDICT r1 #6: a pipeline-produced stage-2 forest wired into
     load_heads heads drives the engine and stays within engine-vs-oracle
@@ -317,6 +318,7 @@ def test_single_stage_pass_outcome(synth_plays, tmp_path):
     assert forest.n_classes == 4
 
 
+@pytest.mark.slow
 def test_stage2_reconstruction_plausible(tmp_path, reference_dir):
     """VERDICT r2 #5: the stage-2 head reconstructed on realistic
     oracle-sampled dropback states (train.pipeline.reconstruct_stage2)
