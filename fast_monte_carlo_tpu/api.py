@@ -34,6 +34,7 @@ from .ops.game import (
 from .ops.pack import build_packs
 from .ops.table_lookup import build_table_heads, make_table_heads_eval
 from .parallel import simulate_games_sharded
+from .utils.transfer import fetch_tree
 from .stats import (
     PC_ATT, PC_COMP, PC_INT, PC_SACKS, PC_TD, PC_YDS, PLAYER_COLS, ROLE_LABEL,
     ROLE_PASS, ROLE_REC, ROLE_RUSH,
@@ -610,7 +611,7 @@ class SlateRunner:
             acc = m if acc is None else jax.tree_util.tree_map(
                 lambda a, b: a + b, m, acc)
         summ = _summary_from_moments_vmap_jit()(acc)
-        host = jax.tree_util.tree_map(np.asarray, summ)  # one end transfer
+        host = fetch_tree(summ)  # one end transfer (one round trip)
         mean, win, n_arr = host.mean_pts, host.win_rate, host.n
         rows = []
         for gi, (a, b) in enumerate(self.matchups):
@@ -883,7 +884,7 @@ def simulate_slate_summaries(
     # same class of tax as the per-chunk transfers this path exists to
     # avoid (measured polluting slate timings by ~1.2s / 60 matchups)
     stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *summs)
-    stacked = jax.tree_util.tree_map(np.asarray, stacked)
+    stacked = fetch_tree(stacked)  # the 8 leaves ride ONE round trip
     host = [jax.tree_util.tree_map(lambda x: x[gi], stacked)
             for gi in range(len(summs))]
     rows = []

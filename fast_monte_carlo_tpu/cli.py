@@ -97,6 +97,8 @@ def _cmd_edges_device(args) -> int:
                                collect_players=want_players,
                                collect_stats=False)
         summary = jax.jit(summarize_scores)(out.score)
+    from .utils.transfer import fetch_tree
+    summary = fetch_tree(summary)  # markets read 3 leaves: 1 round trip
     n_games = int(np.asarray(summary.n))
     dt = time.perf_counter() - t0
     res = market_odds_from_summary(summary, args.team_a, args.team_b,

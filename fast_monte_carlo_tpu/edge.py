@@ -560,8 +560,8 @@ def scan_props_device(out, team_a_ctx, team_b_ctx, prop_sheet_path: str,
                                       pd.read_csv(prop_sheet_path))
     if not meta:
         return pd.DataFrame()
-    red = {k: np.asarray(v)
-           for k, v in reduce_props_device(out.pstats, indices).items()}
+    from .utils.transfer import fetch_tree
+    red = fetch_tree(reduce_props_device(out.pstats, indices))
     return prop_table_from_reductions(meta, red, min_abs_edge_pct)
 
 

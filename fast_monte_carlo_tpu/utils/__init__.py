@@ -1,3 +1,4 @@
 from .profiling import SimMeter, trace_context, device_memory_stats
+from .transfer import fetch_tree
 
-__all__ = ["SimMeter", "trace_context", "device_memory_stats"]
+__all__ = ["SimMeter", "trace_context", "device_memory_stats", "fetch_tree"]
