@@ -4,7 +4,7 @@ On the axon TPU backend every host materialization (``np.asarray`` of a
 device array) is a full tunnel round trip (~20-25ms) REGARDLESS of size:
 an 8-leaf ScoreSummary fetched leaf-by-leaf costs ~233ms while the same
 776 floats packed into one array transfer in ~25ms (measured,
-benchmarks/_readback_probe.py; same phenomenon as the per-matchup
+benchmarks/readback_probe.py; same phenomenon as the per-matchup
 readbacks that once polluted slate timings — CLAUDE.md "SECOND timing
 trap").  ``fetch_tree`` flattens a pytree on device into a single f32
 vector (int leaves bitcast, so counts stay exact at any magnitude),
