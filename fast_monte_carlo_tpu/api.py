@@ -677,6 +677,32 @@ class SlateRunner:
 # chunk-key convention for checkpointed sweeps (see simulate_matchup_batched)
 _CHUNK_KEY_SCHEME = "fold_in-v2"
 
+# Reusable runners for the slate/serving drivers.  A MatchupRunner is
+# read-only after __post_init__ (pack, heads_state, heads_fn), so reuse is
+# the library's own supported pattern (simulate_matchup's `runner=`).
+# Contexts and heads are content-memoized singletons (data.context
+# _CONTEXT_MEMO, models.heads._HEADS_MEMO), so INSTANCE IDENTITY is the
+# staleness signal here; the memo holds strong refs, which keeps those ids
+# unique for the lifetime of each entry.  Worth ~14ms of host work per
+# matchup per call (pack assembly + table-cache key hashing) — serial in
+# single-matchup serving requests.  FIFO-capped like the device-table
+# cache.
+_RUNNER_MEMO: Dict[tuple, "MatchupRunner"] = {}
+_RUNNER_MEMO_MAX = 128
+
+
+def _runner_for(a: TeamContext, b: TeamContext, heads, cfg: SimConfig,
+                mode: str, table_quality: str, shard: bool) -> "MatchupRunner":
+    key = (id(a), id(b), id(heads), cfg, mode, table_quality, shard)
+    r = _RUNNER_MEMO.get(key)
+    if r is None:
+        r = MatchupRunner(a, b, heads, cfg, mode=mode,
+                          table_quality=table_quality, shard=shard)
+        while len(_RUNNER_MEMO) >= _RUNNER_MEMO_MAX:
+            _RUNNER_MEMO.pop(next(iter(_RUNNER_MEMO)))
+        _RUNNER_MEMO[key] = r
+    return r
+
 
 @lru_cache(maxsize=8)
 def _shared_slate_jit(cfg: SimConfig, heads_fn):
@@ -783,8 +809,7 @@ def simulate_slate(
                                             player_slots=cfg.engine.player_slots)
         b = build_team_context_from_sp_flex(tb, year, week, sp_df, focus_csv=focus_csv,
                                             player_slots=cfg.engine.player_slots)
-        runner = MatchupRunner(a, b, heads, cfg, mode=mode,
-                               table_quality=table_quality)
+        runner = _runner_for(a, b, heads, cfg, mode, table_quality, False)
         sims_df, _, _ = simulate_matchup(a, b, heads, n, cfg=cfg,
                                          seed=seed + gi, mode=mode,
                                          runner=runner)
@@ -873,8 +898,7 @@ def simulate_slate_summaries(
         b = build_team_context_from_sp_flex(
             tb, year, week, sp_df, focus_csv=focus_csv,
             player_slots=cfg.engine.player_slots)
-        runner = MatchupRunner(a, b, heads, cfg, mode=mode,
-                               table_quality=table_quality, shard=shard)
+        runner = _runner_for(a, b, heads, cfg, mode, table_quality, shard)
         summs.append(runner.run_pairs_summary(
             n_pairs, key=jax.random.fold_in(root, gi),
             chunk_pairs=chunk_pairs, block=False))
@@ -972,8 +996,7 @@ def simulate_slate_props(
         indices, meta = resolve_prop_rows(a, b, props)
         if not meta:
             continue
-        runner = MatchupRunner(a, b, heads, cfg, mode=mode,
-                               table_quality=table_quality, shard=shard)
+        runner = _runner_for(a, b, heads, cfg, mode, table_quality, shard)
         out = runner.run_pairs(n_pairs, key=jax.random.fold_in(root, gi),
                                collect_players=True, block=False)
         pending.append((ta, tb, meta,

@@ -167,6 +167,22 @@ def test_simulate_upcoming_matchup_end_to_end(reference_dir, focus_csv, tmp_path
     assert not players_df.empty
 
 
+def test_runner_memo_identity(contexts, reference_dir):
+    """The slate drivers' runner memo: same (contexts, heads, cfg, mode,
+    quality, shard) -> the same MatchupRunner instance; any knob change ->
+    a fresh one.  Contexts/heads are content-memoized singletons, so
+    instance identity is the staleness signal."""
+    from fast_monte_carlo_tpu import api
+
+    a, b = contexts
+    heads = load_heads(reference_dir)
+    cfg = SimConfig()
+    r1 = api._runner_for(a, b, heads, cfg, "analytic", "nano", False)
+    assert api._runner_for(a, b, heads, cfg, "analytic", "nano", False) is r1
+    assert api._runner_for(a, b, heads, cfg, "analytic", "nano", True) is not r1
+    assert api._runner_for(b, a, heads, cfg, "analytic", "nano", False) is not r1
+
+
 def test_cli_slate_lines(reference_dir, tmp_path, capsys):
     """cli slate --lines: per-matchup market edges priced off the device
     summaries (the unsharded default routes through the summary sweep)."""
