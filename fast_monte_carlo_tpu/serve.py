@@ -72,6 +72,7 @@ class ServeConfig:
     focus_csv: Optional[str] = None
     shard: bool = False          # default; request "shard" overrides
     max_n_pairs: int = 2_000_000  # per-request guard
+    max_games: int = 80          # per-request slate bound (weekly ~60)
 
 
 class SimService:
@@ -127,13 +128,34 @@ class SimService:
                 f"n_pairs must be in (0, {self.cfg.max_n_pairs}], got {n}")
         return n
 
+    def _mode(self, body: dict) -> str:
+        """Per-request mode override, bounded: only the configured mode or
+        the cheap artifact-free 'analytic' — a request posting
+        mode='exact' (15.2 games/s measured) would hold the service lock
+        for hours, defeating the n_pairs cost guard."""
+        mode = body.get("mode", self.cfg.mode)
+        if mode not in (self.cfg.mode, "analytic"):
+            raise ValueError(
+                f"mode {mode!r} not served (this process runs "
+                f"{self.cfg.mode!r}; 'analytic' also allowed)")
+        return mode
+
+    def _games(self, body: dict) -> list:
+        games = [tuple(g) for g in body["games"]]
+        if not 0 < len(games) <= self.cfg.max_games:
+            raise ValueError(
+                f"games list must have 1..{self.cfg.max_games} matchups, "
+                f"got {len(games)} (each matchup builds device tables; "
+                "raise ServeConfig.max_games deliberately if needed)")
+        return games
+
     def slate(self, body: dict) -> dict:
         """Slate summaries (+ market pricing when `lines` rows are given):
         the per-matchup launch loop with one end transfer."""
         from .api import simulate_slate_summaries
         from .edge import slate_market_table
 
-        games = [tuple(g) for g in body["games"]]
+        games = self._games(body)
         lines = body.get("lines")
         t0 = time.perf_counter()
         with self._lock:
@@ -142,7 +164,7 @@ class SimService:
                 games, sp_path=self.cfg.sp_path, year=self.cfg.year,
                 week=self.cfg.week, n_pairs=self._n_pairs(body, 32768),
                 artifact_dir=self.cfg.artifact_dir,
-                focus_csv=self.cfg.focus_csv, mode=body.get("mode", self.cfg.mode),
+                focus_csv=self.cfg.focus_csv, mode=self._mode(body),
                 table_quality=self.cfg.table_quality,
                 shard=bool(body.get("shard", self.cfg.shard)),
                 seed=int(body.get("seed", 0)), return_summaries=True)
@@ -168,7 +190,7 @@ class SimService:
                 [(ta, tb)], sp_path=self.cfg.sp_path, year=self.cfg.year,
                 week=self.cfg.week, n_pairs=self._n_pairs(body, 32768),
                 artifact_dir=self.cfg.artifact_dir,
-                focus_csv=self.cfg.focus_csv, mode=body.get("mode", self.cfg.mode),
+                focus_csv=self.cfg.focus_csv, mode=self._mode(body),
                 table_quality=self.cfg.table_quality,
                 shard=bool(body.get("shard", self.cfg.shard)),
                 seed=int(body.get("seed", 0)), return_summaries=True)
@@ -190,7 +212,7 @@ class SimService:
         schema as JSON records)."""
         from .api import simulate_slate_props
 
-        games = [tuple(g) for g in body["games"]]
+        games = self._games(body)
         t0 = time.perf_counter()
         with self._lock:
             self._requests += 1
@@ -200,7 +222,7 @@ class SimService:
                 year=self.cfg.year, week=self.cfg.week,
                 n_pairs=self._n_pairs(body, 8192),
                 artifact_dir=self.cfg.artifact_dir,
-                focus_csv=self.cfg.focus_csv, mode=body.get("mode", self.cfg.mode),
+                focus_csv=self.cfg.focus_csv, mode=self._mode(body),
                 table_quality=self.cfg.table_quality,
                 min_abs_edge_pct=float(body.get("min_abs_edge_pct", 0.0)),
                 shard=bool(body.get("shard", self.cfg.shard)),
@@ -265,13 +287,20 @@ def make_server(service: SimService, host: str = "127.0.0.1",
 def serve_forever(cfg: ServeConfig, host: str = "127.0.0.1",
                   port: int = 8787, warm_games=None) -> None:
     service = SimService(cfg)
-    if warm_games is not None:
-        print(f"warming: {service.warm(warm_games)}", flush=True)
+    # bind BEFORE warming: the warm slate can compile for minutes, and a
+    # bad --warm CSV must not kill the process with the port never bound —
+    # early clients connect and queue (or hit /health) while warm runs
     srv = make_server(service, host, port)
     print(f"fmc-tpu serving on http://{host}:{srv.server_address[1]} "
           f"(sp={cfg.sp_path}, artifacts={cfg.artifact_dir}, "
           f"mode={cfg.mode}/{cfg.table_quality})", flush=True)
     try:
+        if warm_games is not None:
+            try:
+                print(f"warming: {service.warm(warm_games)}", flush=True)
+            except Exception as e:  # noqa: BLE001 — warm is best-effort
+                print(f"warm failed (serving anyway): "
+                      f"{type(e).__name__}: {e}", flush=True)
         srv.serve_forever()
     except KeyboardInterrupt:
         pass

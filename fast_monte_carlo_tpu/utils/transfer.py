@@ -7,8 +7,14 @@ an 8-leaf ScoreSummary fetched leaf-by-leaf costs ~233ms while the same
 benchmarks/readback_probe.py; same phenomenon as the per-matchup
 readbacks that once polluted slate timings — CLAUDE.md "SECOND timing
 trap").  ``fetch_tree`` flattens a pytree on device into a single f32
-vector (int leaves bitcast, so counts stay exact at any magnitude),
-transfers once, and rebuilds the numpy tree on host.
+vector, transfers once, and rebuilds the numpy tree on host.
+
+Integer leaves ride the wire as TWO f32 halves (hi = x >> 16 arithmetic,
+lo = x & 0xffff), each an exact small integer in f32 — NOT a bitcast:
+a bitcast int32 whose bit pattern happens to be a signaling NaN could be
+silently quieted (flipping a mantissa bit) by any float-canonicalizing
+hop in the transfer stack.  The split encoding has no NaN/inf patterns
+by construction, so counts stay exact at any magnitude on any backend.
 
 This is a latency lever, not a throughput one: pipelined sweeps already
 amortize round trips across launches; the resident serving layer's
@@ -20,8 +26,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-# dtypes packable into the f32 wire format bit-exactly (4-byte, bitcast)
-_BITCAST = {"int32", "uint32"}
+# dtypes packable into the f32 wire format exactly (4-byte ints split
+# into two 16-bit halves; f32 passes through)
+_SPLIT = {"int32", "uint32"}
 
 
 @lru_cache(maxsize=64)
@@ -31,9 +38,13 @@ def _packer(spec):
         flat = []
         for x, (_, dt) in zip(leaves, spec):
             x = jnp.ravel(x)
-            if dt in _BITCAST:
-                x = jax.lax.bitcast_convert_type(x, jnp.float32)
-            flat.append(x)
+            if dt in _SPLIT:
+                # arithmetic shift keeps int32 sign in hi; lo is 0..65535
+                hi = (x >> 16).astype(jnp.float32)
+                lo = (x & 0xFFFF).astype(jnp.float32)
+                flat += [hi, lo]
+            else:
+                flat.append(x)
         return jnp.concatenate(flat)
     return jax.jit(pack)
 
@@ -41,23 +52,27 @@ def _packer(spec):
 def fetch_tree(tree):
     """Materialize a device pytree on host with ONE device→host transfer.
 
-    Equivalent to ``jax.tree_util.tree_map(np.asarray, tree)`` (bitwise:
-    integer leaves ride the wire bitcast, not rounded) but costs one
-    tunnel round trip instead of one per leaf.  Falls back to the
-    per-leaf path for dtypes outside {float32, int32, uint32} or an
-    empty tree."""
+    Equivalent to ``jax.tree_util.tree_map(np.asarray, tree)`` — exactly,
+    for any int32/uint32/float32 leaves — but costs one tunnel round trip
+    instead of one per leaf.  Falls back to the per-leaf path for
+    non-array leaves, other dtypes, or an empty tree."""
     leaves, treedef = jax.tree_util.tree_flatten(tree)
+    if not leaves or any(not hasattr(x, "shape") for x in leaves):
+        return jax.tree_util.tree_map(np.asarray, tree)
     spec = tuple((tuple(x.shape), jnp.result_type(x).name) for x in leaves)
-    if not leaves or any(dt not in _BITCAST and dt != "float32"
-                         for _, dt in spec):
+    if any(dt not in _SPLIT and dt != "float32" for _, dt in spec):
         return jax.tree_util.tree_map(np.asarray, tree)
     flat = np.asarray(_packer(spec)(*leaves))
     host, off = [], 0
     for shape, dt in spec:
         n = int(np.prod(shape, dtype=np.int64)) if shape else 1
-        seg = flat[off:off + n]
-        if dt in _BITCAST:
-            seg = seg.view(dt)
+        if dt in _SPLIT:
+            hi = flat[off:off + n].astype(np.int64)
+            lo = flat[off + n:off + 2 * n].astype(np.int64)
+            seg = ((hi << 16) | lo).astype(dt)
+            off += 2 * n
+        else:
+            seg = flat[off:off + n]
+            off += n
         host.append(seg.reshape(shape))
-        off += n
     return jax.tree_util.tree_unflatten(treedef, host)

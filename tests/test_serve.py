@@ -16,7 +16,7 @@ def server(reference_dir):
 
     cfg = ServeConfig(sp_path=str(reference_dir / "PregameSPPlus2025_1.csv"),
                       artifact_dir=str(reference_dir), mode="analytic",
-                      max_n_pairs=4096)
+                      max_n_pairs=4096, max_games=2)
     service = SimService(cfg)
     srv = make_server(service, port=0)  # free port
     t = threading.Thread(target=srv.serve_forever, daemon=True)
@@ -119,6 +119,22 @@ def test_bad_body_and_unknown_route(server):
     code, out = _post(base + "/sim", {
         "team_a": "Kansas State", "team_b": "Iowa State", "n_pairs": 10**9})
     assert code == 400 and "n_pairs" in out["error"]
+
+
+def test_request_cost_guards(server):
+    """A request must not be able to escalate its own cost: mode overrides
+    outside {configured, analytic} and oversized games lists are rejected
+    before any simulation."""
+    base, _ = server
+    # mode='exact' would hold the service lock for hours (15.2 games/s)
+    code, out = _post(base + "/sim", {
+        "team_a": "Kansas State", "team_b": "Iowa State",
+        "n_pairs": 64, "mode": "exact"})
+    assert code == 400 and "mode" in out["error"]
+    # games list past max_games (fixture: 2) — each matchup builds tables
+    code, out = _post(base + "/slate", {
+        "games": [["A", "B"], ["C", "D"], ["E", "F"]], "n_pairs": 64})
+    assert code == 400 and "games list" in out["error"]
 
 
 def test_jsonable_handles_numpy_and_nan():

@@ -24,12 +24,25 @@ def test_fetch_tree_matches_per_leaf():
 
 
 def test_fetch_tree_int_exact_past_f32_mantissa():
-    """Counts above 2^24 would round if CAST to f32; the bitcast wire
-    format keeps them exact (histogram bins in season-scale sweeps)."""
-    big = jnp.asarray([16_777_217, 2**31 - 1, -7], jnp.int32)
-    out = fetch_tree({"h": big})["h"]
-    np.testing.assert_array_equal(out, np.asarray([16_777_217, 2**31 - 1, -7],
-                                                  np.int32))
+    """Counts above 2^24 would round if CAST to f32; the split wire
+    format keeps them exact.  2139095041 (0x7F800001) is the value whose
+    BITCAST image is a signaling NaN — a NaN-canonicalizing transfer hop
+    would silently flip it, which is why the wire format is hi/lo halves
+    rather than a bitcast."""
+    vals = [16_777_217, 2**31 - 1, -7, 2139095041, -2**31, 0]
+    out = fetch_tree({"h": jnp.asarray(vals, jnp.int32)})["h"]
+    np.testing.assert_array_equal(out, np.asarray(vals, np.int32))
+    u = [0, 2**32 - 1, 2139095041, 65536]
+    outu = fetch_tree({"u": jnp.asarray(u, jnp.uint32)})["u"]
+    np.testing.assert_array_equal(outu, np.asarray(u, np.uint32))
+
+
+def test_fetch_tree_python_scalar_leaf_falls_back():
+    """Documented drop-in equivalence: trees carrying plain Python
+    scalars must transfer (per-leaf fallback), not crash on .shape."""
+    out = fetch_tree({"n": 5, "x": jnp.ones(3, jnp.float32)})
+    assert out["n"] == 5
+    np.testing.assert_array_equal(out["x"], np.ones(3, np.float32))
 
 
 def test_fetch_tree_summary_roundtrip():
