@@ -212,7 +212,8 @@ def _cmd_serve(args) -> int:
         ServeConfig(sp_path=args.sp, artifact_dir=args.artifacts,
                     year=args.year, week=args.week, mode=args.mode,
                     table_quality=args.quality, focus_csv=args.focus,
-                    shard=args.shard),
+                    shard=args.shard, max_n_pairs=args.max_pairs,
+                    max_games=args.max_games),
         host=args.host, port=args.port, warm_games=warm_games)
     return 0
 
@@ -396,6 +397,10 @@ def main(argv=None) -> int:
                     help="default requests to trial-sharded launches")
     pv.add_argument("--warm", default=None,
                     help="games csv to pre-compile against at startup")
+    pv.add_argument("--max-pairs", type=int, default=2_000_000,
+                    dest="max_pairs", help="per-request n_pairs ceiling")
+    pv.add_argument("--max-games", type=int, default=80, dest="max_games",
+                    help="per-request slate size ceiling")
     pv.set_defaults(fn=_cmd_serve)
 
     args = p.parse_args(argv)

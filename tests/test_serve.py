@@ -137,6 +137,19 @@ def test_request_cost_guards(server):
     assert code == 400 and "games list" in out["error"]
 
 
+def test_sim_sharded_over_mesh(server):
+    """shard=true requests route each launch through the trial-sharded
+    shard_map path (8-device CPU mesh from conftest) and must agree with
+    the health/JSON contract."""
+    base, _ = server
+    code, out = _post(base + "/sim", {
+        "team_a": "Kansas State", "team_b": "Iowa State",
+        "n_pairs": 256, "shard": True})
+    assert code == 200, out
+    assert out["summary"]["n_games"] >= 512  # whole-launch round-up allowed
+    assert 0.0 < out["summary"]["win_a"] < 1.0
+
+
 def test_jsonable_handles_numpy_and_nan():
     import pandas as pd
 
