@@ -20,6 +20,10 @@ import pytest
 from fast_monte_carlo_tpu.api import MatchupRunner
 from fast_monte_carlo_tpu.config import SimConfig
 
+# ~35 compiled programs: matrix-wide smoke belongs to the full suite,
+# not the -m "not slow" dev loop
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def contexts(reference_dir):
@@ -72,7 +76,6 @@ LOOP_CELLS = [
     dict(scan_unroll=1),
     dict(scan_unroll=2),
     dict(antithetic=True),
-    dict(enable_fumbles=True),
     dict(rng_impl="pallas"),        # per-step HW-PRNG kernel (CPU fallback)
     dict(rng_impl="pallas_chunk"),  # chunk-amortized variant
     dict(sd_mode="frozen"),
@@ -85,6 +88,20 @@ LOOP_CELLS = [
 def test_engine_loop_knob_cells(contexts, engine_kw):
     a, b = contexts
     r = MatchupRunner(a, b, None, _cfg(**engine_kw), mode="analytic")
+    _sane(r)
+
+
+def test_fumbles_head_cell(contexts, reference_dir):
+    """enable_fumbles is a MODEL knob (cfg.model): the optional trained
+    head the reference never wired (run_fumble.json)."""
+    from fast_monte_carlo_tpu.models.heads import load_heads
+
+    a, b = contexts
+    heads = load_heads(reference_dir)
+    cfg = SimConfig()
+    cfg = cfg.replace(model=dataclasses.replace(cfg.model,
+                                                enable_fumbles=True))
+    r = MatchupRunner(a, b, heads, cfg, mode="table", table_quality="nano")
     _sane(r)
 
 
