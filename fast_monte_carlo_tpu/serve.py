@@ -243,11 +243,14 @@ class _Handler(BaseHTTPRequestHandler):
 
     def _reply(self, code: int, payload: dict) -> None:
         data = json.dumps(payload).encode()
-        self.send_response(code)
-        self.send_header("Content-Type", "application/json")
-        self.send_header("Content-Length", str(len(data)))
-        self.end_headers()
-        self.wfile.write(data)
+        try:
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+        except (BrokenPipeError, ConnectionResetError):
+            pass  # client gave up; the sim result stays warm in the caches
 
     def do_GET(self):  # noqa: N802
         if self.path == "/health":

@@ -30,6 +30,10 @@ import numpy as np
 # into two 16-bit halves; f32 passes through)
 _SPLIT = {"int32", "uint32"}
 
+# past this many elements the payload is bandwidth-bound and packing
+# stops paying (and int splitting doubles the bytes) — fall back
+_MAX_WIRE_ELEMS = 4_000_000
+
 
 @lru_cache(maxsize=64)
 def _packer(spec):
@@ -61,6 +65,11 @@ def fetch_tree(tree):
         return jax.tree_util.tree_map(np.asarray, tree)
     spec = tuple((tuple(x.shape), jnp.result_type(x).name) for x in leaves)
     if any(dt not in _SPLIT and dt != "float32" for _, dt in spec):
+        return jax.tree_util.tree_map(np.asarray, tree)
+    if sum(int(np.prod(s, dtype=np.int64)) if s else 1
+           for s, _ in spec) > _MAX_WIRE_ELEMS:
+        # bulk payloads are bandwidth-bound, not round-trip-bound, and the
+        # int hi/lo split would double their wire size — per-leaf is right
         return jax.tree_util.tree_map(np.asarray, tree)
     flat = np.asarray(_packer(spec)(*leaves))
     host, off = [], 0

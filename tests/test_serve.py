@@ -150,6 +150,21 @@ def test_sim_sharded_over_mesh(server):
     assert 0.0 < out["summary"]["win_a"] < 1.0
 
 
+def test_concurrent_requests_serialize_cleanly(server):
+    """The service lock serializes device work; concurrent clients must
+    both succeed (queued), not error or interleave."""
+    import concurrent.futures as cf
+
+    base, _ = server
+    body = {"team_a": "Kansas State", "team_b": "Iowa State", "n_pairs": 128}
+    with cf.ThreadPoolExecutor(4) as ex:
+        outs = list(ex.map(lambda i: _post(base + "/sim", {**body, "seed": i}),
+                           range(4)))
+    for code, out in outs:
+        assert code == 200
+        assert 0.0 < out["summary"]["win_a"] < 1.0
+
+
 def test_jsonable_handles_numpy_and_nan():
     import pandas as pd
 
