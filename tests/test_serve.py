@@ -165,6 +165,43 @@ def test_concurrent_requests_serialize_cleanly(server):
         assert 0.0 < out["summary"]["win_a"] < 1.0
 
 
+def test_warm_precompiles(server):
+    """service.warm(games) runs a tiny slate so the first real request
+    skips table builds and program compiles."""
+    base, service = server
+    out = service.warm([("Kansas State", "Iowa State")], n_pairs=32)
+    assert out["heads"] == "loaded"
+    assert "1 matchups" in out["compiled"]
+
+
+@pytest.mark.slow
+@pytest.mark.skipif("FMC_SOAK" not in __import__("os").environ,
+                    reason="serving soak is opt-in (FMC_SOAK=1)")
+def test_serving_soak_no_unbounded_growth(server):
+    """100 requests across rotating matchups: memo caches stay inside
+    their FIFO caps and host RSS growth stays bounded — the leak class
+    the resident-process design must not have."""
+    import resource
+
+    base, _ = server
+    teams = ["Kansas State", "Iowa State", "Texas", "Ohio State", "Georgia"]
+    _post(base + "/sim", {"team_a": teams[0], "team_b": teams[1],
+                          "n_pairs": 128})  # warm before baselining RSS
+    rss0 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+    for i in range(100):
+        a, b = teams[i % len(teams)], teams[(i + 1) % len(teams)]
+        code, out = _post(base + "/sim", {"team_a": a, "team_b": b,
+                                          "n_pairs": 128, "seed": i})
+        assert code == 200, out
+    rss1 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+    code, h = _get(base + "/health")
+    from fast_monte_carlo_tpu.models.heads import _HEADS_MEMO_MAX
+    assert h["heads_memo"] <= _HEADS_MEMO_MAX
+    assert h["device_tables"] <= 128  # _DEVICE_TABLE_CACHE_MAX
+    # ru_maxrss is KB on Linux; allow 256MB of growth for jit caches
+    assert rss1 - rss0 < 256 * 1024, (rss0, rss1)
+
+
 def test_jsonable_handles_numpy_and_nan():
     import pandas as pd
 
