@@ -10,9 +10,10 @@ structural map of the reference and README.md for usage.
 from .config import SimConfig, DEFAULT_CONFIG, classic_config
 from .api import (
     MatchupRunner, simulate_matchup, simulate_upcoming_matchup, simulate_slate,
-    simulate_slate_summaries, scores_frame, players_frame, summary_frame,
-    csv_base_from,
+    simulate_slate_summaries, simulate_live_game, scores_frame, players_frame,
+    summary_frame, csv_base_from,
 )
+from .ops.game import Situation
 from .data import (
     TeamContext, load_sp_flex, lookup_sp_flex, build_team_context,
     build_team_context_from_sp_flex,
@@ -25,7 +26,8 @@ __version__ = "0.1.0"
 __all__ = [
     "SimConfig", "DEFAULT_CONFIG", "classic_config",
     "MatchupRunner", "simulate_matchup", "simulate_upcoming_matchup",
-    "simulate_slate", "simulate_slate_summaries",
+    "simulate_slate", "simulate_slate_summaries", "simulate_live_game",
+    "Situation",
     "scores_frame", "players_frame", "summary_frame",
     "csv_base_from",
     "TeamContext", "load_sp_flex", "lookup_sp_flex", "build_team_context",

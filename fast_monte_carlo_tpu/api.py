@@ -29,7 +29,8 @@ from .data import build_team_context_from_sp_flex, load_sp_flex, norm_team
 from .data.context import TeamContext
 from .models.heads import ModelHeads, load_heads
 from .ops.game import (
-    GameState, make_analytic_heads_eval, make_exact_heads_eval, simulate_games,
+    GameState, Situation, make_analytic_heads_eval, make_exact_heads_eval,
+    simulate_games,
 )
 from .ops.pack import build_packs
 from .ops.table_lookup import build_table_heads, make_table_heads_eval
@@ -216,6 +217,110 @@ class MatchupRunner:
             # block_until_ready can return before execution finishes
             _ = np.asarray(summary.n)
         return summary
+
+    def run_live(self, situation: Situation, n_games: int = 65536,
+                 seed: int = 0, chunk_games: int = 65536,
+                 block: bool = True,
+                 key: Optional[jnp.ndarray] = None):
+        """Live win probability: resume every trial from one mid-game
+        `situation` (ops.game.Situation: offense/sec/down/dist/ytg/score)
+        and return the ScoreSummary of the finished games — win rates,
+        mean/sd points, and the margin/total histograms that
+        edge.market_odds_from_summary prices live spread/total/moneyline
+        markets from.  No reference counterpart (its simulate_game always
+        starts at kickoff, fast_monte_carlo_cfb.py:1428); the oracle twin
+        is OracleMatchup.simulate_game(start=situation).
+
+        The situation ships as DEVICE scalars into one cached jit, so a
+        resident server prices any live state without recompiling; games
+        are score-only and chunked/accumulated on device exactly like
+        run_pairs_summary (n_games rounds UP to whole chunks; summary.n
+        records the true count).  Late-game states finish in a handful of
+        plays and the early-exit chunk loop stops right after they do, so
+        live queries are *cheaper* than full games.  With shard=True each
+        chunk runs over the full trial mesh (the situation replicates;
+        chunk size rounds up to a device multiple)."""
+        if n_games <= 0:
+            raise ValueError(f"n_games must be positive, got {n_games}")
+        sit = _validated_situation(situation, self.cfg)
+        dsit = _device_situation(sit)
+        cfg_r, heads_fn_r = self._resolved(False)
+        chunk = min(chunk_games, n_games)
+        if self.shard:
+            ndev = jax.device_count()
+            chunk = -(-chunk // ndev) * ndev
+        n_chunks = -(-n_games // chunk)
+        root = key if key is not None else jax.random.PRNGKey(seed)
+        acc = None
+        for ci in range(n_chunks):
+            ck = jax.random.fold_in(root, ci)
+            if self.shard:
+                from .parallel import simulate_moments_sharded
+                m = simulate_moments_sharded(
+                    self.pack, cfg_r, heads_fn_r, self.heads_state,
+                    ck, chunk, 0, collect_stats=False, situation=dsit)
+            else:
+                m = _live_moments_jit(cfg_r, heads_fn_r)(
+                    self.pack, self.heads_state, ck, dsit, chunk)
+            acc = m if acc is None else acc + m
+        summary = _summary_from_moments_jit()(acc)
+        if block:
+            _ = np.asarray(summary.n)
+        return summary
+
+
+def _validated_situation(sit: Situation, cfg: SimConfig) -> Situation:
+    """Host-side sanity bounds, applied only to concrete (non-traced)
+    fields — traced scalars flow through untouched (the serving path
+    validates at the JSON boundary instead)."""
+    def _num(v):
+        return isinstance(v, (int, float, np.integer, np.floating))
+
+    if _num(sit.offense) and int(sit.offense) not in (0, 1):
+        raise ValueError(f"offense must be 0 (team A) or 1, got {sit.offense}")
+    if _num(sit.sec) and not 1 <= int(sit.sec) <= cfg.clock.game_seconds:
+        raise ValueError(
+            f"sec must be in [1, {cfg.clock.game_seconds}], got {sit.sec}")
+    if _num(sit.down) and not 1 <= int(sit.down) <= 4:
+        raise ValueError(f"down must be 1..4, got {sit.down}")
+    if _num(sit.ytg) and not 1.0 <= float(sit.ytg) <= 99.0:
+        raise ValueError(f"ytg must be in [1, 99], got {sit.ytg}")
+    if _num(sit.dist) and not 0.0 < float(sit.dist) <= 99.0:
+        raise ValueError(f"dist must be in (0, 99], got {sit.dist}")
+    for nm in ("score_a", "score_b"):
+        v = getattr(sit, nm)
+        if _num(v) and not 0 <= int(v) < 128:
+            # ScoreSummary histograms support [0, 128) — aggregate.MAX_PTS
+            raise ValueError(f"{nm} must be in [0, 128), got {v}")
+    return sit
+
+
+def _device_situation(sit: Situation) -> Situation:
+    """Situation as device scalars with fixed dtypes, so every live state
+    hits ONE compiled program (i32 discrete fields, f32 yardages)."""
+    return Situation(
+        offense=jnp.asarray(sit.offense, jnp.int32),
+        sec=jnp.asarray(sit.sec, jnp.int32),
+        down=jnp.asarray(sit.down, jnp.int32),
+        dist=jnp.asarray(sit.dist, jnp.float32),
+        ytg=jnp.asarray(sit.ytg, jnp.float32),
+        score_a=jnp.asarray(sit.score_a, jnp.int32),
+        score_b=jnp.asarray(sit.score_b, jnp.int32),
+    )
+
+
+@lru_cache(maxsize=32)
+def _live_moments_jit(cfg: SimConfig, heads_fn):
+    """Score-only live launch reduced to ScoreMoments on device; the
+    Situation argument is a pytree of scalars (runtime input, not a
+    recompile key)."""
+    from .parallel.aggregate import score_moments
+
+    return jax.jit(
+        lambda pack, hs, key, sit, n: score_moments(simulate_games(
+            pack, cfg, heads_fn, hs, key, n, 0, collect_players=False,
+            collect_stats=False, situation=sit).score),
+        static_argnums=(4,))
 
 
 @lru_cache(maxsize=8)
@@ -926,6 +1031,69 @@ def simulate_slate_summaries(
     if return_summaries:
         return df, host
     return df
+
+
+def simulate_live_game(
+    team_a: str,
+    team_b: str,
+    situation: Situation,
+    *,
+    sp_path: str,
+    year: int = 2025,
+    week: int = 1,
+    n_games: int = 65536,
+    artifact_dir: str = "/root/reference",
+    focus_csv: Optional[str] = None,
+    mode: str = "table",
+    table_quality: str = "nano",
+    cfg: Optional[SimConfig] = None,
+    seed: int = 0,
+    shard: bool = False,
+    chunk_games: int = 65536,
+):
+    """Live in-game win probability + market distribution for one matchup.
+
+    Resumes `n_games` trials from `situation` (current possession, clock,
+    down/distance, field position, score) and returns (row, ScoreSummary):
+    `row` is the headline dict (win/tie rates, means, sds), and the summary
+    carries the margin/total histograms for live market pricing via
+    edge.market_odds_from_summary / edge.summary_moneyline.  Rides the same
+    warm memo chain as the slate APIs (heads artifact-stat memo, context
+    content memo, _runner_for, device-table cache), so a resident process
+    answers repeat live queries at serving latency — the situation is a
+    runtime input to one cached compiled program, never a recompile key.
+    No reference counterpart (its simulate_game is kickoff-only)."""
+    cfg = cfg or SimConfig()
+    heads = load_heads(artifact_dir)
+    sp_df = load_sp_flex(sp_path)
+    a = build_team_context_from_sp_flex(
+        team_a, year, week, sp_df, focus_csv=focus_csv,
+        player_slots=cfg.engine.player_slots)
+    b = build_team_context_from_sp_flex(
+        team_b, year, week, sp_df, focus_csv=focus_csv,
+        player_slots=cfg.engine.player_slots)
+    runner = _runner_for(a, b, heads, cfg, mode, table_quality, shard)
+    summary = runner.run_live(situation, n_games=n_games, seed=seed,
+                              chunk_games=chunk_games, block=False)
+    s = fetch_tree(summary)
+    row = {
+        "team_a": team_a, "team_b": team_b,
+        "offense": int(np.asarray(situation.offense)),
+        "sec": int(np.asarray(situation.sec)),
+        "down": int(np.asarray(situation.down)),
+        "dist": float(np.asarray(situation.dist)),
+        "ytg": float(np.asarray(situation.ytg)),
+        "score_a": int(np.asarray(situation.score_a)),
+        "score_b": int(np.asarray(situation.score_b)),
+        "win_a": float(s.win_rate[0]), "win_b": float(s.win_rate[1]),
+        "tie": float(s.tie_rate),
+        "mean_a": float(s.mean_pts[0]), "mean_b": float(s.mean_pts[1]),
+        "sd_a": float(s.sd_pts[0]), "sd_b": float(s.sd_pts[1]),
+        "mean_margin_a": float(s.mean_pts[0] - s.mean_pts[1]),
+        "mean_total": float(s.mean_pts[0] + s.mean_pts[1]),
+        "n_games": int(s.n),
+    }
+    return row, s
 
 
 def simulate_slate_props(

@@ -44,6 +44,49 @@ def _cmd_sim(args) -> int:
     return 0
 
 
+def _cmd_live(args) -> int:
+    """In-game win probability from a mid-game situation (no reference
+    counterpart — its simulate_game is kickoff-only)."""
+    from .api import simulate_live_game
+    from .config import SimConfig
+    from .edge import market_odds_from_summary, summary_moneyline
+    from .ops.game import Situation
+
+    if args.sec is not None:
+        sec = args.sec
+    else:
+        qsec = SimConfig().clock.quarter_seconds
+        mm, ss = (args.clock or "15:00").split(":")
+        sec = (4 - args.quarter) * qsec + int(mm) * 60 + int(ss)
+    offense = {"a": 0, "b": 1}[args.offense.strip().lower()]
+    sa, sb = (int(v) for v in args.score.split("-"))
+    sit = Situation(offense=offense, sec=int(sec), down=args.down,
+                    dist=args.dist, ytg=args.ytg, score_a=sa, score_b=sb)
+    row, summary = simulate_live_game(
+        args.team_a, args.team_b, sit, sp_path=args.sp, year=args.year,
+        week=args.week, n_games=args.n, artifact_dir=args.artifacts,
+        focus_csv=args.focus, mode=args.mode, table_quality=args.quality,
+        seed=args.seed, shard=args.shard)
+    qsec = SimConfig().clock.quarter_seconds
+    qtr = 4 - (int(sec) - 1) // qsec      # the engine's own period formula
+    clock = int(sec) - (4 - qtr) * qsec   # seconds left in that quarter
+    print(f"{args.team_a} {sa} - {sb} {args.team_b} | "
+          f"Q{qtr} {clock // 60}:{clock % 60:02d} | "
+          f"{'AB'[offense]} ball, down {args.down} & {args.dist:g} "
+          f"at ytg {args.ytg:g}")
+    print(f"win: {args.team_a} {row['win_a']:.3f} / {args.team_b} "
+          f"{row['win_b']:.3f} / tie {row['tie']:.3f}   "
+          f"(n={row['n_games']})")
+    print(f"proj: {row['mean_a']:.1f} - {row['mean_b']:.1f} "
+          f"(margin {row['mean_margin_a']:+.1f}, total {row['mean_total']:.1f})")
+    ml = summary_moneyline(summary, args.team_a, args.team_b)
+    print(f"fair moneyline: {ml}")
+    if args.spread is not None or args.total is not None:
+        print(market_odds_from_summary(summary, args.team_a, args.team_b,
+                                       spread=args.spread, total=args.total))
+    return 0
+
+
 def _cmd_edges(args) -> int:
     if args.device:
         return _cmd_edges_device(args)
@@ -300,6 +343,43 @@ def main(argv=None) -> int:
                     help="score_diff treatment for the table heads "
                          "(EngineConfig.sd_mode; see config.py notes)")
     ps.set_defaults(fn=_cmd_sim)
+
+    pg = sub.add_parser(
+        "live", help="in-game win probability from a mid-game state")
+    pg.add_argument("team_a")
+    pg.add_argument("team_b")
+    pg.add_argument("--sp", required=True, help="SP+ csv path")
+    pg.add_argument("--offense", default="A",
+                    help="side with the ball: A or B")
+    pg.add_argument("--sec", type=int, default=None,
+                    help="seconds remaining in the GAME (overrides "
+                         "--quarter/--clock)")
+    pg.add_argument("--quarter", type=int, default=1, choices=[1, 2, 3, 4])
+    pg.add_argument("--clock", default=None,
+                    help="MM:SS remaining in the quarter (default 15:00)")
+    pg.add_argument("--down", type=int, default=1, choices=[1, 2, 3, 4])
+    pg.add_argument("--dist", type=float, default=10.0,
+                    help="yards to the first-down marker")
+    pg.add_argument("--ytg", type=float, required=True,
+                    help="yards to the opponent goal line (1-99)")
+    pg.add_argument("--score", default="0-0",
+                    help="current score as A-B, e.g. 21-17")
+    pg.add_argument("-n", type=int, default=65536, help="number of GAMES")
+    pg.add_argument("--spread", type=float, default=None,
+                    help="live spread quote (team A perspective)")
+    pg.add_argument("--total", type=float, default=None,
+                    help="live total quote")
+    pg.add_argument("--year", type=int, default=2025)
+    pg.add_argument("--week", type=int, default=1)
+    pg.add_argument("--seed", type=int, default=0)
+    pg.add_argument("--mode", default="table",
+                    choices=["table", "exact", "analytic"])
+    pg.add_argument("--quality", default="nano")
+    pg.add_argument("--focus", default=None)
+    pg.add_argument("--artifacts", default="/root/reference")
+    pg.add_argument("--shard", action="store_true",
+                    help="shard the trial axis over all devices")
+    pg.set_defaults(fn=_cmd_live)
 
     pe = sub.add_parser("edges", help="betting edges over saved sims")
     pe.add_argument("--base", default=None)

@@ -640,6 +640,79 @@ def play_step(
     )
 
 
+class Situation(NamedTuple):
+    """A mid-game state to resume simulation from (live win probability).
+
+    Each field is a scalar — a Python number or a traced/device jnp scalar.
+    Serving passes DEVICE scalars so one compiled program prices any live
+    state (the situation is a runtime input, never a recompile key).  The
+    reference has no equivalent: its `simulate_game` always starts at the
+    opening kickoff (fast_monte_carlo_cfb.py:1428-1436); the fields mirror
+    its game-state head (`off/sec/down/dist/ytg` + the score pair) exactly,
+    and everything derived (`period`, `in_rz`, `going`) is reconstructed
+    with the state machine's own formulas in `state_from_situation`.
+    """
+    offense: object      # side with the ball: 0 = team A, 1 = team B
+    sec: object          # seconds remaining in the game (1..game_seconds)
+    down: object         # 1..4
+    dist: object         # yards to the first-down marker
+    ytg: object          # yards to the opponent's goal line (1..99)
+    score_a: object      # current points, team A
+    score_b: object      # current points, team B
+
+
+def state_from_situation(n: int, sit: Situation, cfg: SimConfig, k: int,
+                         game_id=0, collect_players: bool = True,
+                         collect_stats: bool = True) -> GameState:
+    """GameState batch resuming every trial from one mid-game situation.
+
+    Derived fields use the step's own conventions so the first simulated
+    play is indistinguishable from the same state reached organically:
+
+    * `period` uses the tick formula (`4 - ((sec-1) // quarter_seconds)`,
+      play_step phase b / oracle `_tick`) — initializing it any other way
+      could fire a spurious halftime possession flip on the first tick.
+    * `in_rz` = (ytg <= 20): a drive already inside the 20 has had its
+      red-zone trip counted on the play that entered, so resuming must not
+      count a fresh one.  `in_rz` only gates the `rz_trips` stat — scores
+      are unaffected either way (trip1/trip2 feed nothing else).
+    * `going` = False: the go-for-it decision is made at the top of a
+      4th-down play, so a resumed 4th down decides it organically.
+    * `fo` records `offense` (possession at resume), keeping scores in
+      fixed team-A/B orientation like every other path.
+
+    With the kickoff situation (offense=fo, full clock, 1st-and-opening
+    at the kickoff spot) this equals `initial_state` array-for-array —
+    tested in tests/test_live.py.
+    """
+    B = n
+    off = jnp.broadcast_to(jnp.asarray(sit.offense, I32), (B,))
+    gid = jnp.broadcast_to(jnp.asarray(game_id, I32), (B,))
+    sec = jnp.asarray(sit.sec, I32)
+    period = jnp.where(
+        sec > 0, 4 - ((sec - 1) // cfg.clock.quarter_seconds), 4).astype(I32)
+    ytg = jnp.asarray(sit.ytg, F32)
+    score = jnp.stack([jnp.asarray(sit.score_a, I32),
+                       jnp.asarray(sit.score_b, I32)])
+    stats_shape = (B, 2, N_TEAM_STATS) if collect_stats else (B, 1, 1)
+    pstats_shape = (B, 2, 3, k, N_PLAYER_STATS) if collect_players \
+        else (B, 1, 1, 1, 1)
+    return GameState(
+        gid=gid, fo=off,
+        off=off,
+        sec=jnp.broadcast_to(sec, (B,)),
+        down=jnp.broadcast_to(jnp.asarray(sit.down, I32), (B,)),
+        dist=jnp.broadcast_to(jnp.asarray(sit.dist, F32), (B,)),
+        ytg=jnp.broadcast_to(ytg, (B,)),
+        period=jnp.broadcast_to(period, (B,)),
+        in_rz=jnp.broadcast_to(ytg <= 20.0, (B,)),
+        going=jnp.zeros((B,), bool),
+        score=jnp.broadcast_to(score, (B, 2)),
+        stats=jnp.zeros(stats_shape, F32),
+        pstats=jnp.zeros(pstats_shape, F32),
+    )
+
+
 def initial_state(n: int, first_offense, cfg: SimConfig, k: int,
                   game_id=0, collect_players: bool = True,
                   collect_stats: bool = True) -> GameState:
@@ -708,6 +781,7 @@ def simulate_games_segmented(
     game_id=0,
     collect_stats: bool = True,
     seg_plays: int = 72,
+    situation: Optional[Situation] = None,
 ) -> GameState:
     """simulate_games split into multiple short device launches that carry
     the GameState between them (state never leaves the device; the host
@@ -717,9 +791,14 @@ def simulate_games_segmented(
     ~130s of device time and the tunnel kills launches on the order of a
     minute ('UNAVAILABLE: TPU device error'); 24-step chunks of the same
     program run fine (benchmarks/tpu_exact_probe.py).  Semantics match
-    simulate_games with early_exit=False bar the host-side early stop."""
-    init = initial_state(n, first_offense, cfg, pack.k, game_id,
-                         collect_players, collect_stats)
+    simulate_games with early_exit=False bar the host-side early stop.
+    `situation` resumes every trial from a mid-game state (live mode;
+    `first_offense` is ignored — possession comes from the situation)."""
+    init = (initial_state(n, first_offense, cfg, pack.k, game_id,
+                          collect_players, collect_stats)
+            if situation is None else
+            state_from_situation(n, situation, cfg, pack.k, game_id,
+                                 collect_players, collect_stats))
     seg = _segment_fn(cfg, heads_eval, collect_players, collect_stats,
                       seg_plays)
     s = init
@@ -748,16 +827,23 @@ def simulate_games(
     collect_players: bool = True,
     game_id=0,
     collect_stats: bool = True,
+    situation: Optional[Situation] = None,
 ) -> GameState:
     """Run n independent games to completion; returns the final GameState.
 
     `first_offense` may be a scalar (all trials) or a (n,) array (e.g.
     alternating home/away ordering within one batch).  `game_id` selects
     the matchup per trial when the pack carries a game axis (2G direction
-    rows); scalar 0 for a single matchup.
+    rows); scalar 0 for a single matchup.  `situation` resumes every trial
+    from one mid-game state instead of the opening kickoff (live mode —
+    `first_offense` is then ignored; possession comes from the situation,
+    and the early-exit loop stops as soon as the shortened games finish).
     """
-    init = initial_state(n, first_offense, cfg, pack.k, game_id,
-                         collect_players, collect_stats)
+    init = (initial_state(n, first_offense, cfg, pack.k, game_id,
+                          collect_players, collect_stats)
+            if situation is None else
+            state_from_situation(n, situation, cfg, pack.k, game_id,
+                                 collect_players, collect_stats))
     if cfg.engine.rng_impl == "rbg":
         raw = key if jnp.issubdtype(key.dtype, jnp.integer) else jax.random.key_data(key)
         raw = jnp.tile(raw.reshape(-1), 2)[:4].astype(jnp.uint32)

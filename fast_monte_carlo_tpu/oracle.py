@@ -265,11 +265,29 @@ class OracleMatchup:
 
     # -- game loop ----------------------------------------------------------
 
-    def simulate_game(self, first_offense: int, rng: np.random.Generator) -> dict:
+    def simulate_game(self, first_offense: int, rng: np.random.Generator,
+                      start=None) -> dict:
+        """One full game; `start` (any object with offense/sec/down/dist/
+        ytg/score_a/score_b fields, e.g. ops.game.Situation) resumes from a
+        mid-game state instead of the kickoff — the scalar referee twin of
+        the engine's live mode.  Derived fields follow state_from_situation:
+        period from the tick formula, in_rz = ytg <= 20 (no fresh rz_trip
+        for a drive already inside the 20), going decided organically."""
         cfg = self.cfg
-        gs = _GameState(off=first_offense, sec=cfg.clock.game_seconds,
-                        ytg=cfg.kickoff_spot, dist=cfg.opening_distance)
-        score = [0, 0]
+        if start is None:
+            gs = _GameState(off=first_offense, sec=cfg.clock.game_seconds,
+                            ytg=cfg.kickoff_spot, dist=cfg.opening_distance)
+            score = [0, 0]
+        else:
+            first_offense = int(start.offense)
+            sec = int(start.sec)
+            gs = _GameState(
+                off=first_offense, sec=sec, down=int(start.down),
+                dist=float(start.dist), ytg=float(start.ytg),
+                period=(4 - ((sec - 1) // cfg.clock.quarter_seconds)
+                        if sec > 0 else 4),
+                in_rz=float(start.ytg) <= 20.0)
+            score = [int(start.score_a), int(start.score_b)]
         stats = np.zeros((2, N_TEAM_STATS))
         K = self.teams[0].qb.k
         pstats = np.zeros((2, 3, K, N_PLAYER_STATS))

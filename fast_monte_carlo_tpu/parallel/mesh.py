@@ -114,11 +114,17 @@ def simulate_moments_sharded(
     mesh: Optional[Mesh] = None,
     game_id=0,
     collect_stats: bool = False,
+    situation=None,
 ):
     """The production multi-chip summary workload: each device simulates its
     trial shard AND reduces it to additive ScoreMoments locally, then one
     `psum` over ICI merges the (tiny, ~1.3 KB) moment pytree — the
     full (B, 2) score batch never crosses devices or reaches the host.
+
+    `situation` (ops.game.Situation of device scalars) resumes every trial
+    from one mid-game state — live win-probability over the full mesh; the
+    situation replicates to each device as runtime scalars, so one compiled
+    program serves every live state.
 
     This is the TPU-native shape of the reference's Pool → parent-append →
     groupby flow (fast_monte_carlo_cfb.py:1496-1507, 1681-1687): the
@@ -143,6 +149,10 @@ def simulate_moments_sharded(
     else:
         gid = jnp.asarray(game_id, jnp.int32)
 
+    if situation is not None:
+        fn = _moments_sharded_live_jit(cfg, heads_eval, mesh, n_local,
+                                       collect_stats)
+        return fn(pack, heads_state, keys, gid, situation)
     fn = _moments_sharded_jit(cfg, heads_eval, mesh, n_local, collect_stats)
     return fn(pack, heads_state, keys, fo, gid)
 
@@ -166,6 +176,34 @@ def _moments_sharded_jit(cfg, heads_eval, mesh, n_local, collect_stats):
                              collect_players=False,
                              game_id=local_gid,
                              collect_stats=collect_stats)
+        m = score_moments(out.score)
+        return jax.tree_util.tree_map(lambda x: jax.lax.psum(x, "trial"), m)
+
+    return jax.jit(run)
+
+
+@lru_cache(maxsize=64)
+def _moments_sharded_live_jit(cfg, heads_eval, mesh, n_local, collect_stats):
+    """Live (mid-game-situation) variant of _moments_sharded_jit: the
+    Situation scalars replicate to every device (P() spec) and flow into
+    state_from_situation as runtime inputs — no recompile across live
+    states, same per-device moment reduction + one psum."""
+    from .aggregate import score_moments
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(), P("trial"), P("trial"), P()),
+        out_specs=P(),
+        check_vma=False,
+    )
+    def run(pack, heads_state, local_keys, local_gid, sit):
+        out = simulate_games(pack, cfg, heads_eval, heads_state,
+                             local_keys[0], n_local, 0,
+                             collect_players=False,
+                             game_id=local_gid,
+                             collect_stats=collect_stats,
+                             situation=sit)
         m = score_moments(out.score)
         return jax.tree_util.tree_map(lambda x: jax.lax.psum(x, "trial"), m)
 

@@ -20,6 +20,10 @@ process with a JSON/HTTP front:
     POST /sim     {"team_a": "...", "team_b": "...", "n_pairs": 32768,
                    "spread": -3.5, "total": 55.5}
     POST /props   {"games": [...], "props": [{prop-sheet rows}], ...}
+    POST /live    {"team_a": "...", "team_b": "...", "offense": "A",
+                   "quarter": 4, "clock": "05:12", "down": 2, "dist": 7,
+                   "ytg": 35, "score_a": 21, "score_b": 17,
+                   "spread": -3.5, "total": 55.5}
     GET  /health  liveness + device/cache state
 
 Everything stdlib: ``http.server.ThreadingHTTPServer`` accepts requests
@@ -207,6 +211,72 @@ class SimService:
         out["elapsed_s"] = round(time.perf_counter() - t0, 3)
         return out
 
+    def live(self, body: dict) -> dict:
+        """In-game win probability + live market pricing: resume trials
+        from the posted situation (possession/clock/down/distance/field
+        position/score).  The situation is a runtime input to one cached
+        compiled program — repeat live states answer at warm /sim latency.
+
+            POST /live {"team_a": "...", "team_b": "...",
+                        "offense": "A", "sec": 1312, "down": 2,
+                        "dist": 7, "ytg": 35, "score_a": 21, "score_b": 17,
+                        "n_games": 65536, "spread": -3.5, "total": 55.5}
+
+        `offense` accepts "A"/"B" or 0/1; `quarter` + `clock` ("MM:SS")
+        may replace `sec`."""
+        from .api import simulate_live_game
+        from .config import SimConfig
+        from .edge import market_odds_from_summary, summary_moneyline
+        from .ops.game import Situation
+
+        ta, tb = body["team_a"], body["team_b"]
+        sec = body.get("sec")
+        if sec is None:
+            q = int(body["quarter"])
+            mm, ss = str(body.get("clock", "15:00")).split(":")
+            qsec = SimConfig().clock.quarter_seconds
+            if not 1 <= q <= 4:
+                raise ValueError(f"quarter must be 1..4, got {q}")
+            sec = (4 - q) * qsec + int(mm) * 60 + int(ss)
+        offense = body.get("offense", 0)
+        if isinstance(offense, str):
+            offense = {"a": 0, "b": 1}.get(offense.strip().lower())
+            if offense is None:
+                raise ValueError("offense must be 'A', 'B', 0, or 1")
+        sit = Situation(
+            offense=int(offense), sec=int(sec), down=int(body.get("down", 1)),
+            dist=float(body.get("dist", 10.0)), ytg=float(body["ytg"]),
+            score_a=int(body.get("score_a", 0)),
+            score_b=int(body.get("score_b", 0)))
+        n_games = int(body.get("n_games", 65536))
+        if not 0 < n_games <= 2 * self.cfg.max_n_pairs:
+            raise ValueError(
+                f"n_games must be in (0, {2 * self.cfg.max_n_pairs}], "
+                f"got {n_games}")
+        t0 = time.perf_counter()
+        with self._lock:
+            self._requests += 1
+            row, summary = simulate_live_game(
+                ta, tb, sit, sp_path=self.cfg.sp_path, year=self.cfg.year,
+                week=self.cfg.week, n_games=n_games,
+                artifact_dir=self.cfg.artifact_dir,
+                focus_csv=self.cfg.focus_csv, mode=self._mode(body),
+                table_quality=self.cfg.table_quality,
+                shard=bool(body.get("shard", self.cfg.shard)),
+                seed=int(body.get("seed", 0)))
+            out = {
+                "live": jsonable(row),
+                "moneyline": jsonable(summary_moneyline(summary, ta, tb)),
+            }
+            spread, total = body.get("spread"), body.get("total")
+            if spread is not None or total is not None:
+                out["markets"] = jsonable(market_odds_from_summary(
+                    summary, ta, tb,
+                    spread=None if spread is None else float(spread),
+                    total=None if total is None else float(total)))
+        out["elapsed_s"] = round(time.perf_counter() - t0, 3)
+        return out
+
     def props(self, body: dict) -> dict:
         """Slate-wide prop scan over inline prop rows (the prop-sheet CSV
         schema as JSON records)."""
@@ -231,7 +301,8 @@ class SimService:
                 "elapsed_s": round(time.perf_counter() - t0, 3)}
 
 
-_ROUTES = {"/slate": "slate", "/sim": "sim", "/props": "props"}
+_ROUTES = {"/slate": "slate", "/sim": "sim", "/props": "props",
+           "/live": "live"}
 
 
 class _Handler(BaseHTTPRequestHandler):

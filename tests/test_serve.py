@@ -109,6 +109,33 @@ def test_props_inline_rows(server):
     assert isinstance(out["props"], list)
 
 
+def test_live_endpoint(server):
+    """In-game win probability over the wire: quarter/clock sugar, live
+    market pricing, and the input guards."""
+    base, _ = server
+    body = {"team_a": "Kansas State", "team_b": "Iowa State",
+            "offense": "B", "quarter": 4, "clock": "07:00", "down": 2,
+            "dist": 7, "ytg": 35, "score_a": 21, "score_b": 17,
+            "n_games": 512, "spread": -3.5, "total": 55.5}
+    code, out = _post(base + "/live", body)
+    assert code == 200, out
+    row = out["live"]
+    assert row["n_games"] == 512
+    assert row["offense"] == 1 and row["sec"] == 7 * 60
+    assert 0.0 <= row["win_a"] <= 1.0
+    assert row["mean_a"] >= 21.0 and row["mean_b"] >= 17.0
+    assert {"spread", "total"} <= set(out["markets"])
+    assert out["moneyline"]["team"]["name"] == "Kansas State"
+    # explicit sec beats quarter/clock; repeat states answer warm
+    code, out2 = _post(base + "/live", {**body, "sec": 420})
+    assert code == 200 and out2["live"]["sec"] == 420
+    # guards: bad offense / quarter / n_games
+    for bad in ({"offense": "C"}, {"quarter": 5, "clock": "1:00"},
+                {"n_games": 10**9}, {"ytg": 0}):
+        code, err = _post(base + "/live", {**body, **bad})
+        assert code == 400, (bad, err)
+
+
 def test_bad_body_and_unknown_route(server):
     base, _ = server
     code, out = _post(base + "/slate", {"n_pairs": 64})  # missing games
