@@ -24,6 +24,7 @@ import pandas as pd
 
 from functools import lru_cache
 
+from . import edge
 from .config import SimConfig
 from .data import build_team_context_from_sp_flex, load_sp_flex, norm_team
 from .data.context import TeamContext
@@ -1094,6 +1095,55 @@ def simulate_live_game(
         "n_games": int(s.n),
     }
     return row, s
+
+
+def simulate_parlay(
+    team_a: str,
+    team_b: str,
+    legs,
+    *,
+    sp_path: str,
+    year: int = 2025,
+    week: int = 1,
+    n_pairs: int = 32768,
+    artifact_dir: str = "/root/reference",
+    focus_csv: Optional[str] = None,
+    mode: str = "table",
+    table_quality: str = "nano",
+    cfg: Optional[SimConfig] = None,
+    seed: int = 0,
+    shard: bool = False,
+    price: Optional[int] = None,
+) -> dict:
+    """Price a same-game parlay (joint multi-leg ticket) for one matchup.
+
+    Runs 2*n_pairs trials once and settles every leg per trial on device
+    (edge.parlay_odds), so correlations between the legs — a favorite's
+    moneyline and its cover, a QB's passing yards and the over — are priced
+    from the joint sample.  No reference counterpart: edge_finder.py prices
+    each market from its own marginal distribution only.
+
+    Player stats are only collected (and only then cost sim throughput)
+    when a prop leg is present.  `price` (American, e.g. +450) adds quoted
+    edge/EV columns to the result."""
+    cfg = cfg or SimConfig()
+    heads = load_heads(artifact_dir)
+    sp_df = load_sp_flex(sp_path)
+    a = build_team_context_from_sp_flex(
+        team_a, year, week, sp_df, focus_csv=focus_csv,
+        player_slots=cfg.engine.player_slots)
+    b = build_team_context_from_sp_flex(
+        team_b, year, week, sp_df, focus_csv=focus_csv,
+        player_slots=cfg.engine.player_slots)
+    # validate the legs BEFORE simulating: a bad leg must not cost a run
+    edge.resolve_parlay_legs(a, b, legs)
+    runner = _runner_for(a, b, heads, cfg, mode, table_quality, shard)
+    want_players = any(
+        str(leg.get("kind", "")).strip().lower() == "prop" for leg in legs)
+    out = runner.run_pairs(n_pairs, seed=seed,
+                           collect_players=want_players,
+                           collect_stats=False, block=False)
+    return edge.parlay_odds(out, a, b, legs, price=price)
 
 
 def simulate_slate_props(

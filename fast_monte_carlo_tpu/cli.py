@@ -87,6 +87,33 @@ def _cmd_live(args) -> int:
     return 0
 
 
+def _cmd_parlay(args) -> int:
+    """Same-game parlay pricing off the joint per-trial distribution (no
+    reference counterpart — edge_finder.py only prices marginals)."""
+    import json
+
+    from .api import simulate_parlay
+    from .edge import print_parlay_readable
+
+    raw = args.legs
+    if raw.startswith("@"):
+        with open(raw[1:]) as f:
+            raw = f.read()
+    legs = json.loads(raw)
+    if not isinstance(legs, list):
+        raise SystemExit("--legs must be a JSON array of leg objects "
+                         "(or @path to one)")
+    res = simulate_parlay(
+        args.team_a, args.team_b, legs, sp_path=args.sp, year=args.year,
+        week=args.week, n_pairs=args.n, artifact_dir=args.artifacts,
+        focus_csv=args.focus, mode=args.mode, table_quality=args.quality,
+        seed=args.seed, shard=args.shard, price=args.price)
+    print_parlay_readable(res)
+    if args.json:
+        print(json.dumps(res))
+    return 0
+
+
 def _cmd_edges(args) -> int:
     if args.device:
         return _cmd_edges_device(args)
@@ -380,6 +407,37 @@ def main(argv=None) -> int:
     pg.add_argument("--shard", action="store_true",
                     help="shard the trial axis over all devices")
     pg.set_defaults(fn=_cmd_live)
+
+    pp = sub.add_parser(
+        "parlay", help="price a same-game parlay off the joint distribution")
+    pp.add_argument("team_a")
+    pp.add_argument("team_b")
+    pp.add_argument("--sp", required=True, help="SP+ csv path")
+    pp.add_argument(
+        "--legs", required=True,
+        help='JSON array of legs, or @path to a JSON file.  Leg kinds: '
+             '{"kind":"spread","team":...,"line":-3.5}, '
+             '{"kind":"moneyline","team":...}, '
+             '{"kind":"total","side":"over|under","line":55.5}, '
+             '{"kind":"prop","team":...,"player":...,"stat":"pass_yds",'
+             '"side":"over|under","line":249.5}')
+    pp.add_argument("-n", type=int, default=32768, help="number of PAIRS")
+    pp.add_argument("--price", type=int, default=None,
+                    help="quoted American price for the ticket, e.g. +450")
+    pp.add_argument("--year", type=int, default=2025)
+    pp.add_argument("--week", type=int, default=1)
+    pp.add_argument("--seed", type=int, default=0)
+    pp.add_argument("--mode", default="table",
+                    choices=["table", "exact", "analytic"])
+    pp.add_argument("--quality", default="nano")
+    pp.add_argument("--focus", default=None,
+                    help="focus-players csv (needed for prop legs)")
+    pp.add_argument("--artifacts", default="/root/reference")
+    pp.add_argument("--shard", action="store_true",
+                    help="shard the trial axis over all devices")
+    pp.add_argument("--json", action="store_true",
+                    help="also print the raw result dict as JSON")
+    pp.set_defaults(fn=_cmd_parlay)
 
     pe = sub.add_parser("edges", help="betting edges over saved sims")
     pe.add_argument("--base", default=None)

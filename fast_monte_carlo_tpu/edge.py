@@ -566,6 +566,240 @@ def scan_props_device(out, team_a_ctx, team_b_ctx, prop_sheet_path: str,
 
 
 # ---------------------------------------------------------------------------
+# same-game parlay pricing (joint per-trial distribution)
+#
+# No reference counterpart: edge_finder.py prices every market from its own
+# MARGINAL distribution (spread :308-313, total :321-332, props :168-231),
+# so a multi-leg ticket inside one game — where the legs are correlated
+# through the shared game script — cannot be priced there at all.  The
+# device engine holds the full joint (score, player-stat) sample per trial,
+# so joint settlement is one reduction over the trial axis.
+# ---------------------------------------------------------------------------
+
+_SRC_MARGIN, _SRC_TOTAL, _SRC_PSTAT = 0, 1, 2
+
+
+def resolve_parlay_legs(team_a_ctx, team_b_ctx, legs):
+    """Validate and encode same-game-parlay legs for one matchup.
+
+    Each leg is a dict:
+
+    * ``{"kind": "spread", "team": <name>, "line": -3.5}`` — wins iff the
+      team's margin > -line (cover semantics of _spread_market /
+      edge_finder.py:308-313); push at equality.
+    * ``{"kind": "moneyline", "team": <name>}`` — wins iff the team's
+      margin > 0; a tie is a push (void), as in moneyline_from_sims.
+    * ``{"kind": "total", "side": "over"|"under", "line": 55.5}``.
+    * ``{"kind": "prop", "team": <name>, "player": <name>, "stat": <stat>,
+      "side": "over"|"under", "line": 249.5}`` — stat names accept the
+      prop-sheet aliases (STAT_ALIASES).
+
+    Returns (arrays, meta): arrays = (src, side, role, slot, col, sgn, drn,
+    thr) for the jitted reduction; meta = human-readable leg labels.
+    Unlike resolve_prop_rows (which keeps the reference's skip-on-error
+    scan semantics), an unresolvable leg raises ValueError — a parlay with
+    a silently dropped leg would price a different ticket."""
+    from .stats import ROLE_PASS, ROLE_REC, ROLE_RUSH
+
+    role_idx = {"pass": ROLE_PASS, "rush": ROLE_RUSH, "rec": ROLE_REC}
+    role_table = {
+        "pass": lambda tc: tc.qb, "rush": lambda tc: tc.rush,
+        "rec": lambda tc: tc.target,
+    }
+    sides = {_norm_team(team_a_ctx.name): (0, team_a_ctx, 1.0),
+             _norm_team(team_b_ctx.name): (1, team_b_ctx, -1.0)}
+
+    def _side(leg):
+        key = _norm_team(str(leg["team"]))
+        if key not in sides:
+            raise ValueError(
+                f"parlay leg team {leg['team']!r} is not in this matchup "
+                f"({team_a_ctx.name} vs {team_b_ctx.name})")
+        return sides[key]
+
+    def _drn(leg):
+        side = str(leg.get("side", "")).strip().lower()
+        if side not in ("over", "under"):
+            raise ValueError(
+                f"parlay {leg.get('kind')} leg needs side 'over' or "
+                f"'under', got {leg.get('side')!r}")
+        return 1.0 if side == "over" else -1.0
+
+    rows, meta = [], []
+    for leg in legs:
+        kind = str(leg.get("kind", "")).strip().lower()
+        if kind == "spread":
+            _, tc, sgn = _side(leg)
+            line = float(leg["line"])
+            rows.append((_SRC_MARGIN, 0, 0, 0, 0, sgn, 1.0, -line))
+            meta.append({"kind": kind,
+                         "label": f"{tc.name} {line:+g}"})
+        elif kind == "moneyline":
+            _, tc, sgn = _side(leg)
+            rows.append((_SRC_MARGIN, 0, 0, 0, 0, sgn, 1.0, 0.0))
+            meta.append({"kind": kind, "label": f"{tc.name} ML"})
+        elif kind == "total":
+            drn = _drn(leg)
+            line = float(leg["line"])
+            rows.append((_SRC_TOTAL, 0, 0, 0, 0, 1.0, drn, line))
+            meta.append({"kind": kind,
+                         "label": f"{leg['side'].title()} {line:g}"})
+        elif kind == "prop":
+            side_i, tc, _ = _side(leg)
+            stat_col = STAT_ALIASES.get(str(leg["stat"]), str(leg["stat"]))
+            rc = _STAT_TO_ROLE_COL.get(stat_col)
+            if rc is None:
+                raise ValueError(f"unknown prop stat {leg['stat']!r}")
+            role_name, col = rc
+            table = role_table[role_name](tc)
+            want = str(leg["player"]).lower()
+            slot = next((k for k, nm in enumerate(table.names)
+                         if str(nm).lower() == want and table.tracked[k]),
+                        None)
+            if slot is None:
+                raise ValueError(
+                    f"player {leg['player']!r} is not tracked for "
+                    f"{tc.name}; parlay legs need a tracked player")
+            drn = _drn(leg)
+            line = float(leg["line"])
+            rows.append((_SRC_PSTAT, side_i, role_idx[role_name], slot,
+                         col, 1.0, drn, line))
+            meta.append({"kind": kind,
+                         "label": (f"{leg['player']} {leg['side'].title()} "
+                                   f"{line:g} {stat_col}")})
+        else:
+            raise ValueError(
+                f"unknown parlay leg kind {leg.get('kind')!r} (want "
+                "spread | moneyline | total | prop)")
+    if not rows:
+        raise ValueError("parlay needs at least one leg")
+    arr = np.asarray(rows, dtype=np.float32)
+    ints = tuple(arr[:, j].astype(np.int32) for j in range(5))
+    return ints + (arr[:, 5], arr[:, 6], arr[:, 7]), meta
+
+
+@lru_cache(maxsize=1)
+def _reduce_parlay_jit():
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def reduce_parlay(score, pstats, src, side, role, slot, col, sgn, drn,
+                      thr):
+        margin = (score[:, 0] - score[:, 1]).astype(jnp.float32)   # A view
+        total = score.sum(axis=1).astype(jnp.float32)
+        pv = pstats[:, side, role, slot, col]                      # (B, L)
+        game = jnp.where(src[None, :] == _SRC_MARGIN,
+                         margin[:, None] * sgn[None, :], total[:, None])
+        v = jnp.where(src[None, :] == _SRC_PSTAT, pv, game)
+        win = jnp.where(drn[None, :] > 0, v > thr[None, :], v < thr[None, :])
+        push = jnp.abs(v - thr[None, :]) <= 1e-9
+        lose = ~(win | push)
+        return {
+            "leg_win": win.sum(axis=0, dtype=jnp.int32),
+            "leg_push": push.sum(axis=0, dtype=jnp.int32),
+            "all_win": win.all(axis=1).sum(dtype=jnp.int32),
+            "no_lose": (~lose.any(axis=1)).sum(dtype=jnp.int32),
+            "all_push": push.all(axis=1).sum(dtype=jnp.int32),
+        }
+
+    return reduce_parlay
+
+
+def parlay_odds(out, team_a_ctx, team_b_ctx, legs, price: Optional[int] = None
+                ) -> Dict:
+    """Price a same-game parlay off the JOINT per-trial distribution.
+
+    `out` is a GameState from MatchupRunner.run_pairs (device-resident);
+    settlement runs in one jitted reduction over the trial axis and the
+    scalar counts come back in one packed transfer.
+
+    Settlement follows standard book rules per simulated game: the ticket
+    loses iff any leg loses; pushed legs are voided (the parlay reduces);
+    all legs pushed = full refund.  The headline fair-odds probability
+    ``p_parlay`` is P(all legs win) / P(not fully refunded) — reduced wins
+    (some legs pushed, none lost) are conservatively counted as refunds,
+    so the fair price is a floor on the ticket's true value (exact when no
+    leg can push, e.g. all half-point lines).
+
+    ``correlation_mult`` = p_all_win / prod(marginal leg win probs): the
+    same-game correlation a marginal pricer (the reference's edge_finder)
+    structurally cannot see — >1 means the legs help each other.
+
+    Prop legs settle UNCONDITIONALLY (a trial where the player never
+    records a stat counts at value 0), unlike scan_props_device's
+    activity-conditioned marginals (edge_finder.py:182-205): a parlay leg
+    cannot condition away games where its player sat."""
+    from .utils.transfer import fetch_tree
+
+    arrays, meta = resolve_parlay_legs(team_a_ctx, team_b_ctx, legs)
+    if any(m["kind"] == "prop" for m in meta) and (
+            out.pstats.ndim != 5 or out.pstats.shape[1] != 2):
+        raise ValueError(
+            "prop parlay legs need per-player stats: run with "
+            "collect_players=True")
+    red = fetch_tree(_reduce_parlay_jit()(out.score, out.pstats, *arrays))
+    n = float(out.score.shape[0])
+
+    p_all_win = float(red["all_win"]) / n
+    p_no_lose = float(red["no_lose"]) / n
+    p_void = float(red["all_push"]) / n
+    p_win_reduced = p_no_lose - p_all_win - p_void
+    p_parlay = p_all_win / max(1.0 - p_void, 1e-12)
+    leg_p = [float(w) / n for w in red["leg_win"]]
+    p_independent = float(np.prod(leg_p))
+    res: Dict = {
+        "team": team_a_ctx.name, "opp": team_b_ctx.name, "n": int(n),
+        "legs": [{**m, "p_win": round(p, 6), "p_push": round(float(q) / n, 6)}
+                 for m, p, q in zip(meta, leg_p, red["leg_push"])],
+        "p_all_win": round(p_all_win, 6),
+        "p_lose": round(1.0 - p_no_lose, 6),
+        "p_void": round(p_void, 6),
+        "p_win_reduced": round(p_win_reduced, 6),
+        "p_parlay": round(p_parlay, 6),
+        "fair_american": prob_to_american(p_parlay),
+        "p_independent": round(p_independent, 6),
+        "fair_american_independent": prob_to_american(p_independent),
+        "correlation_mult": (round(p_all_win / p_independent, 4)
+                             if p_independent > 0 else float("nan")),
+    }
+    if price is not None:
+        price = int(price)
+        profit = 100 * (100 / (-price)) if price < 0 else price
+        # pushes (full void + conservatively the reduced wins) return the
+        # stake — same stake-back convention as ev_per_100_at_minus110
+        ev = p_all_win * profit - (1.0 - p_no_lose) * 100.0
+        res.update({
+            "price": price,
+            "edge_pct": round((p_parlay - american_implied_prob(price))
+                              * 100, 2),
+            "ev_$100": round(ev, 2),
+        })
+    return res
+
+
+def print_parlay_readable(res: Dict) -> None:
+    print(f"\n=== Same-game parlay: {res['team']} vs {res['opp']} "
+          f"(n={res['n']}) ===")
+    for leg in res["legs"]:
+        print(f"  {leg['label']:<40s} p_win {leg['p_win']:.4f}"
+              + (f"  push {leg['p_push']:.4f}" if leg["p_push"] else ""))
+    print(f"  P(all legs win):        {res['p_all_win']:.4f}")
+    if res["p_win_reduced"] or res["p_void"]:
+        print(f"  P(win reduced):         {res['p_win_reduced']:.4f}   "
+              f"P(full void): {res['p_void']:.4f}")
+    print(f"  Fair odds (joint):      {_odds_str(res['fair_american'])}"
+          f"   (p={res['p_parlay']:.4f})")
+    print(f"  If legs were indep.:    "
+          f"{_odds_str(res['fair_american_independent'])}"
+          f"   (p={res['p_independent']:.4f})")
+    print(f"  Correlation multiplier: {res['correlation_mult']:.3f}x")
+    if "price" in res:
+        print(f"  At quoted {_odds_str(res['price'])}: edge "
+              f"{res['edge_pct']:+.2f}%  EV ${res['ev_$100']:+.2f}/$100")
+
+
+# ---------------------------------------------------------------------------
 # device-summary variants (on-device histogram -> edges without files)
 # ---------------------------------------------------------------------------
 

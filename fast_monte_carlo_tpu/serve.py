@@ -301,8 +301,43 @@ class SimService:
                 "elapsed_s": round(time.perf_counter() - t0, 3)}
 
 
+    def parlay(self, body: dict) -> dict:
+        """Same-game parlay pricing off the joint per-trial distribution.
+
+            POST /parlay {"team_a": "...", "team_b": "...",
+                          "legs": [{"kind": "moneyline", "team": "..."},
+                                   {"kind": "total", "side": "over",
+                                    "line": 55.5}],
+                          "n_pairs": 32768, "price": 450}
+
+        Leg kinds: spread / moneyline / total / prop (see
+        edge.resolve_parlay_legs).  Prop legs need the service to run with
+        a focus csv so players are tracked."""
+        from .api import simulate_parlay
+
+        legs = body["legs"]
+        if not isinstance(legs, list) or not 0 < len(legs) <= 20:
+            raise ValueError("legs must be a JSON array of 1..20 leg objects")
+        price = body.get("price")
+        t0 = time.perf_counter()
+        with self._lock:
+            self._requests += 1
+            res = simulate_parlay(
+                body["team_a"], body["team_b"], legs,
+                sp_path=self.cfg.sp_path, year=self.cfg.year,
+                week=self.cfg.week, n_pairs=self._n_pairs(body, 32768),
+                artifact_dir=self.cfg.artifact_dir,
+                focus_csv=self.cfg.focus_csv, mode=self._mode(body),
+                table_quality=self.cfg.table_quality,
+                shard=bool(body.get("shard", self.cfg.shard)),
+                seed=int(body.get("seed", 0)),
+                price=None if price is None else int(price))
+        return {"parlay": jsonable(res),
+                "elapsed_s": round(time.perf_counter() - t0, 3)}
+
+
 _ROUTES = {"/slate": "slate", "/sim": "sim", "/props": "props",
-           "/live": "live"}
+           "/live": "live", "/parlay": "parlay"}
 
 
 class _Handler(BaseHTTPRequestHandler):

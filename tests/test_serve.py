@@ -136,6 +136,28 @@ def test_live_endpoint(server):
         assert code == 400, (bad, err)
 
 
+def test_parlay_endpoint(server):
+    """Same-game parlay pricing over the wire + its guards."""
+    base, _ = server
+    body = {"team_a": "Kansas State", "team_b": "Iowa State",
+            "n_pairs": 256, "price": 260,
+            "legs": [{"kind": "moneyline", "team": "Kansas State"},
+                     {"kind": "total", "side": "over", "line": 49.5}]}
+    code, out = _post(base + "/parlay", body)
+    assert code == 200, out
+    res = out["parlay"]
+    assert res["n"] == 512
+    assert 0.0 <= res["p_all_win"] <= min(
+        leg["p_win"] for leg in res["legs"]) + 1e-9
+    assert {"fair_american", "correlation_mult", "ev_$100"} <= set(res)
+    # guards: empty/oversized legs, unknown team, unknown kind
+    for bad_legs in ([], [{"kind": "moneyline", "team": "KSU"}] * 21,
+                     [{"kind": "moneyline", "team": "Ohio State"}],
+                     [{"kind": "teaser", "team": "Kansas State"}]):
+        code, err = _post(base + "/parlay", {**body, "legs": bad_legs})
+        assert code == 400, (bad_legs, err)
+
+
 def test_bad_body_and_unknown_route(server):
     base, _ = server
     code, out = _post(base + "/slate", {"n_pairs": 64})  # missing games
