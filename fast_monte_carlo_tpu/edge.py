@@ -778,11 +778,70 @@ def parlay_odds(out, team_a_ctx, team_b_ctx, legs, price: Optional[int] = None
     return res
 
 
+def cross_game_parlay(blocks, price: Optional[int] = None) -> Dict:
+    """Combine per-game parlay blocks into one cross-game ticket.
+
+    `blocks` are parlay_odds results for DISTINCT matchups.  Distinct games
+    are simulated independently (separate trial streams), so the joint
+    settlement probabilities multiply exactly — no approximation: the
+    ticket loses iff any block loses, is fully void iff every block is,
+    and wins whole iff every block does.  Within-game correlation stays
+    fully priced inside each block; `correlation_mult` is therefore the
+    product of the blocks' own multipliers (vs pricing every leg
+    independently, as a marginal-only pricer would)."""
+    if not blocks:
+        raise ValueError("cross-game parlay needs at least one block")
+    seen = set()
+    for blk in blocks:
+        g = (_norm_team(blk["team"]), _norm_team(blk["opp"]))
+        if g in seen or g[::-1] in seen:
+            raise ValueError(
+                f"two blocks price the same game {blk['team']} vs "
+                f"{blk['opp']}: merge their legs into ONE same-game block "
+                "(blocks multiply as independent, same-game legs are not)")
+        seen.add(g)
+    p_all_win = float(np.prod([b["p_all_win"] for b in blocks]))
+    p_no_lose = float(np.prod([1.0 - b["p_lose"] for b in blocks]))
+    p_void = float(np.prod([b["p_void"] for b in blocks]))
+    p_independent = float(np.prod([b["p_independent"] for b in blocks]))
+    p_parlay = p_all_win / max(1.0 - p_void, 1e-12)
+    res: Dict = {
+        "games": [f"{b['team']} vs {b['opp']}" for b in blocks],
+        "legs": [{**leg, "game": f"{b['team']} vs {b['opp']}"}
+                 for b in blocks for leg in b["legs"]],
+        "p_all_win": round(p_all_win, 6),
+        "p_lose": round(1.0 - p_no_lose, 6),
+        "p_void": round(p_void, 6),
+        "p_win_reduced": round(max(0.0, p_no_lose - p_all_win - p_void), 6),
+        "p_parlay": round(p_parlay, 6),
+        "fair_american": prob_to_american(p_parlay),
+        "p_independent": round(p_independent, 6),
+        "fair_american_independent": prob_to_american(p_independent),
+        "correlation_mult": (round(p_all_win / p_independent, 4)
+                             if p_independent > 0 else float("nan")),
+    }
+    if price is not None:
+        price = int(price)
+        profit = 100 * (100 / (-price)) if price < 0 else price
+        ev = p_all_win * profit - (1.0 - p_no_lose) * 100.0
+        res.update({
+            "price": price,
+            "edge_pct": round((p_parlay - american_implied_prob(price))
+                              * 100, 2),
+            "ev_$100": round(ev, 2),
+        })
+    return res
+
+
 def print_parlay_readable(res: Dict) -> None:
-    print(f"\n=== Same-game parlay: {res['team']} vs {res['opp']} "
-          f"(n={res['n']}) ===")
+    if "team" in res:
+        print(f"\n=== Same-game parlay: {res['team']} vs {res['opp']} "
+              f"(n={res['n']}) ===")
+    else:
+        print(f"\n=== Cross-game parlay: {' + '.join(res['games'])} ===")
     for leg in res["legs"]:
-        print(f"  {leg['label']:<40s} p_win {leg['p_win']:.4f}"
+        tag = f" [{leg['game']}]" if "game" in leg else ""
+        print(f"  {leg['label'] + tag:<40s} p_win {leg['p_win']:.4f}"
               + (f"  push {leg['p_push']:.4f}" if leg["p_push"] else ""))
     print(f"  P(all legs win):        {res['p_all_win']:.4f}")
     if res["p_win_reduced"] or res["p_void"]:

@@ -192,6 +192,50 @@ def test_prop_leg_requires_player_stats(tiny_out):
     assert 0 < res["p_all_win"] < 1
 
 
+def test_cross_game_parlay_exact_product(tiny_out):
+    """Independent blocks multiply exactly: verify against brute-force
+    settlement over the cartesian product of the two games' trials."""
+    from fast_monte_carlo_tpu.edge import cross_game_parlay
+
+    a, b, out, score, pstats = tiny_out
+    c = _Ctx("Gamma", qb=["QB C"])
+    d = _Ctx("Delta", qb=["QB D"])
+    score2 = np.array([[35, 10], [21, 24], [27, 27], [17, 13]])
+    out2 = _Out(score2, np.zeros((4, 2, 3, 1, 6), np.float32))
+
+    legs1 = [{"kind": "spread", "team": "Alpha", "line": -3.5},
+             {"kind": "total", "side": "over", "line": 52}]
+    legs2 = [{"kind": "moneyline", "team": "Gamma"}]
+    blk1 = parlay_odds(out, a, b, legs1)
+    blk2 = parlay_odds(out2, c, d, legs2)
+    res = cross_game_parlay([blk1, blk2], price=700)
+
+    # brute force: settle every (trial_i, trial_j) pair jointly
+    w1 = _settle_reference(score, pstats, legs1, a, b)
+    w2 = _settle_reference(score2, np.zeros((4, 2, 3, 1, 6), np.float32),
+                           legs2, c, d)
+    assert res["p_all_win"] == pytest.approx(
+        w1["p_all_win"] * w2["p_all_win"], abs=1e-5)
+    assert res["p_lose"] == pytest.approx(
+        1 - (1 - w1["p_lose"]) * (1 - w2["p_lose"]), abs=1e-5)
+    assert res["p_void"] == pytest.approx(
+        w1["p_void"] * w2["p_void"], abs=1e-5)
+    assert res["p_all_win"] + res["p_lose"] + res["p_void"] \
+        + res["p_win_reduced"] == pytest.approx(1.0, abs=5e-6)
+    # legs carry their game tag; within-game correlation multiplies through
+    assert len(res["legs"]) == 3 and all("game" in leg for leg in res["legs"])
+    assert res["correlation_mult"] == pytest.approx(
+        blk1["correlation_mult"] * blk2["correlation_mult"], abs=1e-3)
+    assert "ev_$100" in res and "edge_pct" in res
+    # same game twice is refused
+    with pytest.raises(ValueError, match="same game"):
+        cross_game_parlay([blk1, parlay_odds(out, a, b, legs2 := [
+            {"kind": "moneyline", "team": "Alpha"}])])
+    # printer handles the cross shape
+    from fast_monte_carlo_tpu.edge import print_parlay_readable
+    print_parlay_readable(res)
+
+
 # --------------------------------------------------------------------------
 # real-engine integration
 # --------------------------------------------------------------------------
