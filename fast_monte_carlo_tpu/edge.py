@@ -778,6 +778,53 @@ def parlay_odds(out, team_a_ctx, team_b_ctx, legs, price: Optional[int] = None
     return res
 
 
+@lru_cache(maxsize=1)
+def _leg_corr_jit():
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def leg_corr(score, pstats, src, side, role, slot, col, sgn, drn, thr):
+        margin = (score[:, 0] - score[:, 1]).astype(jnp.float32)
+        total = score.sum(axis=1).astype(jnp.float32)
+        pv = pstats[:, side, role, slot, col]
+        game = jnp.where(src[None, :] == _SRC_MARGIN,
+                         margin[:, None] * sgn[None, :], total[:, None])
+        v = jnp.where(src[None, :] == _SRC_PSTAT, pv, game)
+        w = jnp.where(drn[None, :] > 0, v > thr[None, :],
+                      v < thr[None, :]).astype(jnp.float32)   # win indicator
+        B = w.shape[0]
+        mu = w.mean(axis=0)
+        cov = w.T @ w / B - mu[:, None] * mu[None, :]
+        sd = jnp.sqrt(jnp.maximum(jnp.diagonal(cov), 0.0))
+        denom = sd[:, None] * sd[None, :]
+        return jnp.where(denom > 0, cov / jnp.maximum(denom, 1e-30),
+                         jnp.nan)
+
+    return leg_corr
+
+
+def parlay_correlations(out, team_a_ctx, team_b_ctx, legs) -> pd.DataFrame:
+    """Pairwise Pearson correlations between the legs' WIN indicators over
+    the joint trial sample (pushes count as non-wins).  A ticket-building
+    diagnostic for parlay_odds: legs with positive correlation price above
+    their independence product, negative below.  Impossible in the
+    reference for the same reason as parlay_odds — edge_finder.py never
+    sees two markets' outcomes on the same trial."""
+    from .utils.transfer import fetch_tree
+
+    arrays, meta = resolve_parlay_legs(team_a_ctx, team_b_ctx, legs)
+    if any(m["kind"] == "prop" for m in meta) and (
+            out.pstats.ndim != 5 or out.pstats.shape[1] != 2):
+        raise ValueError(
+            "prop parlay legs need per-player stats: run with "
+            "collect_players=True")
+    corr = fetch_tree(_leg_corr_jit()(out.score, out.pstats, *arrays))
+    labels = [m["label"] for m in meta]
+    return pd.DataFrame(np.asarray(corr, dtype=float), index=labels,
+                        columns=labels)
+
+
 def cross_game_parlay(blocks, price: Optional[int] = None) -> Dict:
     """Combine per-game parlay blocks into one cross-game ticket.
 

@@ -192,6 +192,34 @@ def test_prop_leg_requires_player_stats(tiny_out):
     assert 0 < res["p_all_win"] < 1
 
 
+def test_parlay_correlations(tiny_out):
+    """Leg-indicator correlation matrix vs numpy's corrcoef on the same
+    win indicators."""
+    from fast_monte_carlo_tpu.edge import parlay_correlations
+
+    a, b, out, score, pstats = tiny_out
+    legs = [{"kind": "moneyline", "team": "Alpha"},
+            {"kind": "spread", "team": "Alpha", "line": -0.5},
+            {"kind": "total", "side": "over", "line": 52},
+            {"kind": "prop", "team": "Alpha", "player": "QB A",
+             "stat": "pass_yds", "side": "over", "line": 245.5}]
+    df = parlay_correlations(out, a, b, legs)
+    assert df.shape == (4, 4) and list(df.index) == list(df.columns)
+
+    w = _settle_reference(score, pstats, legs, a, b)  # noqa: F841 (labels)
+    # rebuild the win indicators directly
+    wins = []
+    margins = (score[:, 0] - score[:, 1]).astype(np.float32)
+    wins.append(margins > 0)
+    wins.append(margins > 0.5)
+    wins.append(score.sum(1) > 52)
+    wins.append(pstats[:, 0, 0, 0, 2] > 245.5)
+    want = np.corrcoef(np.stack(wins).astype(float))
+    assert np.allclose(df.to_numpy(), want, atol=1e-5, equal_nan=True)
+    # ML and -0.5 cover are the same event here -> correlation 1
+    assert df.iloc[0, 1] == pytest.approx(1.0, abs=1e-6)
+
+
 def test_cross_game_parlay_exact_product(tiny_out):
     """Independent blocks multiply exactly: verify against brute-force
     settlement over the cartesian product of the two games' trials."""
