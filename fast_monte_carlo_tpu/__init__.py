@@ -10,7 +10,8 @@ structural map of the reference and README.md for usage.
 from .config import SimConfig, DEFAULT_CONFIG, classic_config
 from .api import (
     MatchupRunner, simulate_matchup, simulate_upcoming_matchup, simulate_slate,
-    simulate_slate_summaries, simulate_live_game, simulate_parlay,
+    simulate_slate_summaries, simulate_live_game, simulate_live_curve,
+    evaluate_fourth_down, simulate_parlay,
     scores_frame, players_frame,
     summary_frame, csv_base_from,
 )
@@ -28,7 +29,7 @@ __all__ = [
     "SimConfig", "DEFAULT_CONFIG", "classic_config",
     "MatchupRunner", "simulate_matchup", "simulate_upcoming_matchup",
     "simulate_slate", "simulate_slate_summaries", "simulate_live_game",
-    "simulate_parlay",
+    "simulate_live_curve", "evaluate_fourth_down", "simulate_parlay",
     "Situation",
     "scores_frame", "players_frame", "summary_frame",
     "csv_base_from",

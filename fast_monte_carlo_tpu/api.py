@@ -269,6 +269,90 @@ class MatchupRunner:
             _ = np.asarray(summary.n)
         return summary
 
+    def run_live_batch(self, situations, n_games_per: int = 8192,
+                       seed: int = 0, block: bool = True,
+                       key: Optional[jnp.ndarray] = None):
+        """Price MANY mid-game situations in ONE launch (the win-probability
+        curve): each of the S `situations` gets `n_games_per` resumed
+        trials, packed as one S*n_games_per-trial batch whose per-trial
+        Situation arrays select each trial's resume state — the TPU-native
+        replacement for S sequential run_live calls (one dispatch, one
+        compiled program per (S, n_games_per) shape, one readback).
+        Returns a ScoreSummary whose leaves carry a leading S axis in
+        `situations` order.
+
+        Use for WP charts (one situation per game event) and score ladders
+        (one state priced across hypothetical scores).  Single-device by
+        design: per-trial situation arrays don't ride the trial mesh here
+        (shard each call with run_live instead if you need the mesh)."""
+        if not situations:
+            raise ValueError("run_live_batch needs at least one situation")
+        if n_games_per <= 0:
+            raise ValueError(
+                f"n_games_per must be positive, got {n_games_per}")
+        sits = [_validated_situation(s, self.cfg) for s in situations]
+        dsit = _device_situation(Situation(
+            *([getattr(s, f) for s in sits] for f in Situation._fields)))
+        cfg_r, heads_fn_r = self._resolved(False)
+        root = key if key is not None else jax.random.PRNGKey(seed)
+        m = _live_batch_moments_jit(cfg_r, heads_fn_r)(
+            self.pack, self.heads_state, root, dsit, len(sits), n_games_per)
+        summary = _summary_from_batch_moments_jit()(m)
+        if block:
+            _ = np.asarray(summary.n)
+        return summary
+
+    def run_fourth_decision(self, situation: Situation,
+                            n_games: int = 65536, seed: int = 0,
+                            chunk_games: int = 65536,
+                            choices=("policy", "go", "fg", "punt"),
+                            key: Optional[jnp.ndarray] = None) -> dict:
+        """Win probability of each 4th-down choice from one situation.
+
+        For every choice the FIRST play is forced ('go' = snap for it,
+        'fg' = kick regardless of range, 'punt') by running one play_step
+        under a fourth.force cfg variant, after which the game continues
+        under the runner's normal config; 'policy' is the unforced live
+        run.  All choices share the same continuation draw streams (common
+        random numbers), so their win-prob DIFFERENCES have far less MC
+        noise than independent runs.  Returns {choice: ScoreSummary}
+        (device-resident; fetch together in one transfer).  The reference
+        cannot ask this question at all — handle_fourth always samples its
+        policy (fast_monte_carlo_cfb.py:1394-1421).  Single-device (the
+        evaluator is a ~handful of launches, not a sweep)."""
+        import dataclasses as _dc
+
+        sit = _validated_situation(situation, self.cfg)
+        if not isinstance(sit.down, (int, np.integer)) or int(sit.down) != 4:
+            raise ValueError(
+                "run_fourth_decision needs a concrete down=4 situation "
+                f"(got down={sit.down!r})")
+        dsit = _device_situation(sit)
+        cfg_r, heads_fn_r = self._resolved(False)
+        chunk = min(chunk_games, n_games)
+        n_chunks = -(-n_games // chunk)
+        root = key if key is not None else jax.random.PRNGKey(seed)
+        res = {}
+        for choice in choices:
+            if choice == "policy":
+                fn = _live_moments_jit(cfg_r, heads_fn_r)
+            elif choice in ("go", "fg", "punt"):
+                cfg_f = _dc.replace(
+                    cfg_r, fourth=_dc.replace(cfg_r.fourth, force=choice))
+                fn = _forced_live_moments_jit(cfg_r, cfg_f, heads_fn_r)
+            else:
+                raise ValueError(
+                    f"unknown 4th-down choice {choice!r} "
+                    "(want policy | go | fg | punt)")
+            acc = None
+            for ci in range(n_chunks):
+                # same chunk keys for every choice — CRN across choices
+                m = fn(self.pack, self.heads_state,
+                       jax.random.fold_in(root, ci), dsit, chunk)
+                acc = m if acc is None else acc + m
+            res[choice] = _summary_from_moments_jit()(acc)
+        return res
+
 
 def _validated_situation(sit: Situation, cfg: SimConfig) -> Situation:
     """Host-side sanity bounds, applied only to concrete (non-traced)
@@ -322,6 +406,65 @@ def _live_moments_jit(cfg: SimConfig, heads_fn):
             pack, cfg, heads_fn, hs, key, n, 0, collect_players=False,
             collect_stats=False, situation=sit).score),
         static_argnums=(4,))
+
+
+@lru_cache(maxsize=32)
+def _live_batch_moments_jit(cfg: SimConfig, heads_fn):
+    """S situations x n_per trials in one score-only launch, reduced to
+    per-situation ScoreMoments (leading S axis) on device.  The (S,)
+    situation arrays are runtime inputs; only (S, n_per) is a compile
+    key."""
+    from .parallel.aggregate import score_moments
+
+    def run(pack, hs, key, sit, S, n_per):
+        B = S * n_per
+        per = Situation(*(jnp.repeat(a, n_per, total_repeat_length=B)
+                          for a in sit))
+        out = simulate_games(pack, cfg, heads_fn, hs, key, B, 0,
+                             collect_players=False, collect_stats=False,
+                             situation=per)
+        return jax.vmap(score_moments)(out.score.reshape(S, n_per, 2))
+
+    return jax.jit(run, static_argnums=(4, 5))
+
+
+@lru_cache(maxsize=1)
+def _summary_from_batch_moments_jit():
+    from .parallel.aggregate import summary_from_moments
+
+    return jax.jit(jax.vmap(summary_from_moments))
+
+
+# forced-first-play draw stream id: disjoint from the chunk loop's
+# absolute-step fold_in indices (max_plays << 2**20)
+_FORCED_PLAY_STREAM = 1 << 20
+
+
+@lru_cache(maxsize=32)
+def _forced_live_moments_jit(cfg: SimConfig, cfg_forced: SimConfig,
+                             heads_fn):
+    """One play under `cfg_forced` (fourth.force set) from the resumed
+    situation, then the rest of the game under the normal `cfg` — the
+    4th-down evaluator's engine.  The forced play draws from
+    fold_in(key, _FORCED_PLAY_STREAM); the continuation reuses the SAME
+    per-step streams as the unforced live program, so choices share common
+    random numbers and their win-prob deltas are low-variance."""
+    from .ops.game import play_step, state_from_situation
+    from .parallel.aggregate import score_moments
+
+    def run(pack, hs, key, sit, n):
+        init = state_from_situation(n, sit, cfg, pack.k, 0,
+                                    collect_players=False,
+                                    collect_stats=False)
+        kf = jax.random.fold_in(key, _FORCED_PLAY_STREAM)
+        s1 = play_step(init, kf, pack, cfg_forced, heads_fn, hs,
+                       collect_players=False, collect_stats=False)
+        out = simulate_games(pack, cfg, heads_fn, hs, key, n, 0,
+                             collect_players=False, collect_stats=False,
+                             init_state=s1)
+        return score_moments(out.score)
+
+    return jax.jit(run, static_argnums=(4,))
 
 
 @lru_cache(maxsize=8)
@@ -1034,6 +1177,23 @@ def simulate_slate_summaries(
     return df
 
 
+def _prepared_runner(team_a, team_b, *, sp_path, year, week, artifact_dir,
+                     focus_csv, mode, table_quality, cfg, shard):
+    """Shared cold-path prep of the single-matchup entry points: memoized
+    heads/context loads + the runner memo.  Returns (runner, ctx_a, ctx_b,
+    cfg)."""
+    cfg = cfg or SimConfig()
+    heads = load_heads(artifact_dir)
+    sp_df = load_sp_flex(sp_path)
+    a = build_team_context_from_sp_flex(
+        team_a, year, week, sp_df, focus_csv=focus_csv,
+        player_slots=cfg.engine.player_slots)
+    b = build_team_context_from_sp_flex(
+        team_b, year, week, sp_df, focus_csv=focus_csv,
+        player_slots=cfg.engine.player_slots)
+    return _runner_for(a, b, heads, cfg, mode, table_quality, shard), a, b, cfg
+
+
 def simulate_live_game(
     team_a: str,
     team_b: str,
@@ -1064,16 +1224,10 @@ def simulate_live_game(
     answers repeat live queries at serving latency — the situation is a
     runtime input to one cached compiled program, never a recompile key.
     No reference counterpart (its simulate_game is kickoff-only)."""
-    cfg = cfg or SimConfig()
-    heads = load_heads(artifact_dir)
-    sp_df = load_sp_flex(sp_path)
-    a = build_team_context_from_sp_flex(
-        team_a, year, week, sp_df, focus_csv=focus_csv,
-        player_slots=cfg.engine.player_slots)
-    b = build_team_context_from_sp_flex(
-        team_b, year, week, sp_df, focus_csv=focus_csv,
-        player_slots=cfg.engine.player_slots)
-    runner = _runner_for(a, b, heads, cfg, mode, table_quality, shard)
+    runner, a, b, cfg = _prepared_runner(
+        team_a, team_b, sp_path=sp_path, year=year, week=week,
+        artifact_dir=artifact_dir, focus_csv=focus_csv, mode=mode,
+        table_quality=table_quality, cfg=cfg, shard=shard)
     summary = runner.run_live(situation, n_games=n_games, seed=seed,
                               chunk_games=chunk_games, block=False)
     s = fetch_tree(summary)
@@ -1095,6 +1249,142 @@ def simulate_live_game(
         "n_games": int(s.n),
     }
     return row, s
+
+
+def simulate_live_curve(
+    team_a: str,
+    team_b: str,
+    situations,
+    *,
+    sp_path: str,
+    year: int = 2025,
+    week: int = 1,
+    n_games_per: int = 8192,
+    artifact_dir: str = "/root/reference",
+    focus_csv: Optional[str] = None,
+    mode: str = "table",
+    table_quality: str = "nano",
+    cfg: Optional[SimConfig] = None,
+    seed: int = 0,
+):
+    """Win-probability curve: price a LIST of mid-game situations in one
+    launch (MatchupRunner.run_live_batch — S situations x n_games_per
+    trials packed into one batch, per-situation reductions on device, one
+    readback).  Returns (DataFrame of one headline row per situation in
+    input order, stacked ScoreSummary with a leading S axis for market
+    pricing per point).  Feed it a game's event log for a WP chart, or one
+    state across hypothetical scores for a ladder.  No reference
+    counterpart (its simulate_game is kickoff-only and one-state-at-a-
+    time)."""
+    runner, a, b, cfg = _prepared_runner(
+        team_a, team_b, sp_path=sp_path, year=year, week=week,
+        artifact_dir=artifact_dir, focus_csv=focus_csv, mode=mode,
+        table_quality=table_quality, cfg=cfg, shard=False)
+    stacked = runner.run_live_batch(situations, n_games_per=n_games_per,
+                                    seed=seed, block=False)
+    s = fetch_tree(stacked)
+    rows = []
+    for i, sit in enumerate(situations):
+        rows.append({
+            "team_a": team_a, "team_b": team_b,
+            "offense": int(np.asarray(sit.offense)),
+            "sec": int(np.asarray(sit.sec)),
+            "down": int(np.asarray(sit.down)),
+            "dist": float(np.asarray(sit.dist)),
+            "ytg": float(np.asarray(sit.ytg)),
+            "score_a": int(np.asarray(sit.score_a)),
+            "score_b": int(np.asarray(sit.score_b)),
+            "win_a": float(s.win_rate[i, 0]),
+            "win_b": float(s.win_rate[i, 1]),
+            "tie": float(s.tie_rate[i]),
+            "mean_a": float(s.mean_pts[i, 0]),
+            "mean_b": float(s.mean_pts[i, 1]),
+            "mean_margin_a": float(s.mean_pts[i, 0] - s.mean_pts[i, 1]),
+            "mean_total": float(s.mean_pts[i, 0] + s.mean_pts[i, 1]),
+            "n_games": int(s.n[i]),
+        })
+    return pd.DataFrame(rows), s
+
+
+def evaluate_fourth_down(
+    team_a: str,
+    team_b: str,
+    situation: Situation,
+    *,
+    sp_path: str,
+    year: int = 2025,
+    week: int = 1,
+    n_games: int = 65536,
+    artifact_dir: str = "/root/reference",
+    focus_csv: Optional[str] = None,
+    mode: str = "table",
+    table_quality: str = "nano",
+    cfg: Optional[SimConfig] = None,
+    seed: int = 0,
+    chunk_games: int = 65536,
+    choices=("policy", "go", "fg", "punt"),
+) -> dict:
+    """4th-down decision chart: from a down=4 `situation`, force the first
+    play each way (go / field goal / punt) and report the offense's win
+    probability under each choice next to the engine's own sampled policy
+    (MatchupRunner.run_fourth_decision; the choices share continuation
+    draw streams, so the DIFFERENCES are common-random-number precise).
+    The reference cannot ask this — handle_fourth always samples its
+    policy (fast_monte_carlo_cfb.py:1394-1421).
+
+    Returns {"choices": {choice: row}, "best": <forced choice with top
+    offense win prob>, "best_vs_policy_pp": delta, "se_pp": the single-
+    choice MC scale}.  `fg` is priced even from silly range (the make
+    curve floors at fg_long_prob); `row["fg_make_prob"]` says what the
+    kick is."""
+    from .models import analytic
+
+    runner, a, b, cfg = _prepared_runner(
+        team_a, team_b, sp_path=sp_path, year=year, week=week,
+        artifact_dir=artifact_dir, focus_csv=focus_csv, mode=mode,
+        table_quality=table_quality, cfg=cfg, shard=False)
+    summaries = runner.run_fourth_decision(
+        situation, n_games=n_games, seed=seed, chunk_games=chunk_games,
+        choices=choices)
+    fetched = fetch_tree(summaries)   # every choice in ONE packed transfer
+    off = int(np.asarray(situation.offense))
+    out = {}
+    for choice, s in fetched.items():
+        row = {
+            "win_off": round(float(s.win_rate[off]), 6),
+            "win_a": round(float(s.win_rate[0]), 6),
+            "win_b": round(float(s.win_rate[1]), 6),
+            "tie": round(float(s.tie_rate), 6),
+            "mean_margin_off": round(
+                float(s.mean_pts[0] - s.mean_pts[1]) * (1 - 2 * off), 3),
+            "n_games": int(s.n),
+        }
+        if choice == "fg":
+            row["fg_make_prob"] = round(float(analytic.field_goal_prob(
+                float(np.asarray(situation.ytg))
+                + cfg.st.fg_snap_plus_endzone, cfg)), 4)
+        out[choice] = row
+    forced = [c for c in out if c != "policy"]
+    best = max(forced, key=lambda c: out[c]["win_off"]) if forced else None
+    p = out[best]["win_off"] if best else out["policy"]["win_off"]
+    res = {
+        "team_a": team_a, "team_b": team_b,
+        "situation": {
+            "offense": off, "sec": int(np.asarray(situation.sec)),
+            "down": int(np.asarray(situation.down)),
+            "dist": float(np.asarray(situation.dist)),
+            "ytg": float(np.asarray(situation.ytg)),
+            "score_a": int(np.asarray(situation.score_a)),
+            "score_b": int(np.asarray(situation.score_b)),
+        },
+        "choices": out, "best": best,
+        "se_pp": round(100 * float(np.sqrt(max(p * (1 - p), 1e-12)
+                                           / max(n_games, 1))), 3),
+    }
+    if best is not None and "policy" in out:
+        res["best_vs_policy_pp"] = round(
+            (out[best]["win_off"] - out["policy"]["win_off"]) * 100, 2)
+    return res
 
 
 def simulate_parlay(
@@ -1126,18 +1416,12 @@ def simulate_parlay(
     Player stats are only collected (and only then cost sim throughput)
     when a prop leg is present.  `price` (American, e.g. +450) adds quoted
     edge/EV columns to the result."""
-    cfg = cfg or SimConfig()
-    heads = load_heads(artifact_dir)
-    sp_df = load_sp_flex(sp_path)
-    a = build_team_context_from_sp_flex(
-        team_a, year, week, sp_df, focus_csv=focus_csv,
-        player_slots=cfg.engine.player_slots)
-    b = build_team_context_from_sp_flex(
-        team_b, year, week, sp_df, focus_csv=focus_csv,
-        player_slots=cfg.engine.player_slots)
+    runner, a, b, cfg = _prepared_runner(
+        team_a, team_b, sp_path=sp_path, year=year, week=week,
+        artifact_dir=artifact_dir, focus_csv=focus_csv, mode=mode,
+        table_quality=table_quality, cfg=cfg, shard=shard)
     # validate the legs BEFORE simulating: a bad leg must not cost a run
     edge.resolve_parlay_legs(a, b, legs)
-    runner = _runner_for(a, b, heads, cfg, mode, table_quality, shard)
     want_players = any(
         str(leg.get("kind", "")).strip().lower() == "prop" for leg in legs)
     out = runner.run_pairs(n_pairs, seed=seed,

@@ -87,6 +87,47 @@ def _cmd_live(args) -> int:
     return 0
 
 
+def _cmd_fourth(args) -> int:
+    """4th-down decision chart: forced go/FG/punt win probabilities next to
+    the engine's sampled policy (no reference counterpart — handle_fourth
+    always samples, fast_monte_carlo_cfb.py:1394-1421)."""
+    from .api import evaluate_fourth_down
+    from .config import SimConfig
+    from .ops.game import Situation
+
+    if args.sec is not None:
+        sec = args.sec
+    else:
+        qsec = SimConfig().clock.quarter_seconds
+        mm, ss = (args.clock or "15:00").split(":")
+        sec = (4 - args.quarter) * qsec + int(mm) * 60 + int(ss)
+    offense = {"a": 0, "b": 1}[args.offense.strip().lower()]
+    sa, sb = (int(v) for v in args.score.split("-"))
+    sit = Situation(offense=offense, sec=int(sec), down=4,
+                    dist=args.dist, ytg=args.ytg, score_a=sa, score_b=sb)
+    res = evaluate_fourth_down(
+        args.team_a, args.team_b, sit, sp_path=args.sp, year=args.year,
+        week=args.week, n_games=args.n, artifact_dir=args.artifacts,
+        focus_csv=args.focus, mode=args.mode, table_quality=args.quality,
+        seed=args.seed)
+    off_team = (args.team_a, args.team_b)[offense]
+    print(f"{args.team_a} {sa} - {sb} {args.team_b} | 4th & {args.dist:g} "
+          f"at ytg {args.ytg:g}, {sec}s left | {off_team} ball")
+    for choice in ("policy", "go", "fg", "punt"):
+        if choice not in res["choices"]:
+            continue
+        row = res["choices"][choice]
+        extra = (f"  (make prob {row['fg_make_prob']:.2f})"
+                 if choice == "fg" else "")
+        mark = "  <-- best" if choice == res["best"] else ""
+        print(f"  {choice:<7s} win({off_team}) {row['win_off']:.4f}   "
+              f"margin {row['mean_margin_off']:+.2f}{extra}{mark}")
+    print(f"  best {res['best']} vs policy: {res['best_vs_policy_pp']:+.2f}pp"
+          f"   (MC scale ~{res['se_pp']:.2f}pp/choice; deltas are "
+          "CRN-paired)")
+    return 0
+
+
 def _cmd_parlay(args) -> int:
     """Same-game parlay pricing off the joint per-trial distribution (no
     reference counterpart — edge_finder.py only prices marginals)."""
@@ -407,6 +448,37 @@ def main(argv=None) -> int:
     pg.add_argument("--shard", action="store_true",
                     help="shard the trial axis over all devices")
     pg.set_defaults(fn=_cmd_live)
+
+    pf = sub.add_parser(
+        "fourth", help="4th-down decision chart (forced go/fg/punt vs policy)")
+    pf.add_argument("team_a")
+    pf.add_argument("team_b")
+    pf.add_argument("--sp", required=True, help="SP+ csv path")
+    pf.add_argument("--offense", default="A",
+                    help="side with the ball: A or B")
+    pf.add_argument("--sec", type=int, default=None,
+                    help="seconds remaining in the GAME (overrides "
+                         "--quarter/--clock)")
+    pf.add_argument("--quarter", type=int, default=4, choices=[1, 2, 3, 4])
+    pf.add_argument("--clock", default=None,
+                    help="MM:SS remaining in the quarter (default 15:00)")
+    pf.add_argument("--dist", type=float, required=True,
+                    help="yards to the first-down marker")
+    pf.add_argument("--ytg", type=float, required=True,
+                    help="yards to the opponent goal line (1-99)")
+    pf.add_argument("--score", default="0-0",
+                    help="current score as A-B, e.g. 21-17")
+    pf.add_argument("-n", type=int, default=65536,
+                    help="number of GAMES per choice")
+    pf.add_argument("--year", type=int, default=2025)
+    pf.add_argument("--week", type=int, default=1)
+    pf.add_argument("--seed", type=int, default=0)
+    pf.add_argument("--mode", default="table",
+                    choices=["table", "exact", "analytic"])
+    pf.add_argument("--quality", default="nano")
+    pf.add_argument("--focus", default=None)
+    pf.add_argument("--artifacts", default="/root/reference")
+    pf.set_defaults(fn=_cmd_fourth)
 
     pp = sub.add_parser(
         "parlay", help="price a same-game parlay off the joint distribution")

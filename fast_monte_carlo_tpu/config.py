@@ -80,6 +80,16 @@ class FourthDownConfig:
     """Go-for-it policy table (fast_monte_carlo_cfb.py:1336-1378, 1394)."""
 
     go_multiplier: float = 1.15          # p_go = min(1, table * 1.15) (:1394)
+    # Decision override for EVERY 4th down in the program: None (policy,
+    # the default — the compiled program is textually identical to the
+    # pre-knob engine), 'go', 'fg', or 'punt'.  Exists for the 4th-down
+    # decision evaluator (api.evaluate_fourth_down), which applies a
+    # forced-cfg play_step to ONLY the first play of a resumed situation
+    # and continues under the normal cfg — never set this on a full-game
+    # config unless you mean every 4th down.  No reference counterpart
+    # (handle_fourth always samples its policy, fast_monte_carlo_cfb.py
+    # :1394-1421).
+    force: Optional[str] = None
     late_seconds: int = 300
     late_trailing_long_fg_ytg: float = 38.0
     late_trailing_go_long: float = 0.90  # trailing, <5min, ytg > 38 (:1344)

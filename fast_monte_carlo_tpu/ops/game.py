@@ -389,10 +389,30 @@ def play_step(
     p_go = jnp.minimum(1.0, analytic.go_for_it_prob(
         ytg0, dist0, sd, sec0, cfg, jnp) * cfg.fourth.go_multiplier)
     is4 = down0 == 4
-    go = active & is4 & (u[:, U_GO] < p_go)
-    st_play = active & is4 & ~go
-    fg_att = st_play & (ytg0 <= cfg.st.fg_attempt_max_ytg)
-    punt = st_play & ~fg_att
+    if cfg.fourth.force is None:
+        go = active & is4 & (u[:, U_GO] < p_go)
+        st_play = active & is4 & ~go
+        fg_att = st_play & (ytg0 <= cfg.st.fg_attempt_max_ytg)
+        punt = st_play & ~fg_att
+    else:
+        # static decision override (FourthDownConfig.force) — used by the
+        # 4th-down evaluator's forced FIRST play only; a Python branch, so
+        # the default (None) program is unchanged.  Draw consumption is
+        # identical either way (u columns are always generated), so forcing
+        # never shifts another branch's stream.
+        no = jnp.zeros_like(is4)
+        if cfg.fourth.force == "go":
+            go, st_play, fg_att, punt = active & is4, no, no, no
+        elif cfg.fourth.force == "fg":
+            go, st_play = no, active & is4
+            fg_att, punt = st_play, no
+        elif cfg.fourth.force == "punt":
+            go, st_play = no, active & is4
+            fg_att, punt = no, st_play
+        else:
+            raise ValueError(
+                f"fourth.force must be None|'go'|'fg'|'punt', "
+                f"got {cfg.fourth.force!r}")
     scrim = active & ~st_play
     was_going = go  # going_for_it is only ever true on the go play itself
 
@@ -643,9 +663,11 @@ def play_step(
 class Situation(NamedTuple):
     """A mid-game state to resume simulation from (live win probability).
 
-    Each field is a scalar — a Python number or a traced/device jnp scalar.
-    Serving passes DEVICE scalars so one compiled program prices any live
-    state (the situation is a runtime input, never a recompile key).  The
+    Each field is a scalar — a Python number or a traced/device jnp scalar
+    — or a per-trial (n,) array (the batched live curve resumes different
+    trials from different situations in one launch).  Serving passes
+    DEVICE values so one compiled program prices any live state (the
+    situation is a runtime input, never a recompile key).  The
     reference has no equivalent: its `simulate_game` always starts at the
     opening kickoff (fast_monte_carlo_cfb.py:1428-1436); the fields mirror
     its game-state head (`off/sec/down/dist/ytg` + the score pair) exactly,
@@ -692,8 +714,11 @@ def state_from_situation(n: int, sit: Situation, cfg: SimConfig, k: int,
     period = jnp.where(
         sec > 0, 4 - ((sec - 1) // cfg.clock.quarter_seconds), 4).astype(I32)
     ytg = jnp.asarray(sit.ytg, F32)
+    # axis=-1 so fields may be scalars (one situation for the whole batch)
+    # OR (n,) arrays (a different situation per trial — the batched live
+    # curve packs S situations x n/S trials into one launch)
     score = jnp.stack([jnp.asarray(sit.score_a, I32),
-                       jnp.asarray(sit.score_b, I32)])
+                       jnp.asarray(sit.score_b, I32)], axis=-1)
     stats_shape = (B, 2, N_TEAM_STATS) if collect_stats else (B, 1, 1)
     pstats_shape = (B, 2, 3, k, N_PLAYER_STATS) if collect_players \
         else (B, 1, 1, 1, 1)
@@ -828,6 +853,7 @@ def simulate_games(
     game_id=0,
     collect_stats: bool = True,
     situation: Optional[Situation] = None,
+    init_state: Optional[GameState] = None,
 ) -> GameState:
     """Run n independent games to completion; returns the final GameState.
 
@@ -837,13 +863,21 @@ def simulate_games(
     rows); scalar 0 for a single matchup.  `situation` resumes every trial
     from one mid-game state instead of the opening kickoff (live mode —
     `first_offense` is then ignored; possession comes from the situation,
-    and the early-exit loop stops as soon as the shortened games finish).
+    and the early-exit loop stops as soon as the shortened games finish);
+    its fields may also be (n,) arrays, one situation per trial.
+    `init_state` resumes from a fully materialized per-trial GameState
+    (the 4th-down evaluator plays one forced play outside, then continues
+    here) — it overrides both other initializers and must match n and the
+    collect flags' stat shapes.
     """
-    init = (initial_state(n, first_offense, cfg, pack.k, game_id,
-                          collect_players, collect_stats)
-            if situation is None else
-            state_from_situation(n, situation, cfg, pack.k, game_id,
-                                 collect_players, collect_stats))
+    if init_state is not None:
+        init = init_state
+    elif situation is not None:
+        init = state_from_situation(n, situation, cfg, pack.k, game_id,
+                                    collect_players, collect_stats)
+    else:
+        init = initial_state(n, first_offense, cfg, pack.k, game_id,
+                             collect_players, collect_stats)
     if cfg.engine.rng_impl == "rbg":
         raw = key if jnp.issubdtype(key.dtype, jnp.integer) else jax.random.key_data(key)
         raw = jnp.tile(raw.reshape(-1), 2)[:4].astype(jnp.uint32)

@@ -24,6 +24,11 @@ process with a JSON/HTTP front:
                    "quarter": 4, "clock": "05:12", "down": 2, "dist": 7,
                    "ytg": 35, "score_a": 21, "score_b": 17,
                    "spread": -3.5, "total": 55.5}
+                  (or "situations": [{...}, ...] — a win-prob curve,
+                   every situation priced in ONE launch)
+    POST /fourth  {"team_a": "...", "team_b": "...", "offense": "A",
+                   "quarter": 4, "clock": "05:00", "dist": 2, "ytg": 30,
+                   "score_a": 20, "score_b": 21}
     GET  /health  liveness + device/cache state
 
 Everything stdlib: ``http.server.ThreadingHTTPServer`` accepts requests
@@ -223,31 +228,19 @@ class SimService:
                         "n_games": 65536, "spread": -3.5, "total": 55.5}
 
         `offense` accepts "A"/"B" or 0/1; `quarter` + `clock` ("MM:SS")
-        may replace `sec`."""
+        may replace `sec`.
+
+        Batch form (win-probability curve): pass `situations` — a list of
+        situation objects with the same fields — instead of inline fields;
+        all of them price in ONE launch (api.simulate_live_curve) and the
+        response carries one headline row per situation."""
         from .api import simulate_live_game
-        from .config import SimConfig
         from .edge import market_odds_from_summary, summary_moneyline
-        from .ops.game import Situation
 
         ta, tb = body["team_a"], body["team_b"]
-        sec = body.get("sec")
-        if sec is None:
-            q = int(body["quarter"])
-            mm, ss = str(body.get("clock", "15:00")).split(":")
-            qsec = SimConfig().clock.quarter_seconds
-            if not 1 <= q <= 4:
-                raise ValueError(f"quarter must be 1..4, got {q}")
-            sec = (4 - q) * qsec + int(mm) * 60 + int(ss)
-        offense = body.get("offense", 0)
-        if isinstance(offense, str):
-            offense = {"a": 0, "b": 1}.get(offense.strip().lower())
-            if offense is None:
-                raise ValueError("offense must be 'A', 'B', 0, or 1")
-        sit = Situation(
-            offense=int(offense), sec=int(sec), down=int(body.get("down", 1)),
-            dist=float(body.get("dist", 10.0)), ytg=float(body["ytg"]),
-            score_a=int(body.get("score_a", 0)),
-            score_b=int(body.get("score_b", 0)))
+        if "situations" in body:
+            return self._live_curve(ta, tb, body)
+        sit = _situation_from_body(body)
         n_games = int(body.get("n_games", 65536))
         if not 0 < n_games <= 2 * self.cfg.max_n_pairs:
             raise ValueError(
@@ -276,6 +269,71 @@ class SimService:
                     total=None if total is None else float(total)))
         out["elapsed_s"] = round(time.perf_counter() - t0, 3)
         return out
+
+    def _live_curve(self, ta: str, tb: str, body: dict) -> dict:
+        """Batch form of /live: S situations in one launch."""
+        from .api import simulate_live_curve
+
+        raw = body["situations"]
+        if not isinstance(raw, list) or not 0 < len(raw) <= 64:
+            raise ValueError(
+                "situations must be a JSON array of 1..64 objects")
+        sits = [_situation_from_body(d) for d in raw]
+        n_per = int(body.get("n_games_per", 8192))
+        if not 0 < n_per * len(sits) <= 2 * self.cfg.max_n_pairs:
+            raise ValueError(
+                f"situations * n_games_per must be in "
+                f"(0, {2 * self.cfg.max_n_pairs}], "
+                f"got {len(sits)} * {n_per}")
+        t0 = time.perf_counter()
+        with self._lock:
+            self._requests += 1
+            df, _ = simulate_live_curve(
+                ta, tb, sits, sp_path=self.cfg.sp_path, year=self.cfg.year,
+                week=self.cfg.week, n_games_per=n_per,
+                artifact_dir=self.cfg.artifact_dir,
+                focus_csv=self.cfg.focus_csv, mode=self._mode(body),
+                table_quality=self.cfg.table_quality,
+                seed=int(body.get("seed", 0)))
+        return {"curve": jsonable(df),
+                "elapsed_s": round(time.perf_counter() - t0, 3)}
+
+    def fourth(self, body: dict) -> dict:
+        """4th-down decision chart from a posted situation.
+
+            POST /fourth {"team_a": "...", "team_b": "...",
+                          "offense": "A", "quarter": 4, "clock": "05:00",
+                          "dist": 2, "ytg": 30, "score_a": 20,
+                          "score_b": 21, "n_games": 65536}
+
+        The situation's down is 4 by construction; the response carries
+        win probability per forced choice (go/fg/punt) next to the sampled
+        policy, plus the best choice and its CRN-paired delta
+        (api.evaluate_fourth_down)."""
+        from .api import evaluate_fourth_down
+
+        if int(body.get("down", 4)) != 4:
+            raise ValueError("/fourth prices 4th downs (down must be 4)")
+        sit = _situation_from_body({**body, "down": 4})
+        n_games = int(body.get("n_games", 65536))
+        # 4 choices run per request — bound each like a /live query
+        if not 0 < n_games <= 2 * self.cfg.max_n_pairs:
+            raise ValueError(
+                f"n_games must be in (0, {2 * self.cfg.max_n_pairs}], "
+                f"got {n_games}")
+        t0 = time.perf_counter()
+        with self._lock:
+            self._requests += 1
+            res = evaluate_fourth_down(
+                body["team_a"], body["team_b"], sit,
+                sp_path=self.cfg.sp_path, year=self.cfg.year,
+                week=self.cfg.week, n_games=n_games,
+                artifact_dir=self.cfg.artifact_dir,
+                focus_csv=self.cfg.focus_csv, mode=self._mode(body),
+                table_quality=self.cfg.table_quality,
+                seed=int(body.get("seed", 0)))
+        return {"fourth": jsonable(res),
+                "elapsed_s": round(time.perf_counter() - t0, 3)}
 
     def props(self, body: dict) -> dict:
         """Slate-wide prop scan over inline prop rows (the prop-sheet CSV
@@ -336,8 +394,35 @@ class SimService:
                 "elapsed_s": round(time.perf_counter() - t0, 3)}
 
 
+def _situation_from_body(d: dict):
+    """Parse one situation object from a request body: offense 'A'/'B' or
+    0/1; `sec` (seconds left in the GAME) or `quarter` + `clock` 'MM:SS'
+    (seconds left in that quarter)."""
+    from .config import SimConfig
+    from .ops.game import Situation
+
+    sec = d.get("sec")
+    if sec is None:
+        q = int(d["quarter"])
+        mm, ss = str(d.get("clock", "15:00")).split(":")
+        qsec = SimConfig().clock.quarter_seconds
+        if not 1 <= q <= 4:
+            raise ValueError(f"quarter must be 1..4, got {q}")
+        sec = (4 - q) * qsec + int(mm) * 60 + int(ss)
+    offense = d.get("offense", 0)
+    if isinstance(offense, str):
+        offense = {"a": 0, "b": 1}.get(offense.strip().lower())
+        if offense is None:
+            raise ValueError("offense must be 'A', 'B', 0, or 1")
+    return Situation(
+        offense=int(offense), sec=int(sec), down=int(d.get("down", 1)),
+        dist=float(d.get("dist", 10.0)), ytg=float(d["ytg"]),
+        score_a=int(d.get("score_a", 0)),
+        score_b=int(d.get("score_b", 0)))
+
+
 _ROUTES = {"/slate": "slate", "/sim": "sim", "/props": "props",
-           "/live": "live", "/parlay": "parlay"}
+           "/live": "live", "/parlay": "parlay", "/fourth": "fourth"}
 
 
 class _Handler(BaseHTTPRequestHandler):

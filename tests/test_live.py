@@ -252,3 +252,87 @@ def test_simulate_live_game_end_to_end(reference_dir):
     mk = market_odds_from_summary(summary, "Kansas State", "Iowa State",
                                   spread=-3.5, total=55.5)
     assert {"spread", "total"} <= set(mk)
+
+
+# -- batched live pricing (win-probability curve) ---------------------------
+
+def test_run_live_batch_orders_and_counts(analytic_runner):
+    """S situations in one launch: per-situation rows come back in input
+    order with exactly n_games_per trials each."""
+    sits = [Situation(0, 30, 1, 10.0, 50.0, 28, 0),    # A blowout, locked
+            Situation(1, 30, 1, 10.0, 50.0, 0, 28),    # B blowout, locked
+            Situation(0, 1800, 1, 10.0, 75.0, 14, 14)]  # live coin-flip-ish
+    s = analytic_runner.run_live_batch(sits, n_games_per=512, seed=4)
+    n = np.asarray(s.n)
+    np.testing.assert_array_equal(n, [512.0, 512.0, 512.0])
+    win = np.asarray(s.win_rate)
+    assert win.shape == (3, 2)
+    assert win[0, 0] > 0.999 and win[1, 1] > 0.999
+    assert 0.2 < win[2, 0] < 0.8
+    # points never come off the board: resumed scores floor the means
+    mp = np.asarray(s.mean_pts)
+    assert mp[0, 0] >= 28.0 and mp[1, 1] >= 28.0
+
+
+def test_run_live_batch_matches_run_live(analytic_runner):
+    """A situation priced inside a batch equals the single-situation path
+    within MC error (different draw streams by construction)."""
+    sit = Situation(offense=0, sec=900, down=2, dist=6.0, ytg=45.0,
+                    score_a=17, score_b=14)
+    batch = analytic_runner.run_live_batch(
+        [Situation(1, 60, 4, 9.0, 80.0, 0, 3), sit], n_games_per=4096,
+        seed=13)
+    single = analytic_runner.run_live(sit, n_games=4096, seed=29)
+    wb = float(np.asarray(batch.win_rate)[1, 0])
+    ws = float(single.win_rate[0])
+    se = np.sqrt(ws * (1 - ws) / 4096)
+    assert abs(wb - ws) < 5 * np.sqrt(2) * se, (wb, ws)
+    # and the batch margin histogram sums to its own n
+    assert int(np.asarray(batch.margin_hist)[1].sum()) == 4096
+
+
+def test_run_live_batch_one_program_across_batches(analytic_runner):
+    """The (S,) situation arrays are runtime inputs: a second batch of the
+    same (S, n_per) shape reuses the compiled program."""
+    from fast_monte_carlo_tpu.api import _live_batch_moments_jit
+
+    cfg_r, heads_fn_r = analytic_runner._resolved(False)
+    jitted = _live_batch_moments_jit(cfg_r, heads_fn_r)
+    sits1 = [Situation(0, 1000, 1, 10.0, 70.0, 7, 3),
+             Situation(1, 250, 4, 1.0, 2.0, 20, 21)]
+    sits2 = [Situation(1, 3100, 2, 8.0, 33.0, 0, 14),
+             Situation(0, 400, 3, 4.0, 55.0, 10, 24)]
+    analytic_runner.run_live_batch(sits1, n_games_per=128)
+    before = jitted._cache_size()
+    analytic_runner.run_live_batch(sits2, n_games_per=128)
+    assert jitted._cache_size() == before
+
+
+def test_run_live_batch_validation(analytic_runner):
+    with pytest.raises(ValueError):
+        analytic_runner.run_live_batch([], n_games_per=64)
+    with pytest.raises(ValueError):
+        analytic_runner.run_live_batch(
+            [Situation(0, 600, 1, 10.0, 50.0, 0, 0)], n_games_per=0)
+    with pytest.raises(ValueError):   # per-situation validation applies
+        analytic_runner.run_live_batch(
+            [Situation(0, 600, 9, 10.0, 50.0, 0, 0)], n_games_per=64)
+
+
+def test_simulate_live_curve_end_to_end(reference_dir):
+    """Names-in frame-out curve: one row per situation, plus the stacked
+    summary for per-point market pricing."""
+    from fast_monte_carlo_tpu.api import simulate_live_curve
+
+    sits = [Situation(0, 2400, 1, 10.0, 75.0, 7, 7),
+            Situation(0, 1200, 2, 4.0, 55.0, 14, 10),
+            Situation(1, 300, 1, 10.0, 60.0, 14, 17)]
+    df, s = simulate_live_curve(
+        "Kansas State", "Iowa State", sits,
+        sp_path=str(reference_dir / "PregameSPPlus2025_1.csv"),
+        n_games_per=512, mode="analytic", artifact_dir=str(reference_dir))
+    assert len(df) == 3
+    assert list(df["sec"]) == [2400, 1200, 300]
+    assert (df["n_games"] == 512).all()
+    assert ((df["win_a"] + df["win_b"] + df["tie"]) - 1.0).abs().max() < 1e-6
+    assert np.asarray(s.margin_hist).shape[0] == 3

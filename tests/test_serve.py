@@ -262,3 +262,47 @@ def test_jsonable_handles_numpy_and_nan():
     assert out == {"a": 1.5, "b": 2, "c": None, "d": [1.0, 2.0],
                    "e": [{"x": None}, {"x": 1.0}]}
     json.dumps(out)  # must be encodable
+
+
+def test_live_curve_endpoint(server):
+    """Batch form of /live: S situations priced in one launch."""
+    base, _ = server
+    body = {"team_a": "Kansas State", "team_b": "Iowa State",
+            "n_games_per": 256,
+            "situations": [
+                {"offense": "A", "sec": 2400, "ytg": 75, "score_a": 7,
+                 "score_b": 7},
+                {"offense": "B", "quarter": 4, "clock": "05:00", "down": 3,
+                 "dist": 4, "ytg": 55, "score_a": 14, "score_b": 17},
+            ]}
+    code, out = _post(base + "/live", body)
+    assert code == 200, out
+    curve = out["curve"]
+    assert len(curve) == 2
+    assert curve[0]["sec"] == 2400 and curve[1]["sec"] == 300
+    for row in curve:
+        assert row["n_games"] == 256
+        assert 0.0 <= row["win_a"] <= 1.0
+    # guards: empty list, batch budget
+    for bad in ({"situations": []},
+                {"situations": body["situations"], "n_games_per": 10**8}):
+        code, err = _post(base + "/live", {**body, **bad})
+        assert code == 400, (bad, err)
+
+
+def test_fourth_endpoint(server):
+    """4th-down decision chart over the wire."""
+    base, _ = server
+    body = {"team_a": "Kansas State", "team_b": "Iowa State",
+            "offense": "A", "quarter": 4, "clock": "04:00", "dist": 2,
+            "ytg": 30, "score_a": 20, "score_b": 21, "n_games": 512}
+    code, out = _post(base + "/fourth", body)
+    assert code == 200, out
+    res = out["fourth"]
+    assert set(res["choices"]) == {"policy", "go", "fg", "punt"}
+    assert res["best"] in ("go", "fg", "punt")
+    assert res["situation"]["down"] == 4
+    # guards: non-4th down, n_games budget
+    for bad in ({"down": 2}, {"n_games": 10**9}):
+        code, err = _post(base + "/fourth", {**body, **bad})
+        assert code == 400, (bad, err)
