@@ -11,7 +11,7 @@ from .config import SimConfig, DEFAULT_CONFIG, classic_config
 from .api import (
     MatchupRunner, simulate_matchup, simulate_upcoming_matchup, simulate_slate,
     simulate_slate_summaries, simulate_live_game, simulate_live_curve,
-    evaluate_fourth_down, simulate_parlay,
+    evaluate_fourth_down, simulate_parlay, project_season,
     scores_frame, players_frame,
     summary_frame, csv_base_from,
 )
@@ -30,6 +30,7 @@ __all__ = [
     "MatchupRunner", "simulate_matchup", "simulate_upcoming_matchup",
     "simulate_slate", "simulate_slate_summaries", "simulate_live_game",
     "simulate_live_curve", "evaluate_fourth_down", "simulate_parlay",
+    "project_season",
     "Situation",
     "scores_frame", "players_frame", "summary_frame",
     "csv_base_from",

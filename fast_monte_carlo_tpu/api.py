@@ -1430,6 +1430,74 @@ def simulate_parlay(
     return edge.parlay_odds(out, a, b, legs, price=price)
 
 
+def project_season(
+    team: str,
+    opponents: Optional[List[str]] = None,
+    games: Optional[List[Tuple[str, str]]] = None,
+    *,
+    line: Optional[float] = None,
+    sp_path: str,
+    year: int = 2025,
+    week: int = 1,
+    n_pairs: int = 50000,
+    artifact_dir: str = "/root/reference",
+    focus_csv: Optional[str] = None,
+    mode: str = "table",
+    table_quality: str = "nano",
+    cfg: Optional[SimConfig] = None,
+    seed: int = 0,
+    shard: bool = False,
+    chunk_pairs: int = 32768,
+    price: int = -110,
+) -> dict:
+    """Project a team's season win total from per-game simulations.
+
+    Pass the schedule either as `opponents` (a list of opponent names —
+    `team` takes side A in every matchup) or as explicit `games` rows in
+    which `team` must appear on one side.  Each matchup runs through the
+    production slate sweep (simulate_slate_summaries: per-matchup
+    launches, device-accumulated moments, ONE end transfer, per-game
+    fold_in roots), the team's strict win probability is read off each
+    summary, and the season win-count distribution is composed EXACTLY
+    (edge.season_win_pmf — distinct games are independent sims, so the
+    Poisson-binomial convolution is not an approximation).  `line` adds
+    the over/under market at the quoted win total (edge.season_win_market).
+
+    Returns the market dict plus a `schedule` DataFrame (one row per
+    matchup, slate-summary columns + the team's p_win).  No reference
+    counterpart: edge_finder.py prices single matchups only; composing a
+    season there means hand-gluing per-game CSV runs."""
+    if (opponents is None) == (games is None):
+        raise ValueError("pass exactly one of opponents= or games=")
+    if opponents is not None:
+        games = [(team, o) for o in opponents]
+    tn = edge._norm_team(team)
+    sides = []
+    for ta, tb in games:
+        if edge._norm_team(ta) == tn:
+            sides.append("a")
+        elif edge._norm_team(tb) == tn:
+            sides.append("b")
+        else:
+            raise ValueError(
+                f"{team!r} plays in every scheduled game, but ({ta!r}, "
+                f"{tb!r}) doesn't include it")
+    df = simulate_slate_summaries(
+        list(games), sp_path=sp_path, year=year, week=week,
+        n_pairs=n_pairs, artifact_dir=artifact_dir, focus_csv=focus_csv,
+        mode=mode, table_quality=table_quality, cfg=cfg, seed=seed,
+        shard=shard, chunk_pairs=chunk_pairs)
+    p_wins = [float(row[f"win_{s}"])
+              for s, (_, row) in zip(sides, df.iterrows())]
+    res = edge.season_win_market(p_wins, line=line, team=team, price=price)
+    res["schedule"] = df.assign(
+        team_side=sides,
+        p_win_team=np.round(p_wins, 6),
+        opponent=[ta if s == "b" else tb
+                  for s, (ta, tb) in zip(sides, games)])
+    return res
+
+
 def simulate_slate_props(
     games: List[Tuple[str, str]],
     *,

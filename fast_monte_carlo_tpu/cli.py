@@ -310,6 +310,42 @@ def _cmd_slate(args) -> int:
     return 0
 
 
+def _cmd_season(args) -> int:
+    """Season win-total projection: per-game slate sims -> exact
+    Poisson-binomial win-count distribution (api.project_season)."""
+    import pandas as pd
+
+    from .api import project_season
+    from .edge import print_season_readable
+
+    if (args.opponents is None) == (args.games is None):
+        print("pass exactly one of --opponents or --games; no simulation run")
+        return 2
+    opps = ([s.strip() for s in args.opponents.split(",") if s.strip()]
+            if args.opponents else None)
+    games = ([tuple(r) for r in
+              pd.read_csv(args.games).iloc[:, :2].itertuples(index=False)]
+             if args.games else None)
+    t0 = time.perf_counter()
+    res = project_season(
+        args.team, opponents=opps, games=games, line=args.line,
+        sp_path=args.sp, year=args.year, week=args.week, n_pairs=args.n,
+        artifact_dir=args.artifacts, mode=args.mode,
+        table_quality=args.quality, seed=args.seed, shard=args.shard)
+    dt = time.perf_counter() - t0
+    sched = res["schedule"]
+    for _, row in sched.iterrows():
+        us, them = (("mean_a", "mean_b") if row["team_side"] == "a"
+                    else ("mean_b", "mean_a"))
+        print(f"  vs {str(row['opponent']):<24s} p_win "
+              f"{row['p_win_team']:.4f}  (proj {row[us]:.1f}-{row[them]:.1f})")
+    print_season_readable(res)
+    total = int(sched["n_games"].sum())
+    print(f"\n[{len(sched)} matchups x {args.n} pairs = {total} games "
+          f"in {dt:.1f}s]")
+    return 0
+
+
 def _cmd_serve(args) -> int:
     """Run the resident simulation service (see serve.py)."""
     from .serve import ServeConfig, serve_forever
@@ -575,6 +611,30 @@ def main(argv=None) -> int:
                     help="focus players csv for prop rosters")
     pl.add_argument("--artifacts", default="/root/reference")
     pl.set_defaults(fn=_cmd_slate)
+
+    pn = sub.add_parser(
+        "season", help="season win-total projection (exact Poisson-"
+                       "binomial over per-game slate sims)")
+    pn.add_argument("team")
+    pn.add_argument("--opponents", default=None,
+                    help="comma-separated opponent names (team takes "
+                         "side A in every matchup)")
+    pn.add_argument("--games", default=None,
+                    help="csv with team_a,team_b columns; team must "
+                         "appear in every row")
+    pn.add_argument("--sp", required=True, help="SP+ csv path")
+    pn.add_argument("--line", type=float, default=None,
+                    help="season win-total quote, e.g. 8.5")
+    pn.add_argument("-n", type=int, default=50000, help="PAIRS per matchup")
+    pn.add_argument("--year", type=int, default=2025)
+    pn.add_argument("--week", type=int, default=1)
+    pn.add_argument("--seed", type=int, default=0)
+    pn.add_argument("--mode", default="table")
+    pn.add_argument("--quality", default="nano")
+    pn.add_argument("--artifacts", default="/root/reference")
+    pn.add_argument("--shard", action="store_true",
+                    help="shard each matchup's trial axis over the mesh")
+    pn.set_defaults(fn=_cmd_season)
 
     pb = sub.add_parser("bench", help="run the benchmark harness")
     pb.add_argument("--mode", default="table")

@@ -905,6 +905,83 @@ def print_parlay_readable(res: Dict) -> None:
               f"{res['edge_pct']:+.2f}%  EV ${res['ev_$100']:+.2f}/$100")
 
 
+def season_win_pmf(p_wins) -> np.ndarray:
+    """Exact distribution of a team's season win COUNT from per-game win
+    probabilities: the Poisson-binomial pmf, built by convolving each
+    game's [1-p, p] kernel (distinct games are independent sims, so the
+    composition is exact — the same independence fact cross_game_parlay
+    rides).  Returns pmf[k] = P(exactly k wins), length len(p_wins)+1.
+
+    p_wins should be strict win probabilities (the engine's win_rate
+    excludes ties); any tie mass counts as a non-win, which is how win-
+    total markets settle a no-contest.  No reference counterpart —
+    edge_finder.py only ever prices one matchup's marginals."""
+    pmf = np.array([1.0])
+    for i, p in enumerate(np.asarray(list(p_wins), float)):
+        if not 0.0 <= p <= 1.0 or not np.isfinite(p):
+            raise ValueError(f"p_wins[{i}]={p!r} is not a probability")
+        pmf = np.convolve(pmf, [1.0 - p, p])
+    return pmf
+
+
+def season_win_market(p_wins, line: Optional[float] = None,
+                      team: str = "", price: int = -110) -> Dict:
+    """Season win-total market off exact per-game win probabilities.
+
+    Returns the full win distribution (pmf, mean/median wins, the
+    P(wins >= k) ladder for every alternate line) plus — when `line` is
+    quoted — over/under/push probabilities, fair American prices, and
+    the best side's edge/EV at `price` (push-aware, integer lines push
+    on exactly `line` wins).  The distribution rides the same Dist
+    histogram core as every other market in this module."""
+    p_wins = list(np.asarray(list(p_wins), float))
+    pmf = season_win_pmf(p_wins)
+    dist = Dist.from_hist(pmf, np.arange(len(pmf)))
+    at_least = np.concatenate([[1.0], np.cumsum(pmf[::-1])[::-1][1:]])
+    res: Dict = {
+        "team": team,
+        "games": len(p_wins),
+        "p_wins": [round(float(p), 6) for p in p_wins],
+        "mean_wins": round(dist.mean(), 4),
+        "median_wins": dist.median(),
+        "pmf": [round(float(p), 6) for p in pmf],
+        "p_at_least": [round(float(p), 6) for p in at_least],
+    }
+    if line is not None:
+        p_over, p_under = dist.over(line), dist.under(line)
+        p_push = dist.push(line)
+        res.update({
+            "line": float(line),
+            "p_over": round(p_over, 6),
+            "p_under": round(p_under, 6),
+            "push_rate": round(p_push, 6),
+            "american_over": prob_to_american(p_over),
+            "american_under": prob_to_american(p_under),
+            "best": best_side_ev(p_over, price=price),
+        })
+    return res
+
+
+def print_season_readable(res: Dict) -> None:
+    hdr = res["team"] or "team"
+    print(f"\n=== Season win total: {hdr} ({res['games']} games) ===")
+    print(f"  mean wins {res['mean_wins']:.2f}   "
+          f"median {res['median_wins']:.0f}")
+    lad = "  ".join(f"{k}+:{p:.3f}"
+                    for k, p in enumerate(res["p_at_least"]) if k)
+    print(f"  P(at least k wins): {lad}")
+    if "line" in res:
+        b = res["best"]
+        print(f"  line {res['line']}: over {res['p_over']:.4f} "
+              f"({_odds_str(res['american_over'])})  "
+              f"under {res['p_under']:.4f} "
+              f"({_odds_str(res['american_under'])})"
+              + (f"  push {res['push_rate']:.4f}"
+                 if res["push_rate"] else ""))
+        print(f"  best side: {b['side']}  edge {b['edge'] * 100:+.2f}%  "
+              f"EV ${b['ev']:+.2f}/$100")
+
+
 # ---------------------------------------------------------------------------
 # device-summary variants (on-device histogram -> edges without files)
 # ---------------------------------------------------------------------------
