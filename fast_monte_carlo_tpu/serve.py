@@ -29,6 +29,8 @@ process with a JSON/HTTP front:
     POST /fourth  {"team_a": "...", "team_b": "...", "offense": "A",
                    "quarter": 4, "clock": "05:00", "dist": 2, "ytg": 30,
                    "score_a": 20, "score_b": 21}
+    POST /season  {"team": "...", "opponents": ["...", ...],
+                   "line": 8.5, "n_pairs": 32768}
     GET  /health  liveness + device/cache state
 
 Everything stdlib: ``http.server.ThreadingHTTPServer`` accepts requests
@@ -335,6 +337,46 @@ class SimService:
         return {"fourth": jsonable(res),
                 "elapsed_s": round(time.perf_counter() - t0, 3)}
 
+    def season(self, body: dict) -> dict:
+        """Season win-total projection: the schedule's per-game sims
+        compose into the exact Poisson-binomial win-count distribution
+        (api.project_season).
+
+            POST /season {"team": "...",
+                          "opponents": ["...", ...],   # or "games": [[a,b],..]
+                          "line": 8.5, "n_pairs": 32768}
+
+        Returns the pmf, the P(>=k) alternate-line ladder, the over/under
+        market at `line`, and the per-game schedule rows."""
+        from .api import project_season
+
+        team = body["team"]
+        opponents = body.get("opponents")
+        games = body.get("games")
+        if games is not None:
+            games = self._games(body)
+        if opponents is not None \
+                and not 0 < len(opponents) <= self.cfg.max_games:
+            raise ValueError(
+                f"opponents list must have 1..{self.cfg.max_games} "
+                f"entries, got {len(opponents)}")
+        line = body.get("line")
+        t0 = time.perf_counter()
+        with self._lock:
+            self._requests += 1
+            res = project_season(
+                team, opponents=opponents, games=games,
+                line=None if line is None else float(line),
+                sp_path=self.cfg.sp_path, year=self.cfg.year,
+                week=self.cfg.week, n_pairs=self._n_pairs(body, 32768),
+                artifact_dir=self.cfg.artifact_dir,
+                focus_csv=self.cfg.focus_csv, mode=self._mode(body),
+                table_quality=self.cfg.table_quality,
+                shard=bool(body.get("shard", self.cfg.shard)),
+                seed=int(body.get("seed", 0)))
+        return {"season": jsonable(res),
+                "elapsed_s": round(time.perf_counter() - t0, 3)}
+
     def props(self, body: dict) -> dict:
         """Slate-wide prop scan over inline prop rows (the prop-sheet CSV
         schema as JSON records)."""
@@ -422,7 +464,8 @@ def _situation_from_body(d: dict):
 
 
 _ROUTES = {"/slate": "slate", "/sim": "sim", "/props": "props",
-           "/live": "live", "/parlay": "parlay", "/fourth": "fourth"}
+           "/live": "live", "/parlay": "parlay", "/fourth": "fourth",
+           "/season": "season"}
 
 
 class _Handler(BaseHTTPRequestHandler):

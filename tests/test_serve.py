@@ -158,6 +158,39 @@ def test_parlay_endpoint(server):
         assert code == 400, (bad_legs, err)
 
 
+def test_season_endpoint(server):
+    """Season win-total projection over the wire + its guards."""
+    base, _ = server
+    body = {"team": "Kansas State",
+            "opponents": ["Iowa State", "Kansas"],
+            "n_pairs": 256, "line": 1.5}
+    code, out = _post(base + "/season", body)
+    assert code == 200, out
+    res = out["season"]
+    assert res["games"] == 2 and len(res["pmf"]) == 3
+    assert abs(sum(res["pmf"]) - 1.0) < 1e-6
+    assert res["p_at_least"][0] == 1.0
+    assert {"p_over", "p_under", "american_over", "best"} <= set(res)
+    assert len(res["schedule"]) == 2
+    assert [r["p_win_team"] for r in res["schedule"]] == res["p_wins"]
+    # guards: missing team, both/neither schedule forms, oversize list,
+    # team absent from a games row
+    code, err = _post(base + "/season", {"opponents": ["Kansas"]})
+    assert code == 400 and "team" in err["error"]
+    code, err = _post(base + "/season", {"team": "Kansas State"})
+    assert code == 400
+    code, err = _post(base + "/season", {
+        **body, "games": [["Kansas State", "Kansas"]]})
+    assert code == 400
+    code, err = _post(base + "/season",
+                      {**body, "opponents": ["a", "b", "c"]})
+    assert code == 400 and "opponents" in err["error"]
+    code, err = _post(base + "/season", {
+        "team": "Kansas State", "n_pairs": 64,
+        "games": [["Texas", "Ohio State"]]})
+    assert code == 400 and "include" in err["error"]
+
+
 def test_bad_body_and_unknown_route(server):
     base, _ = server
     code, out = _post(base + "/slate", {"n_pairs": 64})  # missing games
