@@ -67,6 +67,25 @@ def ev_per_100(p_win: float, price: int) -> float:
     return p_win * profit - (1 - p_win) * 100
 
 
+def kelly_fraction(p_win: float, price: int = -110,
+                   p_push: float = 0.0) -> float:
+    """Full-Kelly stake fraction for a two-outcome bet at American odds,
+    push-aware: maximizing E[log bankroll] over outcomes {win: +b, push:
+    0, lose: -1} gives f* = (p_win*b - p_lose) / (b * (p_win + p_lose))
+    with b the profit per unit stake (pushes return the stake, so they
+    drop out of the optimum except through p_lose = 1 - p_win - p_push).
+    Floored at 0 (never bet a negative edge).  The reference reports EV
+    only (edge_finder.py:81-119) and leaves sizing to the reader; scale
+    by your fractional-Kelly multiplier (half/quarter) per risk taste."""
+    p_win, p_push = float(p_win), float(p_push)
+    p_lose = max(0.0, 1.0 - p_win - p_push)
+    b = (100.0 / -price) if price < 0 else (price / 100.0)
+    denom = b * (p_win + p_lose)
+    if denom <= 0:
+        return 0.0
+    return max(0.0, (p_win * b - p_lose) / denom)
+
+
 def best_side_ev(p_over: float, price: int = -110) -> dict:
     """Pick the better of Over/Under at the same price (edge_finder.py:109-119)."""
     ev_over = ev_per_100(p_over, price)
@@ -774,6 +793,9 @@ def parlay_odds(out, team_a_ctx, team_b_ctx, legs, price: Optional[int] = None
             "edge_pct": round((p_parlay - american_implied_prob(price))
                               * 100, 2),
             "ev_$100": round(ev, 2),
+            "kelly": round(kelly_fraction(
+                p_all_win, price,
+                p_push=max(0.0, p_no_lose - p_all_win)), 4),
         })
     return res
 
@@ -876,6 +898,9 @@ def cross_game_parlay(blocks, price: Optional[int] = None) -> Dict:
             "edge_pct": round((p_parlay - american_implied_prob(price))
                               * 100, 2),
             "ev_$100": round(ev, 2),
+            "kelly": round(kelly_fraction(
+                p_all_win, price,
+                p_push=max(0.0, p_no_lose - p_all_win)), 4),
         })
     return res
 
@@ -902,7 +927,8 @@ def print_parlay_readable(res: Dict) -> None:
     print(f"  Correlation multiplier: {res['correlation_mult']:.3f}x")
     if "price" in res:
         print(f"  At quoted {_odds_str(res['price'])}: edge "
-              f"{res['edge_pct']:+.2f}%  EV ${res['ev_$100']:+.2f}/$100")
+              f"{res['edge_pct']:+.2f}%  EV ${res['ev_$100']:+.2f}/$100"
+              f"  kelly {res['kelly']:.3f}")
 
 
 def season_win_pmf(p_wins) -> np.ndarray:
@@ -959,6 +985,9 @@ def season_win_market(p_wins, line: Optional[float] = None,
             "american_under": prob_to_american(p_under),
             "best": best_side_ev(p_over, price=price),
         })
+        p_best = p_over if res["best"]["side"] == "Over" else p_under
+        res["best"]["kelly"] = round(
+            kelly_fraction(p_best, price, p_push=p_push), 4)
     return res
 
 
@@ -979,7 +1008,7 @@ def print_season_readable(res: Dict) -> None:
               + (f"  push {res['push_rate']:.4f}"
                  if res["push_rate"] else ""))
         print(f"  best side: {b['side']}  edge {b['edge'] * 100:+.2f}%  "
-              f"EV ${b['ev']:+.2f}/$100")
+              f"EV ${b['ev']:+.2f}/$100  kelly {b['kelly']:.3f}")
 
 
 # ---------------------------------------------------------------------------
