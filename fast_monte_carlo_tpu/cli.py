@@ -346,6 +346,32 @@ def _cmd_season(args) -> int:
     return 0
 
 
+def _cmd_backtest(args) -> int:
+    """Score the simulator against actual finals (backtest.py): win-prob
+    calibration, point accuracy, and PIT distribution checks."""
+    import pandas as pd
+
+    from .backtest import backtest_slate, print_backtest_readable
+
+    results = pd.read_csv(args.results)
+    need = {"team_a", "team_b", "score_a", "score_b"}
+    if not need <= set(results.columns):
+        print(f"--results needs columns {sorted(need)}, got "
+              f"{list(results.columns)}")
+        return 2
+    games = ([tuple(r) for r in
+              pd.read_csv(args.games).iloc[:, :2].itertuples(index=False)]
+             if args.games else
+             [(r.team_a, r.team_b) for r in results.itertuples(index=False)])
+    rep = backtest_slate(
+        games, results, sp_path=args.sp, year=args.year, week=args.week,
+        n_pairs=args.n, artifact_dir=args.artifacts, mode=args.mode,
+        table_quality=args.quality, seed=args.seed, shard=args.shard,
+        bins=args.bins)
+    print_backtest_readable(rep)
+    return 0
+
+
 def _cmd_serve(args) -> int:
     """Run the resident simulation service (see serve.py)."""
     from .serve import ServeConfig, serve_forever
@@ -635,6 +661,31 @@ def main(argv=None) -> int:
     pn.add_argument("--shard", action="store_true",
                     help="shard each matchup's trial axis over the mesh")
     pn.set_defaults(fn=_cmd_season)
+
+    pk = sub.add_parser(
+        "backtest", help="score the sim against actual finals "
+                         "(calibration, accuracy, PIT)")
+    pk.add_argument("--results", required=True,
+                    help="csv of finals: team_a,team_b,score_a,score_b "
+                         "(either orientation)")
+    pk.add_argument("--games", default=None,
+                    help="optional csv of matchups to simulate (default: "
+                         "the results rows themselves)")
+    pk.add_argument("--sp", required=True,
+                    help="SP+ csv AS OF the games' week (pregame ratings "
+                         "— postgame ratings would leak the outcomes)")
+    pk.add_argument("-n", type=int, default=32768, help="PAIRS per matchup")
+    pk.add_argument("--bins", type=int, default=10,
+                    help="reliability-table probability bins")
+    pk.add_argument("--year", type=int, default=2025)
+    pk.add_argument("--week", type=int, default=1)
+    pk.add_argument("--seed", type=int, default=0)
+    pk.add_argument("--mode", default="table")
+    pk.add_argument("--quality", default="nano")
+    pk.add_argument("--artifacts", default="/root/reference")
+    pk.add_argument("--shard", action="store_true",
+                    help="shard each matchup's trial axis over the mesh")
+    pk.set_defaults(fn=_cmd_backtest)
 
     pb = sub.add_parser("bench", help="run the benchmark harness")
     pb.add_argument("--mode", default="table")
