@@ -322,6 +322,11 @@ class MatchupRunner:
         evaluator is a ~handful of launches, not a sweep)."""
         import dataclasses as _dc
 
+        if n_games <= 0:
+            raise ValueError(f"n_games must be positive, got {n_games}")
+        if not choices:
+            raise ValueError(
+                "choices must name at least one of policy | go | fg | punt")
         sit = _validated_situation(situation, self.cfg)
         if not isinstance(sit.down, (int, np.integer)) or int(sit.down) != 4:
             raise ValueError(
@@ -352,6 +357,35 @@ class MatchupRunner:
                 acc = m if acc is None else acc + m
             res[choice] = _summary_from_moments_jit()(acc)
         return res
+
+
+def situation_from_fields(*, ytg, offense=0, sec=None, quarter=None,
+                          clock=None, down=1, dist=10.0, score_a=0,
+                          score_b=0, cfg: Optional[SimConfig] = None
+                          ) -> Situation:
+    """THE parser for every human-facing situation input (CLI flags and
+    HTTP bodies route here, so they can never drift apart): `offense` is
+    'A'/'B' or 0/1; time is either `sec` (seconds left in the GAME) or
+    `quarter` (1-4) + `clock` 'MM:SS' (left in that quarter, default
+    15:00)."""
+    cfg = cfg or SimConfig()
+    if sec is None:
+        if quarter is None:
+            raise ValueError("a situation needs sec= or quarter= "
+                             "(+ optional clock='MM:SS')")
+        q = int(quarter)
+        if not 1 <= q <= 4:
+            raise ValueError(f"quarter must be 1..4, got {q}")
+        mm, ss = str(clock if clock is not None else "15:00").split(":")
+        sec = (4 - q) * cfg.clock.quarter_seconds + int(mm) * 60 + int(ss)
+    if isinstance(offense, str):
+        o = {"a": 0, "b": 1}.get(offense.strip().lower())
+        if o is None:
+            raise ValueError("offense must be 'A', 'B', 0, or 1")
+        offense = o
+    return Situation(offense=int(offense), sec=int(sec), down=int(down),
+                     dist=float(dist), ytg=float(ytg),
+                     score_a=int(score_a), score_b=int(score_b))
 
 
 def _validated_situation(sit: Situation, cfg: SimConfig) -> Situation:
@@ -1177,11 +1211,12 @@ def simulate_slate_summaries(
     return df
 
 
-def _prepared_runner(team_a, team_b, *, sp_path, year, week, artifact_dir,
-                     focus_csv, mode, table_quality, cfg, shard):
-    """Shared cold-path prep of the single-matchup entry points: memoized
-    heads/context loads + the runner memo.  Returns (runner, ctx_a, ctx_b,
-    cfg)."""
+def _prepared_contexts(team_a, team_b, *, sp_path, year, week, artifact_dir,
+                       focus_csv, cfg):
+    """Memoized cold-path loads shared by the single-matchup entry points
+    (heads + SP table + both team contexts) — everything needed to
+    VALIDATE a request, without paying the runner's table build yet.
+    Returns (heads, ctx_a, ctx_b, cfg)."""
     cfg = cfg or SimConfig()
     heads = load_heads(artifact_dir)
     sp_df = load_sp_flex(sp_path)
@@ -1191,6 +1226,16 @@ def _prepared_runner(team_a, team_b, *, sp_path, year, week, artifact_dir,
     b = build_team_context_from_sp_flex(
         team_b, year, week, sp_df, focus_csv=focus_csv,
         player_slots=cfg.engine.player_slots)
+    return heads, a, b, cfg
+
+
+def _prepared_runner(team_a, team_b, *, sp_path, year, week, artifact_dir,
+                     focus_csv, mode, table_quality, cfg, shard):
+    """_prepared_contexts plus the runner memo (which builds/uploads the
+    matchup tables).  Returns (runner, ctx_a, ctx_b, cfg)."""
+    heads, a, b, cfg = _prepared_contexts(
+        team_a, team_b, sp_path=sp_path, year=year, week=week,
+        artifact_dir=artifact_dir, focus_csv=focus_csv, cfg=cfg)
     return _runner_for(a, b, heads, cfg, mode, table_quality, shard), a, b, cfg
 
 
@@ -1366,7 +1411,8 @@ def evaluate_fourth_down(
         out[choice] = row
     forced = [c for c in out if c != "policy"]
     best = max(forced, key=lambda c: out[c]["win_off"]) if forced else None
-    p = out[best]["win_off"] if best else out["policy"]["win_off"]
+    # MC scale off any priced choice (run_fourth_decision guarantees >= 1)
+    p = out[best]["win_off"] if best else next(iter(out.values()))["win_off"]
     res = {
         "team_a": team_a, "team_b": team_b,
         "situation": {
@@ -1416,12 +1462,13 @@ def simulate_parlay(
     Player stats are only collected (and only then cost sim throughput)
     when a prop leg is present.  `price` (American, e.g. +450) adds quoted
     edge/EV columns to the result."""
-    runner, a, b, cfg = _prepared_runner(
+    heads, a, b, cfg = _prepared_contexts(
         team_a, team_b, sp_path=sp_path, year=year, week=week,
-        artifact_dir=artifact_dir, focus_csv=focus_csv, mode=mode,
-        table_quality=table_quality, cfg=cfg, shard=shard)
-    # validate the legs BEFORE simulating: a bad leg must not cost a run
+        artifact_dir=artifact_dir, focus_csv=focus_csv, cfg=cfg)
+    # validate the legs BEFORE the runner's table build or any sim: a bad
+    # leg must not cost a device upload, let alone a run
     edge.resolve_parlay_legs(a, b, legs)
+    runner = _runner_for(a, b, heads, cfg, mode, table_quality, shard)
     want_players = any(
         str(leg.get("kind", "")).strip().lower() == "prop" for leg in legs)
     out = runner.run_pairs(n_pairs, seed=seed,

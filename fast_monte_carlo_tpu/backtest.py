@@ -43,19 +43,33 @@ def join_results(predictions: pd.DataFrame,
     accepting either orientation per row.  Returns one row per matched
     game with the prediction's orientation: actual_a/actual_b scores,
     actual_margin_a, actual_total, won_a (ties count for neither side,
-    matching the engine's strict win_rate)."""
-    res_ix: Dict[Tuple[str, str], Tuple[float, float]] = {}
+    matching the engine's strict win_rate).
+
+    Rematches (the same two teams appearing more than once in `results`
+    — regular-season meeting plus a championship rematch) are consumed in
+    order: the k-th prediction row for a pair scores against the k-th
+    results row for that pair.  The output carries `_pred_index` (the
+    row's position in `predictions`) so callers can align per-row
+    side-data (calibration_report uses it for the summaries)."""
+    res_ix: Dict[Tuple[str, str], List[Tuple[float, float]]] = {}
     for r in results.itertuples(index=False):
-        key = (_norm_team(r.team_a), _norm_team(r.team_b))
-        res_ix[key] = (float(r.score_a), float(r.score_b))
-        res_ix[key[::-1]] = (float(r.score_b), float(r.score_a))
+        a, b = _norm_team(r.team_a), _norm_team(r.team_b)
+        # store under the SORTED pair; orientation restored at match time
+        key = (a, b) if a <= b else (b, a)
+        sa, sb = float(r.score_a), float(r.score_b)
+        res_ix.setdefault(key, []).append(
+            (sa, sb) if key == (a, b) else (sb, sa))
     rows = []
-    for p in predictions.itertuples(index=False):
-        key = (_norm_team(p.team_a), _norm_team(p.team_b))
-        if key not in res_ix:
+    for i, p in enumerate(predictions.itertuples(index=False)):
+        a, b = _norm_team(p.team_a), _norm_team(p.team_b)
+        key = (a, b) if a <= b else (b, a)
+        queue = res_ix.get(key)
+        if not queue:
             continue
-        sa, sb = res_ix[key]
-        rows.append({**p._asdict(),
+        sa, sb = queue.pop(0)            # FIFO per pair: k-th meets k-th
+        if key != (a, b):
+            sa, sb = sb, sa              # back to the prediction's order
+        rows.append({**p._asdict(), "_pred_index": i,
                      "actual_a": sa, "actual_b": sb,
                      "actual_margin_a": sa - sb, "actual_total": sa + sb,
                      "won_a": float(sa > sb)})
@@ -173,11 +187,9 @@ def calibration_report(predictions: pd.DataFrame, results: pd.DataFrame,
     if summaries is not None:
         if len(summaries) != len(predictions):
             raise ValueError("summaries must align 1:1 with predictions")
-        by_key = {(_norm_team(p.team_a), _norm_team(p.team_b)): s
-                  for p, s in zip(predictions.itertuples(index=False),
-                                  summaries)}
-        sums = [by_key[(_norm_team(r.team_a), _norm_team(r.team_b))]
-                for r in joined.itertuples(index=False)]
+        # align by prediction ROW (join_results' _pred_index), so
+        # duplicate matchups (rematches) keep their own distributions
+        sums = [summaries[i] for i in joined["_pred_index"]]
         mh = [np.asarray(s.margin_hist, float) for s in sums]
         th = [np.asarray(s.total_hist, float) for s in sums]
         pit_m = pit_values(mh, -MARGIN_OFF, joined["actual_margin_a"])

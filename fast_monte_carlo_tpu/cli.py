@@ -47,21 +47,16 @@ def _cmd_sim(args) -> int:
 def _cmd_live(args) -> int:
     """In-game win probability from a mid-game situation (no reference
     counterpart — its simulate_game is kickoff-only)."""
-    from .api import simulate_live_game
+    from .api import simulate_live_game, situation_from_fields
     from .config import SimConfig
     from .edge import market_odds_from_summary, summary_moneyline
-    from .ops.game import Situation
 
-    if args.sec is not None:
-        sec = args.sec
-    else:
-        qsec = SimConfig().clock.quarter_seconds
-        mm, ss = (args.clock or "15:00").split(":")
-        sec = (4 - args.quarter) * qsec + int(mm) * 60 + int(ss)
-    offense = {"a": 0, "b": 1}[args.offense.strip().lower()]
     sa, sb = (int(v) for v in args.score.split("-"))
-    sit = Situation(offense=offense, sec=int(sec), down=args.down,
-                    dist=args.dist, ytg=args.ytg, score_a=sa, score_b=sb)
+    sit = situation_from_fields(
+        ytg=args.ytg, offense=args.offense, sec=args.sec,
+        quarter=args.quarter, clock=args.clock, down=args.down,
+        dist=args.dist, score_a=sa, score_b=sb)
+    sec, offense = sit.sec, sit.offense
     row, summary = simulate_live_game(
         args.team_a, args.team_b, sit, sp_path=args.sp, year=args.year,
         week=args.week, n_games=args.n, artifact_dir=args.artifacts,
@@ -91,20 +86,14 @@ def _cmd_fourth(args) -> int:
     """4th-down decision chart: forced go/FG/punt win probabilities next to
     the engine's sampled policy (no reference counterpart — handle_fourth
     always samples, fast_monte_carlo_cfb.py:1394-1421)."""
-    from .api import evaluate_fourth_down
-    from .config import SimConfig
-    from .ops.game import Situation
+    from .api import evaluate_fourth_down, situation_from_fields
 
-    if args.sec is not None:
-        sec = args.sec
-    else:
-        qsec = SimConfig().clock.quarter_seconds
-        mm, ss = (args.clock or "15:00").split(":")
-        sec = (4 - args.quarter) * qsec + int(mm) * 60 + int(ss)
-    offense = {"a": 0, "b": 1}[args.offense.strip().lower()]
     sa, sb = (int(v) for v in args.score.split("-"))
-    sit = Situation(offense=offense, sec=int(sec), down=4,
-                    dist=args.dist, ytg=args.ytg, score_a=sa, score_b=sb)
+    sit = situation_from_fields(
+        ytg=args.ytg, offense=args.offense, sec=args.sec,
+        quarter=args.quarter, clock=args.clock, down=4,
+        dist=args.dist, score_a=sa, score_b=sb)
+    sec, offense = sit.sec, sit.offense
     res = evaluate_fourth_down(
         args.team_a, args.team_b, sit, sp_path=args.sp, year=args.year,
         week=args.week, n_games=args.n, artifact_dir=args.artifacts,

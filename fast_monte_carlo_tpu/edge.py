@@ -983,11 +983,27 @@ def season_win_market(p_wins, line: Optional[float] = None,
             "push_rate": round(p_push, 6),
             "american_over": prob_to_american(p_over),
             "american_under": prob_to_american(p_under),
-            "best": best_side_ev(p_over, price=price),
         })
-        p_best = p_over if res["best"]["side"] == "Over" else p_under
-        res["best"]["kelly"] = round(
-            kelly_fraction(p_best, price, p_push=p_push), 4)
+        # push-AWARE best side (unlike the reference-parity best_side_ev,
+        # which treats push mass as the other side winning): integer win
+        # totals push on exactly `line` wins, refunding the stake, so a
+        # side only loses when the OTHER side hits
+        profit = (100.0 * 100.0 / -price) if price < 0 else float(price)
+        ev_over = p_over * profit - p_under * 100.0
+        ev_under = p_under * profit - p_over * 100.0
+        side, p_side, ev = (("Over", p_over, ev_over)
+                            if ev_over >= ev_under
+                            else ("Under", p_under, ev_under))
+        live = p_over + p_under
+        res["best"] = {
+            "side": side,
+            "ev": round(ev, 2),
+            # edge on the push-excluded conditional vs the price's
+            # implied break-even (pushes count against neither side)
+            "edge": (round(p_side / live - american_implied_prob(price), 6)
+                     if live > 0 else 0.0),
+            "kelly": round(kelly_fraction(p_side, price, p_push=p_push), 4),
+        }
     return res
 
 

@@ -437,30 +437,16 @@ class SimService:
 
 
 def _situation_from_body(d: dict):
-    """Parse one situation object from a request body: offense 'A'/'B' or
-    0/1; `sec` (seconds left in the GAME) or `quarter` + `clock` 'MM:SS'
-    (seconds left in that quarter)."""
-    from .config import SimConfig
-    from .ops.game import Situation
+    """Parse one situation object from a request body — a thin dict
+    adapter over api.situation_from_fields (the one shared parser, also
+    behind the CLI's live/fourth commands)."""
+    from .api import situation_from_fields
 
-    sec = d.get("sec")
-    if sec is None:
-        q = int(d["quarter"])
-        mm, ss = str(d.get("clock", "15:00")).split(":")
-        qsec = SimConfig().clock.quarter_seconds
-        if not 1 <= q <= 4:
-            raise ValueError(f"quarter must be 1..4, got {q}")
-        sec = (4 - q) * qsec + int(mm) * 60 + int(ss)
-    offense = d.get("offense", 0)
-    if isinstance(offense, str):
-        offense = {"a": 0, "b": 1}.get(offense.strip().lower())
-        if offense is None:
-            raise ValueError("offense must be 'A', 'B', 0, or 1")
-    return Situation(
-        offense=int(offense), sec=int(sec), down=int(d.get("down", 1)),
-        dist=float(d.get("dist", 10.0)), ytg=float(d["ytg"]),
-        score_a=int(d.get("score_a", 0)),
-        score_b=int(d.get("score_b", 0)))
+    return situation_from_fields(
+        ytg=float(d["ytg"]), offense=d.get("offense", 0),
+        sec=d.get("sec"), quarter=d.get("quarter"), clock=d.get("clock"),
+        down=d.get("down", 1), dist=d.get("dist", 10.0),
+        score_a=d.get("score_a", 0), score_b=d.get("score_b", 0))
 
 
 _ROUTES = {"/slate": "slate", "/sim": "sim", "/props": "props",

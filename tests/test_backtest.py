@@ -34,6 +34,28 @@ def test_join_results_orientations_and_misses():
     assert tie["won_a"] == 0.0 and tie["actual_margin_a"] == 0
 
 
+def test_join_results_rematch_fifo():
+    """The same two teams twice (regular season + championship rematch):
+    the k-th prediction row for the pair must score against the k-th
+    results row, not have the later final silently overwrite both."""
+    preds = _preds([("Kansas State", "Iowa State", 0.6, 3.0, 50.0),
+                    ("Iowa State", "Kansas State", 0.4, -3.0, 50.0)])
+    results = pd.DataFrame({
+        "team_a": ["Kansas State", "iowa state"],
+        "team_b": ["Iowa State", "kansas state"],
+        "score_a": [24, 31], "score_b": [20, 10]})
+    j = join_results(preds, results)
+    assert len(j) == 2
+    first, second = j.iloc[0], j.iloc[1]
+    assert (first["actual_a"], first["actual_b"]) == (24, 20)
+    # second prediction row is ISU-first; second result row is ISU 31-10
+    assert (second["actual_a"], second["actual_b"]) == (31, 10)
+    assert list(j["_pred_index"]) == [0, 1]
+    # one result for two predictions: only the first consumes it
+    j2 = join_results(preds, results.iloc[:1])
+    assert len(j2) == 1 and j2.iloc[0]["_pred_index"] == 0
+
+
 def test_win_calibration_hand_case():
     p = [0.8, 0.8, 0.2]
     y = [1.0, 0.0, 0.0]

@@ -128,6 +128,11 @@ def test_validation(runner):
     with pytest.raises(ValueError):   # unknown choice
         runner.run_fourth_decision(_one_play_left(), n_games=64,
                                    choices=("teleport",))
+    with pytest.raises(ValueError, match="n_games"):
+        runner.run_fourth_decision(_one_play_left(), n_games=0)
+    with pytest.raises(ValueError, match="at least one"):
+        runner.run_fourth_decision(_one_play_left(), n_games=64,
+                                   choices=())
 
 
 def test_play_step_force_validation():

@@ -43,6 +43,26 @@ def _kickoff_sit(cfg: SimConfig, offense=0) -> Situation:
                      score_a=0, score_b=0)
 
 
+def test_situation_from_fields_shared_parser():
+    """The ONE situation parser behind the CLI live/fourth commands and
+    the HTTP body parser — offense letters, quarter/clock arithmetic,
+    and the error surfaces."""
+    from fast_monte_carlo_tpu.api import situation_from_fields
+
+    s = situation_from_fields(ytg=30, offense="B", quarter=4,
+                              clock="05:12", down=2, dist=7,
+                              score_a=21, score_b=17)
+    assert (s.offense, s.sec, s.down, s.score_a) == (1, 312, 2, 21)
+    assert situation_from_fields(ytg=30, sec=100).sec == 100
+    assert situation_from_fields(ytg=30, quarter=1).sec == 3600
+    with pytest.raises(ValueError, match="sec= or quarter="):
+        situation_from_fields(ytg=30)
+    with pytest.raises(ValueError, match="quarter"):
+        situation_from_fields(ytg=30, quarter=5)
+    with pytest.raises(ValueError, match="offense"):
+        situation_from_fields(ytg=30, sec=10, offense="C")
+
+
 def test_kickoff_situation_equals_initial_state(setup):
     """The kickoff situation reconstructs initial_state array-for-array,
     so live mode is a strict generalization of the normal start."""

@@ -77,6 +77,26 @@ def test_market_best_side_ev_sign():
     assert res["best"]["ev"] > 0
 
 
+def test_market_best_side_is_push_aware():
+    """Integer lines push — the best side must NOT count push mass as the
+    other side winning (the push-blind best_side_ev would report a
+    fabricated +EV here)."""
+    # wins ~ {0: .25, 1: .5, 2: .25}; line 1 pushes half the time
+    res = season_win_market([0.5, 0.5], line=1, price=-110)
+    assert res["push_rate"] == pytest.approx(0.5)
+    b = res["best"]
+    # either side: win .25, lose .25, push .5 -> EV = .25*90.909 - .25*100
+    assert b["ev"] == pytest.approx(0.25 * (100 / 1.1) - 25.0, abs=0.01)
+    assert b["ev"] < 0 and b["kelly"] == 0.0
+    # conditional (push-excluded) edge vs the -110 implied break-even
+    assert b["edge"] == pytest.approx(0.5 - 110 / 210, abs=1e-6)
+    # a side that literally cannot lose prices accordingly
+    res2 = season_win_market([1.0, 0.5], line=1, price=-110)
+    b2 = res2["best"]
+    assert b2["side"] == "Over" and b2["kelly"] == pytest.approx(1.0)
+    assert b2["ev"] == pytest.approx(0.5 * (100 / 1.1), abs=0.01)
+
+
 @pytest.fixture(scope="module")
 def season_result(reference_dir):
     from fast_monte_carlo_tpu.api import project_season
