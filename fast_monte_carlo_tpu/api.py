@@ -1466,15 +1466,16 @@ def simulate_parlay(
         team_a, team_b, sp_path=sp_path, year=year, week=week,
         artifact_dir=artifact_dir, focus_csv=focus_csv, cfg=cfg)
     # validate the legs BEFORE the runner's table build or any sim: a bad
-    # leg must not cost a device upload, let alone a run
-    edge.resolve_parlay_legs(a, b, legs)
+    # leg must not cost a device upload, let alone a run (the resolved
+    # encoding is passed through so pricing never re-resolves)
+    resolved = edge.resolve_parlay_legs(a, b, legs)
     runner = _runner_for(a, b, heads, cfg, mode, table_quality, shard)
     want_players = any(
         str(leg.get("kind", "")).strip().lower() == "prop" for leg in legs)
     out = runner.run_pairs(n_pairs, seed=seed,
                            collect_players=want_players,
                            collect_stats=False, block=False)
-    return edge.parlay_odds(out, a, b, legs, price=price)
+    return edge.parlay_odds(out, a, b, legs, price=price, resolved=resolved)
 
 
 def project_season(

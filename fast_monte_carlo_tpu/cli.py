@@ -438,6 +438,21 @@ def _enable_compile_cache() -> None:
         pass
 
 
+def _arg_offense(s: str) -> str:
+    """argparse validator: clean error instead of a KeyError traceback."""
+    if s.strip().lower() not in ("a", "b"):
+        raise argparse.ArgumentTypeError(f"offense must be A or B, got {s!r}")
+    return s
+
+
+def _arg_score(s: str) -> str:
+    parts = s.split("-")
+    if len(parts) != 2 or not all(p.strip().isdigit() for p in parts):
+        raise argparse.ArgumentTypeError(
+            f"score must look like 21-17, got {s!r}")
+    return s
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="fast_monte_carlo_tpu")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -468,7 +483,7 @@ def main(argv=None) -> int:
     pg.add_argument("team_a")
     pg.add_argument("team_b")
     pg.add_argument("--sp", required=True, help="SP+ csv path")
-    pg.add_argument("--offense", default="A",
+    pg.add_argument("--offense", default="A", type=_arg_offense,
                     help="side with the ball: A or B")
     pg.add_argument("--sec", type=int, default=None,
                     help="seconds remaining in the GAME (overrides "
@@ -481,7 +496,7 @@ def main(argv=None) -> int:
                     help="yards to the first-down marker")
     pg.add_argument("--ytg", type=float, required=True,
                     help="yards to the opponent goal line (1-99)")
-    pg.add_argument("--score", default="0-0",
+    pg.add_argument("--score", default="0-0", type=_arg_score,
                     help="current score as A-B, e.g. 21-17")
     pg.add_argument("-n", type=int, default=65536, help="number of GAMES")
     pg.add_argument("--spread", type=float, default=None,
@@ -505,7 +520,7 @@ def main(argv=None) -> int:
     pf.add_argument("team_a")
     pf.add_argument("team_b")
     pf.add_argument("--sp", required=True, help="SP+ csv path")
-    pf.add_argument("--offense", default="A",
+    pf.add_argument("--offense", default="A", type=_arg_offense,
                     help="side with the ball: A or B")
     pf.add_argument("--sec", type=int, default=None,
                     help="seconds remaining in the GAME (overrides "
@@ -517,7 +532,7 @@ def main(argv=None) -> int:
                     help="yards to the first-down marker")
     pf.add_argument("--ytg", type=float, required=True,
                     help="yards to the opponent goal line (1-99)")
-    pf.add_argument("--score", default="0-0",
+    pf.add_argument("--score", default="0-0", type=_arg_score,
                     help="current score as A-B, e.g. 21-17")
     pf.add_argument("-n", type=int, default=65536,
                     help="number of GAMES per choice")

@@ -646,6 +646,10 @@ def resolve_parlay_legs(team_a_ctx, team_b_ctx, legs):
 
     rows, meta = [], []
     for leg in legs:
+        if not isinstance(leg, dict):
+            raise ValueError(
+                f"each parlay leg must be an object/dict, got "
+                f"{type(leg).__name__}: {leg!r}")
         kind = str(leg.get("kind", "")).strip().lower()
         if kind == "spread":
             _, tc, sgn = _side(leg)
@@ -697,6 +701,22 @@ def resolve_parlay_legs(team_a_ctx, team_b_ctx, legs):
     return ints + (arr[:, 5], arr[:, 6], arr[:, 7]), meta
 
 
+def _settle_legs(jnp, score, pstats, src, side, role, slot, col, sgn, drn,
+                 thr):
+    """Per-trial (B, L) win/push masks for resolved legs — THE settlement
+    semantics, shared by the parlay reducer and the correlation kernel so
+    they can never drift apart."""
+    margin = (score[:, 0] - score[:, 1]).astype(jnp.float32)       # A view
+    total = score.sum(axis=1).astype(jnp.float32)
+    pv = pstats[:, side, role, slot, col]                          # (B, L)
+    game = jnp.where(src[None, :] == _SRC_MARGIN,
+                     margin[:, None] * sgn[None, :], total[:, None])
+    v = jnp.where(src[None, :] == _SRC_PSTAT, pv, game)
+    win = jnp.where(drn[None, :] > 0, v > thr[None, :], v < thr[None, :])
+    push = jnp.abs(v - thr[None, :]) <= 1e-9
+    return win, push
+
+
 @lru_cache(maxsize=1)
 def _reduce_parlay_jit():
     import jax
@@ -705,14 +725,8 @@ def _reduce_parlay_jit():
     @jax.jit
     def reduce_parlay(score, pstats, src, side, role, slot, col, sgn, drn,
                       thr):
-        margin = (score[:, 0] - score[:, 1]).astype(jnp.float32)   # A view
-        total = score.sum(axis=1).astype(jnp.float32)
-        pv = pstats[:, side, role, slot, col]                      # (B, L)
-        game = jnp.where(src[None, :] == _SRC_MARGIN,
-                         margin[:, None] * sgn[None, :], total[:, None])
-        v = jnp.where(src[None, :] == _SRC_PSTAT, pv, game)
-        win = jnp.where(drn[None, :] > 0, v > thr[None, :], v < thr[None, :])
-        push = jnp.abs(v - thr[None, :]) <= 1e-9
+        win, push = _settle_legs(jnp, score, pstats, src, side, role, slot,
+                                 col, sgn, drn, thr)
         lose = ~(win | push)
         return {
             "leg_win": win.sum(axis=0, dtype=jnp.int32),
@@ -725,8 +739,8 @@ def _reduce_parlay_jit():
     return reduce_parlay
 
 
-def parlay_odds(out, team_a_ctx, team_b_ctx, legs, price: Optional[int] = None
-                ) -> Dict:
+def parlay_odds(out, team_a_ctx, team_b_ctx, legs,
+                price: Optional[int] = None, *, resolved=None) -> Dict:
     """Price a same-game parlay off the JOINT per-trial distribution.
 
     `out` is a GameState from MatchupRunner.run_pairs (device-resident);
@@ -735,11 +749,14 @@ def parlay_odds(out, team_a_ctx, team_b_ctx, legs, price: Optional[int] = None
 
     Settlement follows standard book rules per simulated game: the ticket
     loses iff any leg loses; pushed legs are voided (the parlay reduces);
-    all legs pushed = full refund.  The headline fair-odds probability
-    ``p_parlay`` is P(all legs win) / P(not fully refunded) — reduced wins
-    (some legs pushed, none lost) are conservatively counted as refunds,
-    so the fair price is a floor on the ticket's true value (exact when no
-    leg can push, e.g. all half-point lines).
+    all legs pushed = full refund.  Pricing treats BOTH full voids and
+    reduced wins as stake-back refunds, consistently across every metric:
+    the headline fair-odds probability ``p_parlay`` is
+    P(all legs win) / (P(all win) + P(lose)), and the quoted-price
+    edge/EV/Kelly use the same convention.  Because a reduced win really
+    pays more than the stake back, the fair price is a floor on the
+    ticket's true value (exact when no leg can push, e.g. all half-point
+    lines).
 
     ``correlation_mult`` = p_all_win / prod(marginal leg win probs): the
     same-game correlation a marginal pricer (the reference's edge_finder)
@@ -748,10 +765,15 @@ def parlay_odds(out, team_a_ctx, team_b_ctx, legs, price: Optional[int] = None
     Prop legs settle UNCONDITIONALLY (a trial where the player never
     records a stat counts at value 0), unlike scan_props_device's
     activity-conditioned marginals (edge_finder.py:182-205): a parlay leg
-    cannot condition away games where its player sat."""
+    cannot condition away games where its player sat.
+
+    `resolved` accepts a pre-computed resolve_parlay_legs result so
+    callers that validate legs before simulating (api.simulate_parlay)
+    don't resolve twice."""
     from .utils.transfer import fetch_tree
 
-    arrays, meta = resolve_parlay_legs(team_a_ctx, team_b_ctx, legs)
+    arrays, meta = resolved if resolved is not None else \
+        resolve_parlay_legs(team_a_ctx, team_b_ctx, legs)
     if any(m["kind"] == "prop" for m in meta) and (
             out.pstats.ndim != 5 or out.pstats.shape[1] != 2):
         raise ValueError(
@@ -764,7 +786,10 @@ def parlay_odds(out, team_a_ctx, team_b_ctx, legs, price: Optional[int] = None
     p_no_lose = float(red["no_lose"]) / n
     p_void = float(red["all_push"]) / n
     p_win_reduced = p_no_lose - p_all_win - p_void
-    p_parlay = p_all_win / max(1.0 - p_void, 1e-12)
+    # refund semantics: void AND reduced-win mass returns the stake, so
+    # the fair full-win price conditions on the decisive outcomes only —
+    # consistent with the edge/EV/Kelly below (_priced_block)
+    p_parlay = p_all_win / max(p_all_win + (1.0 - p_no_lose), 1e-12)
     leg_p = [float(w) / n for w in red["leg_win"]]
     p_independent = float(np.prod(leg_p))
     res: Dict = {
@@ -783,21 +808,27 @@ def parlay_odds(out, team_a_ctx, team_b_ctx, legs, price: Optional[int] = None
                              if p_independent > 0 else float("nan")),
     }
     if price is not None:
-        price = int(price)
-        profit = 100 * (100 / (-price)) if price < 0 else price
-        # pushes (full void + conservatively the reduced wins) return the
-        # stake — same stake-back convention as ev_per_100_at_minus110
-        ev = p_all_win * profit - (1.0 - p_no_lose) * 100.0
-        res.update({
-            "price": price,
-            "edge_pct": round((p_parlay - american_implied_prob(price))
-                              * 100, 2),
-            "ev_$100": round(ev, 2),
-            "kelly": round(kelly_fraction(
-                p_all_win, price,
-                p_push=max(0.0, p_no_lose - p_all_win)), 4),
-        })
+        res.update(_priced_block(p_all_win, p_no_lose, p_parlay, price))
     return res
+
+
+def _priced_block(p_all_win: float, p_no_lose: float, p_parlay: float,
+                  price: int) -> Dict:
+    """Quoted-price metrics shared by parlay_odds and cross_game_parlay —
+    refund semantics throughout (full voids and reduced wins return the
+    stake, same stake-back convention as ev_per_100_at_minus110)."""
+    price = int(price)
+    profit = 100 * (100 / (-price)) if price < 0 else price
+    ev = p_all_win * profit - (1.0 - p_no_lose) * 100.0
+    return {
+        "price": price,
+        "edge_pct": round((p_parlay - american_implied_prob(price))
+                          * 100, 2),
+        "ev_$100": round(ev, 2),
+        "kelly": round(kelly_fraction(
+            p_all_win, price,
+            p_push=max(0.0, p_no_lose - p_all_win)), 4),
+    }
 
 
 @lru_cache(maxsize=1)
@@ -807,14 +838,9 @@ def _leg_corr_jit():
 
     @jax.jit
     def leg_corr(score, pstats, src, side, role, slot, col, sgn, drn, thr):
-        margin = (score[:, 0] - score[:, 1]).astype(jnp.float32)
-        total = score.sum(axis=1).astype(jnp.float32)
-        pv = pstats[:, side, role, slot, col]
-        game = jnp.where(src[None, :] == _SRC_MARGIN,
-                         margin[:, None] * sgn[None, :], total[:, None])
-        v = jnp.where(src[None, :] == _SRC_PSTAT, pv, game)
-        w = jnp.where(drn[None, :] > 0, v > thr[None, :],
-                      v < thr[None, :]).astype(jnp.float32)   # win indicator
+        win, _ = _settle_legs(jnp, score, pstats, src, side, role, slot,
+                              col, sgn, drn, thr)
+        w = win.astype(jnp.float32)   # win indicator (pushes = non-wins)
         B = w.shape[0]
         mu = w.mean(axis=0)
         cov = w.T @ w / B - mu[:, None] * mu[None, :]
@@ -873,7 +899,8 @@ def cross_game_parlay(blocks, price: Optional[int] = None) -> Dict:
     p_no_lose = float(np.prod([1.0 - b["p_lose"] for b in blocks]))
     p_void = float(np.prod([b["p_void"] for b in blocks]))
     p_independent = float(np.prod([b["p_independent"] for b in blocks]))
-    p_parlay = p_all_win / max(1.0 - p_void, 1e-12)
+    # same refund semantics as parlay_odds: decisive outcomes only
+    p_parlay = p_all_win / max(p_all_win + (1.0 - p_no_lose), 1e-12)
     res: Dict = {
         "games": [f"{b['team']} vs {b['opp']}" for b in blocks],
         "legs": [{**leg, "game": f"{b['team']} vs {b['opp']}"}
@@ -890,18 +917,7 @@ def cross_game_parlay(blocks, price: Optional[int] = None) -> Dict:
                              if p_independent > 0 else float("nan")),
     }
     if price is not None:
-        price = int(price)
-        profit = 100 * (100 / (-price)) if price < 0 else price
-        ev = p_all_win * profit - (1.0 - p_no_lose) * 100.0
-        res.update({
-            "price": price,
-            "edge_pct": round((p_parlay - american_implied_prob(price))
-                              * 100, 2),
-            "ev_$100": round(ev, 2),
-            "kelly": round(kelly_fraction(
-                p_all_win, price,
-                p_push=max(0.0, p_no_lose - p_all_win)), 4),
-        })
+        res.update(_priced_block(p_all_win, p_no_lose, p_parlay, price))
     return res
 
 

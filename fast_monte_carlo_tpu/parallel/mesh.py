@@ -140,19 +140,21 @@ def simulate_moments_sharded(
     n_local = n // ndev
 
     keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(jnp.arange(ndev))
-    if isinstance(first_offense, (int, np.integer)):
-        fo = jnp.full((n,), first_offense, jnp.int32)
-    else:
-        fo = jnp.asarray(first_offense, jnp.int32)
     if isinstance(game_id, (int, np.integer)):
         gid = jnp.full((n,), game_id, jnp.int32)
     else:
         gid = jnp.asarray(game_id, jnp.int32)
 
     if situation is not None:
+        # the live path never consumes first_offense (possession comes
+        # from the situation) — don't build its (n,) device array
         fn = _moments_sharded_live_jit(cfg, heads_eval, mesh, n_local,
                                        collect_stats)
         return fn(pack, heads_state, keys, gid, situation)
+    if isinstance(first_offense, (int, np.integer)):
+        fo = jnp.full((n,), first_offense, jnp.int32)
+    else:
+        fo = jnp.asarray(first_offense, jnp.int32)
     fn = _moments_sharded_jit(cfg, heads_eval, mesh, n_local, collect_stats)
     return fn(pack, heads_state, keys, fo, gid)
 

@@ -129,8 +129,11 @@ def test_parlay_hand_counts(tiny_out, legs):
         + res["p_win_reduced"] == pytest.approx(1.0, abs=5e-6)
     assert res["p_independent"] == pytest.approx(
         float(np.prod(want["leg_win"])), abs=1e-5)
+    # refund semantics: p_parlay conditions on decisive outcomes only
+    # (voids AND reduced wins return the stake), matching the EV/Kelly
     assert res["p_parlay"] == pytest.approx(
-        want["p_all_win"] / max(1 - want["p_void"], 1e-12), abs=1e-6)
+        want["p_all_win"] / max(want["p_all_win"] + want["p_lose"], 1e-12),
+        abs=1e-6)
     # quoted-price block present and finite
     assert res["price"] == -110
     assert np.isfinite(res["ev_$100"]) and np.isfinite(res["edge_pct"])
@@ -175,6 +178,28 @@ def test_parlay_leg_validation(tiny_out):
         resolve_parlay_legs(a, b, [{"kind": "teaser", "team": "Alpha"}])
     with pytest.raises(ValueError, match="at least one leg"):
         resolve_parlay_legs(a, b, [])
+    with pytest.raises(ValueError, match="must be an object"):
+        resolve_parlay_legs(a, b, ["moneyline"])  # JSON string, not object
+
+
+def test_priced_metrics_are_internally_consistent(tiny_out):
+    """edge_pct and ev_$100 must agree in sign at any quote: both use the
+    same refund semantics (the pre-fix p_parlay counted reduced wins as
+    losses while the EV refunded them, so the two could contradict)."""
+    a, b, out, *_ = tiny_out
+    legs = [{"kind": "spread", "team": "Alpha", "line": -3.5},
+            {"kind": "total", "side": "over", "line": 52}]  # pushes exist
+    res = parlay_odds(out, a, b, legs, price=-110)
+    assert res["p_win_reduced"] > 0  # the case that used to contradict
+    fair = res["fair_american"]
+    for quote in (-150, -110, 120, 300):
+        r = parlay_odds(out, a, b, legs, price=quote)
+        # positive edge iff the quote beats fair, and EV agrees (both are
+        # zero exactly at the fair price)
+        if r["edge_pct"] > 0.5:
+            assert r["ev_$100"] > 0, (quote, fair, r)
+        if r["edge_pct"] < -0.5:
+            assert r["ev_$100"] < 0, (quote, fair, r)
 
 
 def test_prop_leg_requires_player_stats(tiny_out):

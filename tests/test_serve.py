@@ -153,7 +153,8 @@ def test_parlay_endpoint(server):
     # guards: empty/oversized legs, unknown team, unknown kind
     for bad_legs in ([], [{"kind": "moneyline", "team": "KSU"}] * 21,
                      [{"kind": "moneyline", "team": "Ohio State"}],
-                     [{"kind": "teaser", "team": "Kansas State"}]):
+                     [{"kind": "teaser", "team": "Kansas State"}],
+                     ["moneyline"]):  # JSON string, not an object -> 400
         code, err = _post(base + "/parlay", {**body, "legs": bad_legs})
         assert code == 400, (bad_legs, err)
 
