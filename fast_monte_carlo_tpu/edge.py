@@ -454,6 +454,37 @@ _STAT_TO_ROLE_COL = {
 }
 
 
+def _resolve_stat_target(tc, player, stat, *, strict: bool):
+    """Resolve one (player, stat) naming on a team context to pstats
+    coordinates: (role, slot, col, canonical stat name).  THE shared core
+    of the prop scan and parlay prop legs, so a roster/stat-layout change
+    can never make them resolve the same player differently.  strict=False
+    returns None on anything unresolvable (the reference's skip-on-error
+    scan semantics, edge_finder.py:380-382); strict=True raises — a
+    silently dropped parlay leg would price a different ticket."""
+    from .stats import ROLE_PASS, ROLE_REC, ROLE_RUSH
+
+    role_idx = {"pass": ROLE_PASS, "rush": ROLE_RUSH, "rec": ROLE_REC}
+    stat_col = STAT_ALIASES.get(str(stat), str(stat))
+    rc = _STAT_TO_ROLE_COL.get(stat_col)
+    if rc is None:
+        if strict:
+            raise ValueError(f"unknown prop stat {stat!r}")
+        return None
+    role_name, col = rc
+    table = {"pass": tc.qb, "rush": tc.rush, "rec": tc.target}[role_name]
+    want = str(player).lower()
+    slot = next((k for k, nm in enumerate(table.names)
+                 if str(nm).lower() == want and table.tracked[k]), None)
+    if slot is None:
+        if strict:
+            raise ValueError(
+                f"player {player!r} is not tracked for {tc.name}; "
+                "parlay legs need a tracked player")
+        return None
+    return role_idx[role_name], slot, col, stat_col
+
+
 def resolve_prop_rows(team_a_ctx, team_b_ctx, props: pd.DataFrame):
     """Map a prop sheet's rows onto one matchup's pstats coordinates.
 
@@ -464,13 +495,6 @@ def resolve_prop_rows(team_a_ctx, team_b_ctx, props: pd.DataFrame):
     reductions to len(meta).  Rows naming an untracked player, a team not
     in this matchup, or an unknown stat are skipped (reference behavior:
     skip-on-error, edge_finder.py:380-382)."""
-    from .stats import ROLE_PASS, ROLE_REC, ROLE_RUSH
-
-    role_idx = {"pass": ROLE_PASS, "rush": ROLE_RUSH, "rec": ROLE_REC}
-    role_table = {
-        "pass": lambda tc: tc.qb, "rush": lambda tc: tc.rush,
-        "rec": lambda tc: tc.target,
-    }
     sides = {_norm_team(team_a_ctx.name): (0, team_a_ctx),
              _norm_team(team_b_ctx.name): (1, team_b_ctx)}
 
@@ -480,18 +504,11 @@ def resolve_prop_rows(team_a_ctx, team_b_ctx, props: pd.DataFrame):
         if key not in sides:
             continue
         side, tc = sides[key]
-        stat_col = STAT_ALIASES.get(str(r["stat"]), str(r["stat"]))
-        rc = _STAT_TO_ROLE_COL.get(stat_col)
-        if rc is None:
+        hit = _resolve_stat_target(tc, r["player"], r["stat"], strict=False)
+        if hit is None:
             continue
-        role_name, col = rc
-        table = role_table[role_name](tc)
-        want = str(r["player"]).lower()
-        slot = next((k for k, nm in enumerate(table.names)
-                     if str(nm).lower() == want and table.tracked[k]), None)
-        if slot is None:
-            continue
-        rows.append((side, role_idx[role_name], slot, col, float(r["yards"])))
+        role, slot, col, stat_col = hit
+        rows.append((side, role, slot, col, float(r["yards"])))
         meta.append({"team": r["team"], "player": r["player"],
                      "stat": stat_col, "line": float(r["yards"])})
     if not rows:
@@ -618,13 +635,6 @@ def resolve_parlay_legs(team_a_ctx, team_b_ctx, legs):
     Unlike resolve_prop_rows (which keeps the reference's skip-on-error
     scan semantics), an unresolvable leg raises ValueError — a parlay with
     a silently dropped leg would price a different ticket."""
-    from .stats import ROLE_PASS, ROLE_REC, ROLE_RUSH
-
-    role_idx = {"pass": ROLE_PASS, "rush": ROLE_RUSH, "rec": ROLE_REC}
-    role_table = {
-        "pass": lambda tc: tc.qb, "rush": lambda tc: tc.rush,
-        "rec": lambda tc: tc.target,
-    }
     sides = {_norm_team(team_a_ctx.name): (0, team_a_ctx, 1.0),
              _norm_team(team_b_ctx.name): (1, team_b_ctx, -1.0)}
 
@@ -669,24 +679,12 @@ def resolve_parlay_legs(team_a_ctx, team_b_ctx, legs):
                          "label": f"{leg['side'].title()} {line:g}"})
         elif kind == "prop":
             side_i, tc, _ = _side(leg)
-            stat_col = STAT_ALIASES.get(str(leg["stat"]), str(leg["stat"]))
-            rc = _STAT_TO_ROLE_COL.get(stat_col)
-            if rc is None:
-                raise ValueError(f"unknown prop stat {leg['stat']!r}")
-            role_name, col = rc
-            table = role_table[role_name](tc)
-            want = str(leg["player"]).lower()
-            slot = next((k for k, nm in enumerate(table.names)
-                         if str(nm).lower() == want and table.tracked[k]),
-                        None)
-            if slot is None:
-                raise ValueError(
-                    f"player {leg['player']!r} is not tracked for "
-                    f"{tc.name}; parlay legs need a tracked player")
+            role, slot, col, stat_col = _resolve_stat_target(
+                tc, leg["player"], leg["stat"], strict=True)
             drn = _drn(leg)
             line = float(leg["line"])
-            rows.append((_SRC_PSTAT, side_i, role_idx[role_name], slot,
-                         col, 1.0, drn, line))
+            rows.append((_SRC_PSTAT, side_i, role, slot, col, 1.0, drn,
+                         line))
             meta.append({"kind": kind,
                          "label": (f"{leg['player']} {leg['side'].title()} "
                                    f"{line:g} {stat_col}")})
