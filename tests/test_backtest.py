@@ -119,6 +119,28 @@ def test_calibration_report_requires_a_match():
         calibration_report(preds, results)
 
 
+def test_cli_backtest(reference_dir, tmp_path, capsys):
+    from fast_monte_carlo_tpu.cli import main
+
+    finals = tmp_path / "finals.csv"
+    pd.DataFrame({
+        "team_a": ["Kansas State"], "team_b": ["Iowa State"],
+        "score_a": [24], "score_b": [21]}).to_csv(finals, index=False)
+    rc = main([
+        "backtest", "--results", str(finals),
+        "--sp", str(reference_dir / "PregameSPPlus2025_1.csv"),
+        "-n", "256", "--mode", "analytic", "--bins", "5",
+        "--artifacts", str(reference_dir),
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "Backtest: 1 games" in out and "brier" in out and "PIT" in out
+    # missing required columns is a clean usage error
+    bad = tmp_path / "bad.csv"
+    pd.DataFrame({"home": ["x"], "away": ["y"]}).to_csv(bad, index=False)
+    assert main(["backtest", "--results", str(bad), "--sp", "unused"]) == 2
+
+
 @pytest.mark.slow
 def test_backtest_slate_end_to_end(reference_dir):
     """Full path off real sims: simulate two matchups, score them against

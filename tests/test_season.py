@@ -130,6 +130,23 @@ def test_project_season_composes_slate(season_result, reference_dir):
     assert res["games"] == 2 and "p_over" in res
 
 
+def test_cli_season(reference_dir, capsys):
+    from fast_monte_carlo_tpu.cli import main
+
+    sp = str(reference_dir / "PregameSPPlus2025_1.csv")
+    rc = main([
+        "season", "Kansas State", "--opponents", "Iowa State,Kansas",
+        "--sp", sp, "--line", "1.5", "-n", "256", "--mode", "analytic",
+        "--artifacts", str(reference_dir),
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "Season win total: Kansas State (2 games)" in out
+    assert "P(at least k wins)" in out and "best side" in out
+    # exactly one of --opponents/--games required
+    assert main(["season", "X", "--sp", sp]) == 2
+
+
 def test_project_season_validation(reference_dir):
     from fast_monte_carlo_tpu.api import project_season
 
