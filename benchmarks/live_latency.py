@@ -5,6 +5,9 @@ is quiet): first call 127.6s (compile + table build), then rotating
 through 4 distinct situations — median **51ms**, min 40ms, max 70ms per
 65,536-game answer.  Faster than the 90ms warm /sim because resumed games
 are shorter and the early-exit chunk loop stops right after they finish.
+Re-checked same-day evening (idle host, slow tunnel: first call 444s):
+median 87ms, min 39ms, max 174ms, win probs bitwise-identical — the
+floor is stable at ~40ms, the median swings ~50-90ms with tunnel load.
 Win probabilities across the rotation (n=16,384): up-4-with-ball mid-Q3
 0.802, down-3-defense late-Q4 0.319, tied-Q2 0.598 (the pregame edge),
 down-3-opponent-4th-and-2-at-95s 0.027 — monotone in game state as they
