@@ -266,13 +266,19 @@ class OracleMatchup:
     # -- game loop ----------------------------------------------------------
 
     def simulate_game(self, first_offense: int, rng: np.random.Generator,
-                      start=None) -> dict:
+                      start=None, force_first=None) -> dict:
         """One full game; `start` (any object with offense/sec/down/dist/
         ytg/score_a/score_b fields, e.g. ops.game.Situation) resumes from a
         mid-game state instead of the kickoff — the scalar referee twin of
         the engine's live mode.  Derived fields follow state_from_situation:
         period from the tick formula, in_rz = ytg <= 20 (no fresh rz_trip
-        for a drive already inside the 20), going decided organically."""
+        for a drive already inside the 20), going decided organically.
+
+        `force_first` ('go' | 'fg' | 'punt', requires a down-4 `start`)
+        overrides the FIRST play's 4th-down decision and lets the game
+        continue under the normal policy — the referee twin of the
+        engine's 4th-down evaluator (FourthDownConfig.force applied to
+        one play; api.evaluate_fourth_down)."""
         cfg = self.cfg
         if start is None:
             gs = _GameState(off=first_offense, sec=cfg.clock.game_seconds,
@@ -292,8 +298,14 @@ class OracleMatchup:
         K = self.teams[0].qb.k
         pstats = np.zeros((2, 3, K, N_PLAYER_STATS))
 
+        if force_first is not None and (start is None or gs.down != 4):
+            raise ValueError(
+                "force_first needs a down=4 start situation, got "
+                f"start={start!r}")
         while gs.sec > 0:
-            if gs.down == 4 and self._handle_fourth(gs, score, stats, rng):
+            force, force_first = force_first, None  # first play only
+            if gs.down == 4 and self._handle_fourth(gs, score, stats, rng,
+                                                    force=force):
                 continue
             self._play(gs, score, stats, pstats, rng)
 
@@ -306,19 +318,30 @@ class OracleMatchup:
             "pstats": pstats,
         }
 
-    def _handle_fourth(self, gs, score, stats, rng) -> bool:
+    def _handle_fourth(self, gs, score, stats, rng, force=None) -> bool:
         cfg = self.cfg
         side = gs.off
-        sd = score[side] - score[1 - side]
-        p_go = min(1.0, float(analytic.go_for_it_prob(
-            np.float32(gs.ytg), np.float32(gs.dist), sd, gs.sec, cfg))
-            * cfg.fourth.go_multiplier)
-        if rng.random() < p_go:
+        if force is None:
+            sd = score[side] - score[1 - side]
+            p_go = min(1.0, float(analytic.go_for_it_prob(
+                np.float32(gs.ytg), np.float32(gs.dist), sd, gs.sec, cfg))
+                * cfg.fourth.go_multiplier)
+            go = rng.random() < p_go
+            fg_att = gs.ytg <= cfg.st.fg_attempt_max_ytg
+        elif force in ("go", "fg", "punt"):
+            # decision override (the engine's FourthDownConfig.force
+            # semantics): 'fg' kicks regardless of range, 'punt' punts
+            # from anywhere; the play itself runs the normal models
+            go, fg_att = force == "go", force == "fg"
+        else:
+            raise ValueError(
+                f"force must be None|'go'|'fg'|'punt', got {force!r}")
+        if go:
             gs.going = True
             stats[side, TS["fourth_go"]] += 1
             return False
 
-        if gs.ytg <= cfg.st.fg_attempt_max_ytg:
+        if fg_att:
             stats[side, TS["FGA"]] += 1
             p = float(analytic.field_goal_prob(
                 np.float32(gs.ytg + cfg.st.fg_snap_plus_endzone), cfg))

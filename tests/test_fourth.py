@@ -157,6 +157,76 @@ def test_play_step_force_validation():
                   make_analytic_heads_eval(bad), None, True)
 
 
+def test_oracle_force_first_closed_form(reference_dir):
+    """The oracle's force_first knob reproduces the same closed-form
+    one-play endgames as the engine's forced play: fg with 5s left at the
+    20 wins iff the 37-yard kick is good; punt ties every game."""
+    from fast_monte_carlo_tpu.models.heads import load_heads
+    from fast_monte_carlo_tpu.oracle import OracleMatchup
+
+    cfg = SimConfig()
+    sp = load_sp_flex(str(reference_dir / "PregameSPPlus2025_1.csv"))
+    a = build_team_context_from_sp_flex("Kansas State", 2025, 1, sp)
+    b = build_team_context_from_sp_flex("Iowa State", 2025, 1, sp)
+    m = OracleMatchup(a, b, load_heads(str(reference_dir)), cfg)
+    sit = _one_play_left()
+    rng = np.random.default_rng(5)
+    n = 400
+    fg_scores = np.array([m.simulate_game(0, rng, start=sit,
+                                          force_first="fg")["score"]
+                          for _ in range(n)], dtype=float)
+    p_fg = float(analytic.field_goal_prob(
+        20.0 + cfg.st.fg_snap_plus_endzone, cfg))
+    win = (fg_scores[:, 0] > fg_scores[:, 1]).mean()
+    assert abs(win - p_fg) < 5 * np.sqrt(p_fg * (1 - p_fg) / n)
+    assert (fg_scores[:, 1] == 0).all()          # B never touches the ball
+    pt = np.array([m.simulate_game(0, rng, start=sit,
+                                   force_first="punt")["score"]
+                   for _ in range(64)], dtype=float)
+    assert (pt == 0).all()                        # nobody scores: all ties
+    # guards: needs a down-4 start, and a known choice
+    with pytest.raises(ValueError, match="down=4"):
+        m.simulate_game(0, rng, force_first="go")
+    with pytest.raises(ValueError, match="force"):
+        m.simulate_game(0, rng, start=sit, force_first="teleport")
+
+
+@pytest.mark.slow
+def test_forced_continuations_match_oracle(reference_dir):
+    """Cross-implementation referee for the 4th-down evaluator: from the
+    same down-4 situation, each FORCED first play + full normal
+    continuation must produce the same win probability in the engine
+    (table mode) and the scalar oracle (force_first) within MC + table-
+    quantization bounds.  A swapped or leaky force semantics fails
+    loudly — fg and punt sit ~35pp apart here."""
+    from fast_monte_carlo_tpu.models.heads import load_heads
+    from fast_monte_carlo_tpu.oracle import OracleMatchup
+
+    cfg = SimConfig()
+    sp = load_sp_flex(str(reference_dir / "PregameSPPlus2025_1.csv"))
+    a = build_team_context_from_sp_flex("Kansas State", 2025, 1, sp)
+    b = build_team_context_from_sp_flex("Iowa State", 2025, 1, sp)
+    heads = load_heads(str(reference_dir))
+    sit = Situation(offense=0, sec=300, down=4, dist=2.0, ytg=30.0,
+                    score_a=20, score_b=21)
+
+    eng = MatchupRunner(a, b, heads, cfg, mode="table")
+    res = eng.run_fourth_decision(sit, n_games=8192, seed=9,
+                                  choices=("go", "fg", "punt"))
+    m = OracleMatchup(a, b, heads, cfg)
+    rng = np.random.default_rng(11)
+    n_o = 1200
+    for choice in ("go", "fg", "punt"):
+        sc = np.array([m.simulate_game(0, rng, start=sit,
+                                       force_first=choice)["score"]
+                       for _ in range(n_o)], dtype=float)
+        p_o = (sc[:, 0] > sc[:, 1]).mean()
+        p_e = float(np.asarray(res[choice].win_rate)[0])
+        se = np.sqrt(p_o * (1 - p_o) * (1 / 8192 + 1 / n_o) + 1e-12)
+        # 3.5 sigma MC + ~1.5pp table-quantization/cache allowance
+        assert abs(p_e - p_o) < 3.5 * se + 0.015, (choice, p_e, p_o, se)
+
+
 def test_evaluate_fourth_down_end_to_end(reference_dir):
     """Full API: table mode, real SP+ file, response schema + best pick."""
     from fast_monte_carlo_tpu.api import evaluate_fourth_down
