@@ -1450,6 +1450,7 @@ def simulate_parlay(
     seed: int = 0,
     shard: bool = False,
     price: Optional[int] = None,
+    correlations: bool = False,
 ) -> dict:
     """Price a same-game parlay (joint multi-leg ticket) for one matchup.
 
@@ -1461,7 +1462,9 @@ def simulate_parlay(
 
     Player stats are only collected (and only then cost sim throughput)
     when a prop leg is present.  `price` (American, e.g. +450) adds quoted
-    edge/EV columns to the result."""
+    edge/EV columns to the result; `correlations=True` adds the pairwise
+    leg-correlation matrix (edge.parlay_correlations, computed off the
+    SAME trial sample) under `leg_corr`."""
     heads, a, b, cfg = _prepared_contexts(
         team_a, team_b, sp_path=sp_path, year=year, week=week,
         artifact_dir=artifact_dir, focus_csv=focus_csv, cfg=cfg)
@@ -1475,7 +1478,11 @@ def simulate_parlay(
     out = runner.run_pairs(n_pairs, seed=seed,
                            collect_players=want_players,
                            collect_stats=False, block=False)
-    return edge.parlay_odds(out, a, b, legs, price=price, resolved=resolved)
+    res = edge.parlay_odds(out, a, b, legs, price=price, resolved=resolved)
+    if correlations:
+        res["leg_corr"] = edge.parlay_correlations(out, a, b, legs,
+                                                   resolved=resolved)
+    return res
 
 
 def project_season(

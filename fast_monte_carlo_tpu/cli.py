@@ -137,10 +137,15 @@ def _cmd_parlay(args) -> int:
         args.team_a, args.team_b, legs, sp_path=args.sp, year=args.year,
         week=args.week, n_pairs=args.n, artifact_dir=args.artifacts,
         focus_csv=args.focus, mode=args.mode, table_quality=args.quality,
-        seed=args.seed, shard=args.shard, price=args.price)
+        seed=args.seed, shard=args.shard, price=args.price,
+        correlations=args.corr)
     print_parlay_readable(res)
+    if args.corr:
+        print("\nLeg win-indicator correlations:")
+        print(res["leg_corr"].round(3).to_string())
     if args.json:
-        print(json.dumps(res))
+        from .serve import jsonable
+        print(json.dumps(jsonable(res)))
     return 0
 
 
@@ -575,6 +580,9 @@ def main(argv=None) -> int:
                     help="shard the trial axis over all devices")
     pp.add_argument("--json", action="store_true",
                     help="also print the raw result dict as JSON")
+    pp.add_argument("--corr", action="store_true",
+                    help="also print the pairwise leg win-indicator "
+                         "correlation matrix (same trial sample)")
     pp.set_defaults(fn=_cmd_parlay)
 
     pe = sub.add_parser("edges", help="betting edges over saved sims")

@@ -850,16 +850,19 @@ def _leg_corr_jit():
     return leg_corr
 
 
-def parlay_correlations(out, team_a_ctx, team_b_ctx, legs) -> pd.DataFrame:
+def parlay_correlations(out, team_a_ctx, team_b_ctx, legs, *,
+                        resolved=None) -> pd.DataFrame:
     """Pairwise Pearson correlations between the legs' WIN indicators over
     the joint trial sample (pushes count as non-wins).  A ticket-building
     diagnostic for parlay_odds: legs with positive correlation price above
     their independence product, negative below.  Impossible in the
     reference for the same reason as parlay_odds — edge_finder.py never
-    sees two markets' outcomes on the same trial."""
+    sees two markets' outcomes on the same trial.  `resolved` accepts a
+    pre-computed resolve_parlay_legs result (same as parlay_odds)."""
     from .utils.transfer import fetch_tree
 
-    arrays, meta = resolve_parlay_legs(team_a_ctx, team_b_ctx, legs)
+    arrays, meta = resolved if resolved is not None else \
+        resolve_parlay_legs(team_a_ctx, team_b_ctx, legs)
     if any(m["kind"] == "prop" for m in meta) and (
             out.pstats.ndim != 5 or out.pstats.shape[1] != 2):
         raise ValueError(

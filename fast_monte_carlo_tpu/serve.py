@@ -412,7 +412,8 @@ class SimService:
 
         Leg kinds: spread / moneyline / total / prop (see
         edge.resolve_parlay_legs).  Prop legs need the service to run with
-        a focus csv so players are tracked."""
+        a focus csv so players are tracked.  `"correlations": true` adds
+        the pairwise leg-correlation matrix under `parlay.leg_corr`."""
         from .api import simulate_parlay
 
         legs = body["legs"]
@@ -431,7 +432,8 @@ class SimService:
                 table_quality=self.cfg.table_quality,
                 shard=bool(body.get("shard", self.cfg.shard)),
                 seed=int(body.get("seed", 0)),
-                price=None if price is None else int(price))
+                price=None if price is None else int(price),
+                correlations=bool(body.get("correlations", False)))
         return {"parlay": jsonable(res),
                 "elapsed_s": round(time.perf_counter() - t0, 3)}
 

@@ -143,10 +143,11 @@ def test_parlay_endpoint(server):
             "n_pairs": 256, "price": 260,
             "legs": [{"kind": "moneyline", "team": "Kansas State"},
                      {"kind": "total", "side": "over", "line": 49.5}]}
-    code, out = _post(base + "/parlay", body)
+    code, out = _post(base + "/parlay", {**body, "correlations": True})
     assert code == 200, out
     res = out["parlay"]
     assert res["n"] == 512
+    assert len(res["leg_corr"]) == 2  # 2x2 matrix, JSON records
     assert 0.0 <= res["p_all_win"] <= min(
         leg["p_win"] for leg in res["legs"]) + 1e-9
     assert {"fair_american", "correlation_mult", "ev_$100"} <= set(res)
