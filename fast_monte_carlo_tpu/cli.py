@@ -133,6 +133,11 @@ def _cmd_parlay(args) -> int:
     if not isinstance(legs, list):
         raise SystemExit("--legs must be a JSON array of leg objects "
                          "(or @path to one)")
+    if args.tease is not None:
+        from .edge import tease_legs
+        legs = tease_legs(legs, args.tease)
+        print(f"[teaser: every leg moved {args.tease:+g} points in the "
+              "bettor's favor; pushes void and reduce]")
     res = simulate_parlay(
         args.team_a, args.team_b, legs, sp_path=args.sp, year=args.year,
         week=args.week, n_pairs=args.n, artifact_dir=args.artifacts,
@@ -156,6 +161,16 @@ def _cmd_edges(args) -> int:
     find_edges(csv_base=args.base, team_a=args.team_a, team_b=args.team_b,
                spread=args.spread, total=args.total, props_csv=args.props,
                directory=args.dir)
+    if args.alt and (args.spread is not None or args.total is not None):
+        from .edge import (alt_lines_from_sims, find_saved_files, load_table,
+                           print_alt_lines)
+        scores_path, _ = find_saved_files(args.base, team_a=args.team_a,
+                                          team_b=args.team_b,
+                                          directory=args.dir)
+        print_alt_lines(alt_lines_from_sims(
+            load_table(scores_path), args.team_a, args.team_b,
+            spread=args.spread, total=args.total, width=args.alt_width,
+            step=args.alt_step))
     return 0
 
 
@@ -209,6 +224,11 @@ def _cmd_edges_device(args) -> int:
     res = market_odds_from_summary(summary, args.team_a, args.team_b,
                                    spread=args.spread, total=args.total)
     print_game_market_readable(res)
+    if args.alt and (args.spread is not None or args.total is not None):
+        from .edge import alt_lines_from_summary, print_alt_lines
+        print_alt_lines(alt_lines_from_summary(
+            summary, args.team_a, args.team_b, spread=args.spread,
+            total=args.total, width=args.alt_width, step=args.alt_step))
     if args.props:
         df = scan_props_device(out, a, b, args.props)
         print_prop_table(df)
@@ -580,6 +600,10 @@ def main(argv=None) -> int:
                     help="shard the trial axis over all devices")
     pp.add_argument("--json", action="store_true",
                     help="also print the raw result dict as JSON")
+    pp.add_argument("--tease", type=float, default=None,
+                    help="price as a teaser: shift every spread/total leg "
+                         "this many points in the bettor's favor "
+                         "(moneyline/prop legs are refused)")
     pp.add_argument("--corr", action="store_true",
                     help="also print the pairwise leg win-indicator "
                          "correlation matrix (same trial sample)")
@@ -610,6 +634,13 @@ def main(argv=None) -> int:
     pe.add_argument("--shard", action="store_true",
                     help="with --device: shard the trial axis over all "
                          "devices (per-device moments + one psum)")
+    pe.add_argument("--alt", action="store_true",
+                    help="print alternate spread/total ladders around the "
+                         "quoted lines (same distribution, zero extra sim)")
+    pe.add_argument("--alt-width", type=float, default=12.0,
+                    help="ladder half-width in points (default 12)")
+    pe.add_argument("--alt-step", type=float, default=1.0,
+                    help="ladder step in points (default 1)")
     pe.add_argument("--artifacts", default="/root/reference")
     pe.set_defaults(fn=_cmd_edges)
 

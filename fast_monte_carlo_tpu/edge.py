@@ -874,6 +874,46 @@ def parlay_correlations(out, team_a_ctx, team_b_ctx, legs, *,
                         columns=labels)
 
 
+def tease_legs(legs, points: float):
+    """Teaser transform: move every spread/total leg `points` in the
+    bettor's favor (spreads gain points; Over totals drop, Under totals
+    rise).  Returns NEW leg dicts for the ordinary pricing paths — a
+    teaser is just a parlay at shifted lines, so `parlay_odds` (same game)
+    or per-game blocks + `cross_game_parlay` (the classic multi-game
+    teaser) price it with the joint-settlement semantics already tested
+    there.  Push handling follows those paths: a pushed leg voids and
+    reduces the ticket ("push reduces"); books that grade ties-lose price
+    lower than this.  Moneyline/prop legs are not teasable and are
+    refused — silently passing one through would price a different
+    ticket.  No reference counterpart (edge_finder.py prices single
+    marginals at the quoted line only)."""
+    points = float(points)
+    if points < 0:
+        raise ValueError(f"teaser points must be >= 0, got {points}")
+    out = []
+    for leg in legs:
+        if not isinstance(leg, dict):
+            raise ValueError(
+                f"each teaser leg must be an object/dict, got "
+                f"{type(leg).__name__}: {leg!r}")
+        kind = str(leg.get("kind", "")).strip().lower()
+        if kind == "spread":
+            out.append({**leg, "line": float(leg["line"]) + points})
+        elif kind == "total":
+            side = str(leg.get("side", "")).strip().lower()
+            if side not in ("over", "under"):
+                raise ValueError(
+                    f"teaser total leg needs side 'over' or 'under', got "
+                    f"{leg.get('side')!r}")
+            shift = -points if side == "over" else points
+            out.append({**leg, "line": float(leg["line"]) + shift})
+        else:
+            raise ValueError(
+                f"teasers take spread/total legs only, got kind "
+                f"{leg.get('kind')!r}")
+    return out
+
+
 def cross_game_parlay(blocks, price: Optional[int] = None) -> Dict:
     """Combine per-game parlay blocks into one cross-game ticket.
 
@@ -1048,6 +1088,21 @@ def print_season_readable(res: Dict) -> None:
 # device-summary variants (on-device histogram -> edges without files)
 # ---------------------------------------------------------------------------
 
+def summary_margin_dist(summary) -> Dist:
+    """The margin Dist of a parallel.aggregate.ScoreSummary (team == side
+    0), read off its device-built integer-support histogram."""
+    from .parallel.aggregate import MARGIN_OFF
+
+    mh = np.asarray(summary.margin_hist, dtype=float)
+    return Dist.from_hist(mh, np.arange(len(mh)) - MARGIN_OFF)
+
+
+def summary_total_dist(summary) -> Dist:
+    """The combined-points Dist of a ScoreSummary's total histogram."""
+    th = np.asarray(summary.total_hist, dtype=float)
+    return Dist.from_hist(th, np.arange(len(th)))
+
+
 def market_odds_from_summary(summary, team: str, opp: str, *,
                              spread: Optional[float] = None,
                              total: Optional[float] = None) -> Dict:
@@ -1055,17 +1110,13 @@ def market_odds_from_summary(summary, team: str, opp: str, *,
     histograms were reduced on device (team == side 0).  Identical
     formatting path as game_market_odds — only the Dist representation
     differs (on-device histogram vs per-trial samples)."""
-    from .parallel.aggregate import MARGIN_OFF
-
     out: Dict = {}
     if spread is not None:
-        mh = np.asarray(summary.margin_hist, dtype=float)
-        margins = Dist.from_hist(mh, np.arange(len(mh)) - MARGIN_OFF)
-        out["spread"] = _spread_market(margins, team, opp, spread)
+        out["spread"] = _spread_market(summary_margin_dist(summary), team,
+                                       opp, spread)
     if total is not None:
-        th = np.asarray(summary.total_hist, dtype=float)
-        totals = Dist.from_hist(th, np.arange(len(th)))
-        out["total"] = _total_market(totals, team, opp, total)
+        out["total"] = _total_market(summary_total_dist(summary), team, opp,
+                                     total)
     return out
 
 
@@ -1074,10 +1125,7 @@ def summary_moneyline(summary, team: str, opp: str) -> Dict:
     each side is priced from P(its margin > 0), ties counting for neither
     side — the same per-perspective semantics as moneyline_from_sims (and
     the reference's _wins_from_scores, edge_finder.py:235-281)."""
-    from .parallel.aggregate import MARGIN_OFF
-
-    mh = np.asarray(summary.margin_hist, dtype=float)
-    margins = Dist.from_hist(mh, np.arange(len(mh)) - MARGIN_OFF)
+    margins = summary_margin_dist(summary)
     p_team, p_opp = margins.over(0.0), margins.under(0.0)
     return {
         "team": {"name": team, "p_win": round(p_team, 6),
@@ -1085,6 +1133,115 @@ def summary_moneyline(summary, team: str, opp: str) -> Dict:
         "opp": {"name": opp, "p_win": round(p_opp, 6),
                 "ml_fair": prob_to_american(p_opp)},
     }
+
+
+# ---------------------------------------------------------------------------
+# alternate-line ladders (no reference counterpart: edge_finder.py prices
+# one quoted spread/total only, :283-336 — here the whole book ladder reads
+# off the SAME Dist the main line uses, so the rows can never disagree)
+# ---------------------------------------------------------------------------
+
+def ladder_lines(center: float, width: float = 12.0,
+                 step: float = 1.0) -> np.ndarray:
+    """The alternate-line grid around a quoted line, inclusive of both
+    ends and of the quoted line itself (so the main-market row is always
+    present in a ladder built from it)."""
+    if step <= 0:
+        raise ValueError(f"ladder step must be positive, got {step}")
+    k = int(round(float(width) / float(step)))
+    return float(center) + float(step) * np.arange(-k, k + 1)
+
+
+def alt_spread_table(margins: Dist, team: str, opp: str, spreads,
+                     price: int = -110) -> pd.DataFrame:
+    """One row per alternate spread (quoted from `team`'s perspective,
+    cover iff margin > -spread as in _spread_market): cover/push
+    probabilities, fair American prices for both sides, and the better
+    side's edge/EV if every row were offered at `price`.  Books price alt
+    lines at varying juice — the fair prices are the durable output; the
+    `price` columns are the same constant-juice yardstick the reference
+    applies to its single quoted line (edge_finder.py:109-119)."""
+    rows = []
+    for s in np.asarray(spreads, dtype=float):
+        p_c, p_n, p_p = margins.over(-s), margins.under(-s), margins.push(-s)
+        rec = best_side_ev(p_c, price=price)
+        bet = f"{team} {s:+g}" if rec["side"] == "Over" else f"{opp} {-s:+g}"
+        rows.append({
+            "spread": float(s),
+            "p_cover": round(p_c, 6), "p_notcover": round(p_n, 6),
+            "push_rate": round(p_p, 6),
+            "fair_cover": prob_to_american(p_c),
+            "fair_notcover": prob_to_american(p_n),
+            "bet": bet, "edge_pct": round(rec["edge"] * 100, 2),
+            "ev_$100": round(rec["ev"], 2),
+        })
+    return pd.DataFrame(rows)
+
+
+def alt_total_table(totals: Dist, lines, price: int = -110) -> pd.DataFrame:
+    """One row per alternate total: over/under/push probabilities, fair
+    prices, and the better side at `price` (same yardstick as
+    alt_spread_table)."""
+    rows = []
+    for t in np.asarray(lines, dtype=float):
+        p_o, p_u, p_p = totals.over(t), totals.under(t), totals.push(t)
+        rec = best_side_ev(p_o, price=price)
+        rows.append({
+            "total": float(t),
+            "p_over": round(p_o, 6), "p_under": round(p_u, 6),
+            "push_rate": round(p_p, 6),
+            "fair_over": prob_to_american(p_o),
+            "fair_under": prob_to_american(p_u),
+            "bet": f"{rec['side']} {t:g}",
+            "edge_pct": round(rec["edge"] * 100, 2),
+            "ev_$100": round(rec["ev"], 2),
+        })
+    return pd.DataFrame(rows)
+
+
+def alt_lines_from_summary(summary, team: str, opp: str, *,
+                           spread: Optional[float] = None,
+                           total: Optional[float] = None,
+                           width: float = 12.0, step: float = 1.0,
+                           price: int = -110) -> Dict[str, pd.DataFrame]:
+    """Alternate spread/total ladders centered on the quoted lines, off a
+    device-reduced ScoreSummary's histograms (team == side 0).  Zero extra
+    simulation or device transfer — the ladders re-query the histograms
+    the main markets already read."""
+    out: Dict[str, pd.DataFrame] = {}
+    if spread is not None:
+        out["spread"] = alt_spread_table(
+            summary_margin_dist(summary), team, opp,
+            ladder_lines(spread, width, step), price=price)
+    if total is not None:
+        out["total"] = alt_total_table(
+            summary_total_dist(summary), ladder_lines(total, width, step),
+            price=price)
+    return out
+
+
+def alt_lines_from_sims(sims: pd.DataFrame, team: str, opp: str, *,
+                        spread: Optional[float] = None,
+                        total: Optional[float] = None,
+                        width: float = 12.0, step: float = 1.0,
+                        price: int = -110) -> Dict[str, pd.DataFrame]:
+    """Alternate-line ladders from a saved/in-memory scores table (the
+    file path's twin of alt_lines_from_summary)."""
+    rows = _team_rows(sims, team, opp)
+    if rows.empty:
+        raise ValueError(
+            f"scores data holds no rows from {team}'s perspective vs {opp}")
+    out: Dict[str, pd.DataFrame] = {}
+    if spread is not None:
+        margins = Dist.from_values((rows["pts"] - rows["opp_pts"]).to_numpy())
+        out["spread"] = alt_spread_table(
+            margins, team, opp, ladder_lines(spread, width, step),
+            price=price)
+    if total is not None:
+        totals = Dist.from_values((rows["pts"] + rows["opp_pts"]).to_numpy())
+        out["total"] = alt_total_table(
+            totals, ladder_lines(total, width, step), price=price)
+    return out
 
 
 def slate_market_table(games, summaries, lines: Optional[pd.DataFrame] = None,
@@ -1285,6 +1442,34 @@ def print_slate_edges(df: pd.DataFrame) -> None:
                   f"fair {_odds_str(int(r['fair_over']))}  ->  "
                   f"{r['total_bet']}  edge {r['total_edge_pct']:+.2f}%  "
                   f"EV ${r['total_ev_$100']:+.2f}/$100")
+
+
+def print_alt_lines(res: Dict[str, pd.DataFrame]) -> None:
+    """Readable alternate-line ladders (alt_lines_from_summary/_sims)."""
+    sp = res.get("spread")
+    if sp is not None and not sp.empty:
+        print("\n— Alternate Spreads —")
+        print(f"  {'line':>7}  {'cover%':>7}  {'push%':>6}  "
+              f"{'fair':>6}/{'fair-':<6}  best @ -110")
+        for _, r in sp.iterrows():
+            print(f"  {r['spread']:>+7.1f}  {100*r['p_cover']:>6.1f}%  "
+                  f"{100*r['push_rate']:>5.1f}%  "
+                  f"{_odds_str(int(r['fair_cover'])):>6}/"
+                  f"{_odds_str(int(r['fair_notcover'])):<6}  "
+                  f"{r['bet']}  {r['edge_pct']:+.2f}%  "
+                  f"${r['ev_$100']:+.2f}/$100")
+    tt = res.get("total")
+    if tt is not None and not tt.empty:
+        print("\n— Alternate Totals —")
+        print(f"  {'line':>7}  {'over%':>7}  {'push%':>6}  "
+              f"{'fair':>6}/{'fair-':<6}  best @ -110")
+        for _, r in tt.iterrows():
+            print(f"  {r['total']:>7.1f}  {100*r['p_over']:>6.1f}%  "
+                  f"{100*r['push_rate']:>5.1f}%  "
+                  f"{_odds_str(int(r['fair_over'])):>6}/"
+                  f"{_odds_str(int(r['fair_under'])):<6}  "
+                  f"{r['bet']}  {r['edge_pct']:+.2f}%  "
+                  f"${r['ev_$100']:+.2f}/$100")
 
 
 def find_edges(*, csv_base: Optional[str], team_a: str, team_b: str,

@@ -215,6 +215,22 @@ class SimService:
                     summary, ta, tb,
                     spread=None if spread is None else float(spread),
                     total=None if total is None else float(total)))
+                alt = body.get("alt")
+                if alt:
+                    from .edge import alt_lines_from_summary
+                    opts = alt if isinstance(alt, dict) else {}
+                    width = float(opts.get("width", 12.0))
+                    step = float(opts.get("step", 1.0))
+                    if not (step > 0 and width / step <= 100):
+                        raise ValueError(
+                            "alt ladder capped at 201 rows: need step > 0 "
+                            "and width/step <= 100")
+                    out["alt"] = {
+                        k: jsonable(v) for k, v in alt_lines_from_summary(
+                            summary, ta, tb,
+                            spread=None if spread is None else float(spread),
+                            total=None if total is None else float(total),
+                            width=width, step=step).items()}
         out["elapsed_s"] = round(time.perf_counter() - t0, 3)
         return out
 

@@ -277,10 +277,12 @@ def test_cli_edges_device(reference_dir, tmp_path, capsys):
         "--sp", str(reference_dir / "PregameSPPlus2025_1.csv"),
         "-n", "128", "--spread", "-3", "--total", "58.5",
         "--props", str(props), "--quality", "nano",
+        "--alt", "--alt-width", "3", "--alt-step", "1",
     ])
     out = capsys.readouterr().out
     assert rc == 0
     assert "Game Market" in out and "Total:" in out
+    assert "Alternate Spreads" in out and "Alternate Totals" in out
     assert "simulated + reduced on" in out
 
 

@@ -390,3 +390,40 @@ def test_cli_parlay(reference_dir, tmp_path, capsys):
     assert "Same-game parlay" in out and "Correlation multiplier" in out
     payload = json.loads(out.strip().rsplit("\n", 1)[-1])
     assert payload["n"] == 256 and "fair_american" in payload
+
+
+def test_cli_parlay_tease(reference_dir, tmp_path, capsys):
+    """--tease prices the ticket at shifted lines through the same path;
+    a moneyline leg makes the teaser invalid (edge.tease_legs refuses)."""
+    from fast_monte_carlo_tpu.cli import main
+
+    legs = [{"kind": "spread", "team": "Kansas State", "line": -7.5},
+            {"kind": "total", "side": "under", "line": 48.5}]
+    p = tmp_path / "legs.json"
+    p.write_text(json.dumps(legs))
+    args = ["parlay", "Kansas State", "Iowa State",
+            "--sp", str(reference_dir / "PregameSPPlus2025_1.csv"),
+            "--legs", f"@{p}", "-n", "128", "--mode", "analytic", "--json"]
+    rc = main(args + ["--tease", "6"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "teaser" in out
+    teased = json.loads(out.strip().rsplit("\n", 1)[-1])
+    # shifted lines show in the leg labels and the ticket can only get
+    # more likely than the un-teased ticket
+    labels = " ".join(l["label"] for l in teased["legs"])
+    assert "-1.5" in labels and "54.5" in labels
+    rc = main(args)
+    straight = json.loads(capsys.readouterr().out.strip()
+                          .rsplit("\n", 1)[-1])
+    assert rc == 0
+    assert teased["p_parlay"] >= straight["p_parlay"]
+
+    bad = tmp_path / "bad.json"
+    bad.write_text(json.dumps([{"kind": "moneyline",
+                                "team": "Kansas State"}]))
+    with pytest.raises(ValueError, match="spread/total"):
+        main(["parlay", "Kansas State", "Iowa State",
+              "--sp", str(reference_dir / "PregameSPPlus2025_1.csv"),
+              "--legs", f"@{bad}", "-n", "128", "--mode", "analytic",
+              "--tease", "6"])

@@ -69,6 +69,34 @@ def test_sim_with_markets(server):
     assert isinstance(mk["spread"], dict) and isinstance(mk["total"], dict)
 
 
+def test_sim_alt_ladders(server):
+    base, _ = server
+    code, out = _post(base + "/sim", {
+        "team_a": "Kansas State", "team_b": "Iowa State",
+        "n_pairs": 256, "spread": -3.5, "total": 55.5,
+        "alt": {"width": 3, "step": 1}})
+    assert code == 200, out
+    alt = out["alt"]
+    assert {"spread", "total"} <= set(alt)
+    assert len(alt["spread"]) == 7 and len(alt["total"]) == 7
+    # the quoted line's ladder row agrees with the main market row
+    mk = out["markets"]
+    mid = next(r for r in alt["spread"] if r["spread"] == -3.5)
+    assert mid["p_cover"] == pytest.approx(mk["spread"]["p_cover"])
+    covers = [r["p_cover"] for r in alt["spread"]]
+    assert covers == sorted(covers)  # more points = easier cover
+
+
+def test_sim_alt_ladder_cap_is_400(server):
+    base, _ = server
+    code, out = _post(base + "/sim", {
+        "team_a": "Kansas State", "team_b": "Iowa State",
+        "n_pairs": 256, "spread": -3.5,
+        "alt": {"width": 500, "step": 0.5}})
+    assert code == 400
+    assert "capped" in out["error"]
+
+
 def test_slate_with_lines(server):
     base, _ = server
     code, out = _post(base + "/slate", {
