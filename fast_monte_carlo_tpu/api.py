@@ -1451,6 +1451,7 @@ def simulate_parlay(
     shard: bool = False,
     price: Optional[int] = None,
     correlations: bool = False,
+    round_robin=None,
 ) -> dict:
     """Price a same-game parlay (joint multi-leg ticket) for one matchup.
 
@@ -1464,7 +1465,10 @@ def simulate_parlay(
     when a prop leg is present.  `price` (American, e.g. +450) adds quoted
     edge/EV columns to the result; `correlations=True` adds the pairwise
     leg-correlation matrix (edge.parlay_correlations, computed off the
-    SAME trial sample) under `leg_corr`."""
+    SAME trial sample) under `leg_corr`; `round_robin` (a ticket size or
+    list of sizes, e.g. 2 or (2, 3)) adds every size-k combination of the
+    legs priced as its own ticket off the same trials
+    (edge.round_robin) under `round_robin`."""
     heads, a, b, cfg = _prepared_contexts(
         team_a, team_b, sp_path=sp_path, year=year, week=week,
         artifact_dir=artifact_dir, focus_csv=focus_csv, cfg=cfg)
@@ -1472,6 +1476,8 @@ def simulate_parlay(
     # leg must not cost a device upload, let alone a run (the resolved
     # encoding is passed through so pricing never re-resolves)
     resolved = edge.resolve_parlay_legs(a, b, legs)
+    if round_robin is not None:  # bad sizes also fail before any sim
+        edge._rr_sizes(round_robin, len(legs))
     runner = _runner_for(a, b, heads, cfg, mode, table_quality, shard)
     want_players = any(
         str(leg.get("kind", "")).strip().lower() == "prop" for leg in legs)
@@ -1482,6 +1488,10 @@ def simulate_parlay(
     if correlations:
         res["leg_corr"] = edge.parlay_correlations(out, a, b, legs,
                                                    resolved=resolved)
+    if round_robin is not None:
+        res["round_robin"] = edge.round_robin(out, a, b, legs,
+                                              by=round_robin, price=price,
+                                              resolved=resolved)
     return res
 
 

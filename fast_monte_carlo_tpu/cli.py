@@ -138,16 +138,26 @@ def _cmd_parlay(args) -> int:
         legs = tease_legs(legs, args.tease)
         print(f"[teaser: every leg moved {args.tease:+g} points in the "
               "bettor's favor; pushes void and reduce]")
+    rr = None
+    if args.rr is not None:
+        try:
+            rr = [int(k) for k in args.rr.split(",")]
+        except ValueError:
+            raise SystemExit(f"--rr wants a size or comma list of sizes "
+                             f"(e.g. 2 or 2,3), got {args.rr!r}")
     res = simulate_parlay(
         args.team_a, args.team_b, legs, sp_path=args.sp, year=args.year,
         week=args.week, n_pairs=args.n, artifact_dir=args.artifacts,
         focus_csv=args.focus, mode=args.mode, table_quality=args.quality,
         seed=args.seed, shard=args.shard, price=args.price,
-        correlations=args.corr)
+        correlations=args.corr, round_robin=rr)
     print_parlay_readable(res)
     if args.corr:
         print("\nLeg win-indicator correlations:")
         print(res["leg_corr"].round(3).to_string())
+    if rr is not None:
+        from .edge import print_round_robin_readable
+        print_round_robin_readable(res["round_robin"])
     if args.json:
         from .serve import jsonable
         print(json.dumps(jsonable(res)))
@@ -607,6 +617,10 @@ def main(argv=None) -> int:
     pp.add_argument("--corr", action="store_true",
                     help="also print the pairwise leg win-indicator "
                          "correlation matrix (same trial sample)")
+    pp.add_argument("--rr", default=None, metavar="K[,K...]",
+                    help="also price the round robin: every K-leg "
+                         "combination as its own ticket off the same "
+                         "trials (e.g. --rr 2 or --rr 2,3)")
     pp.set_defaults(fn=_cmd_parlay)
 
     pe = sub.add_parser("edges", help="betting edges over saved sims")

@@ -962,6 +962,196 @@ def cross_game_parlay(blocks, price: Optional[int] = None) -> Dict:
     return res
 
 
+@lru_cache(maxsize=1)
+def _round_robin_jit():
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def reduce_rr(score, pstats, mask, kvec, src, side, role, slot, col,
+                  sgn, drn, thr):
+        win, push = _settle_legs(jnp, score, pstats, src, side, role, slot,
+                                 col, sgn, drn, thr)
+        lose = ~(win | push)
+        # Subset membership counts via one matmul each: (B, L) @ (L, S).
+        # Counts are tiny integers, exact in f32, and the matmul lands on
+        # the MXU — cheaper than materializing an (S, B, L) broadcast.
+        m = mask.astype(jnp.float32).T                     # (L, S)
+        cw = win.astype(jnp.float32) @ m                   # member wins
+        cl = lose.astype(jnp.float32) @ m                  # member losses
+        cp = push.astype(jnp.float32) @ m                  # member pushes
+        full = kvec[None, :] - 0.5                         # "all k members"
+        tick_win = cw > full
+        return {
+            "all_win": tick_win.sum(axis=0, dtype=jnp.int32),
+            "no_lose": (cl < 0.5).sum(axis=0, dtype=jnp.int32),
+            "all_push": (cp > full).sum(axis=0, dtype=jnp.int32),
+            "any_win": tick_win.any(axis=1).sum(dtype=jnp.int32),
+            "every_win": tick_win.all(axis=1).sum(dtype=jnp.int32),
+        }
+
+    return reduce_rr
+
+
+def _rr_sizes(by, n_legs: int):
+    """Normalize a round-robin size spec (int or iterable of ints) and
+    validate it against the leg count."""
+    ks = sorted({int(k) for k in
+                 ((by,) if isinstance(by, (int, np.integer)) else by)})
+    if not ks:
+        raise ValueError("round robin needs at least one ticket size")
+    for k in ks:
+        if not 1 <= k <= n_legs:
+            raise ValueError(
+                f"round-robin ticket size {k} is invalid for {n_legs} legs")
+    return ks
+
+
+def round_robin(out, team_a_ctx, team_b_ctx, legs, by=2,
+                price: Optional[int] = None, *, resolved=None,
+                max_tickets: int = 512) -> Dict:
+    """Price a same-game round robin: every `by`-leg combination of the
+    legs as its own parlay ticket (`by` may be one size or several, e.g.
+    (2, 3) = all doubles and trebles).  Books sell these as one card with
+    a unit stake per ticket.
+
+    All legs settle ONCE per trial through the shared `_settle_legs`
+    kernel, and every ticket's joint outcome reduces in the same jitted
+    launch (subset-count matmuls) with one packed transfer — a 6-leg
+    by-2/3 card (35 tickets) costs the same device round trip as one
+    parlay.  Each ticket carries the exact `parlay_odds` refund
+    semantics: pushed members void and reduce the ticket, all-push
+    refunds, `p_parlay` conditions on decisive outcomes.
+
+    Card-level fields: `p_any_ticket_wins` (some ticket pays in full),
+    `p_all_tickets_win` (every member leg won), and — when `price` is
+    given, applied per ticket as the constant-juice yardstick —
+    `ev_total_$100` (sum over tickets at $100 each, the card's EV).
+
+    No reference counterpart: edge_finder.py prices single marginals at
+    one quoted line (:283-336); a round robin needs every pair of
+    markets settled on the same trial."""
+    import itertools
+
+    from .utils.transfer import fetch_tree
+
+    arrays, meta = resolved if resolved is not None else \
+        resolve_parlay_legs(team_a_ctx, team_b_ctx, legs)
+    if any(m["kind"] == "prop" for m in meta) and (
+            out.pstats.ndim != 5 or out.pstats.shape[1] != 2):
+        raise ValueError(
+            "prop parlay legs need per-player stats: run with "
+            "collect_players=True")
+    n_legs = len(meta)
+    ks = _rr_sizes(by, n_legs)
+    combos = [c for k in ks for c in itertools.combinations(range(n_legs), k)]
+    if len(combos) > max_tickets:
+        raise ValueError(
+            f"round robin of sizes {ks} over {n_legs} legs writes "
+            f"{len(combos)} tickets (> max_tickets={max_tickets})")
+    mask = np.zeros((len(combos), n_legs), dtype=bool)
+    for i, c in enumerate(combos):
+        mask[i, list(c)] = True
+    kvec = mask.sum(axis=1).astype(np.float32)
+    red = fetch_tree(_round_robin_jit()(
+        out.score, out.pstats, mask, kvec, *arrays))
+    n = float(out.score.shape[0])
+    labels = [m["label"] for m in meta]
+
+    tickets = []
+    for i, c in enumerate(combos):
+        p_all_win = float(red["all_win"][i]) / n
+        p_no_lose = float(red["no_lose"][i]) / n
+        p_void = float(red["all_push"][i]) / n
+        p_parlay = p_all_win / max(p_all_win + (1.0 - p_no_lose), 1e-12)
+        t: Dict = {
+            "legs": [labels[j] for j in c], "k": int(len(c)),
+            "p_all_win": round(p_all_win, 6),
+            "p_lose": round(1.0 - p_no_lose, 6),
+            "p_void": round(p_void, 6),
+            "p_win_reduced": round(
+                max(0.0, p_no_lose - p_all_win - p_void), 6),
+            "p_parlay": round(p_parlay, 6),
+            "fair_american": prob_to_american(p_parlay),
+        }
+        if price is not None:
+            t.update(_priced_block(p_all_win, p_no_lose, p_parlay, price))
+        tickets.append(t)
+
+    res: Dict = {
+        "team": team_a_ctx.name, "opp": team_b_ctx.name, "n": int(n),
+        "by": ks, "n_tickets": len(tickets), "leg_labels": labels,
+        "p_any_ticket_wins": round(float(red["any_win"]) / n, 6),
+        "p_all_tickets_win": round(float(red["every_win"]) / n, 6),
+        "tickets": tickets,
+    }
+    if price is not None:
+        res["price"] = int(price)
+        res["stake_$"] = 100 * len(tickets)
+        res["ev_total_$100"] = round(sum(t["ev_$100"] for t in tickets), 2)
+    return res
+
+
+def round_robin_blocks(blocks, by=2, price: Optional[int] = None) -> Dict:
+    """Round robin over cross-game parlay blocks: every `by`-block
+    combination priced as an exact `cross_game_parlay` ticket (distinct
+    games are independent sims, so each ticket's probabilities are block
+    products — no approximation, and within-game correlation stays priced
+    inside each block).
+
+    Card aggregates ride the same independence: the number of winning
+    blocks is Poisson-binomial over the blocks' `p_all_win`
+    (`season_win_pmf` — the season projector's composition fact), so
+    `p_any_ticket_wins` = P(at least min(by) blocks win whole) and
+    `p_all_tickets_win` = P(all do).  The classic Saturday card (N games,
+    all doubles + trebles) prices in one call off N already-run sims."""
+    ks = _rr_sizes(by, len(blocks))
+    import itertools
+
+    combos = [c for k in ks
+              for c in itertools.combinations(range(len(blocks)), k)]
+    tickets = [cross_game_parlay([blocks[j] for j in c], price=price)
+               for c in combos]
+    pmf = season_win_pmf([b["p_all_win"] for b in blocks])
+    res: Dict = {
+        "games": [f"{b['team']} vs {b['opp']}" for b in blocks],
+        "by": ks, "n_tickets": len(tickets),
+        "p_any_ticket_wins": round(float(pmf[min(ks):].sum()), 6),
+        "p_all_tickets_win": round(float(pmf[-1]), 6),
+        "tickets": tickets,
+    }
+    if price is not None:
+        res["price"] = int(price)
+        res["stake_$"] = 100 * len(tickets)
+        res["ev_total_$100"] = round(
+            sum(t["ev_$100"] for t in tickets), 2)
+    return res
+
+
+def print_round_robin_readable(res: Dict) -> None:
+    where = (f"{res['team']} vs {res['opp']} (n={res['n']})"
+             if "team" in res else " + ".join(res["games"]))
+    sizes = "/".join(str(k) for k in res["by"])
+    print(f"\n=== Round robin by {sizes}: {where} — "
+          f"{res['n_tickets']} tickets ===")
+    rows = sorted(res["tickets"],
+                  key=lambda t: t.get("ev_$100", t["p_parlay"]),
+                  reverse=True)
+    for t in rows:
+        legs = " + ".join(leg["label"] if isinstance(leg, dict) else leg
+                          for leg in t["legs"])
+        line = (f"  {legs:<52s} p {t['p_parlay']:.4f}  "
+                f"fair {_odds_str(t['fair_american'])}")
+        if "ev_$100" in t:
+            line += f"  EV ${t['ev_$100']:+.2f}"
+        print(line)
+    print(f"  P(any ticket wins): {res['p_any_ticket_wins']:.4f}   "
+          f"P(all tickets win): {res['p_all_tickets_win']:.4f}")
+    if "ev_total_$100" in res:
+        print(f"  Card at {_odds_str(res['price'])} per ticket: stake "
+              f"${res['stake_$']}  total EV ${res['ev_total_$100']:+.2f}")
+
+
 def print_parlay_readable(res: Dict) -> None:
     if "team" in res:
         print(f"\n=== Same-game parlay: {res['team']} vs {res['opp']} "

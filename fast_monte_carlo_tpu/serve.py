@@ -429,13 +429,20 @@ class SimService:
         Leg kinds: spread / moneyline / total / prop (see
         edge.resolve_parlay_legs).  Prop legs need the service to run with
         a focus csv so players are tracked.  `"correlations": true` adds
-        the pairwise leg-correlation matrix under `parlay.leg_corr`."""
+        the pairwise leg-correlation matrix under `parlay.leg_corr`;
+        `"round_robin": 2` (or a list of sizes) adds the round-robin card
+        — every size-k leg combination as its own ticket — under
+        `parlay.round_robin`."""
         from .api import simulate_parlay
 
         legs = body["legs"]
         if not isinstance(legs, list) or not 0 < len(legs) <= 20:
             raise ValueError("legs must be a JSON array of 1..20 leg objects")
         price = body.get("price")
+        rr = body.get("round_robin")
+        if rr is not None and not isinstance(rr, (int, list)):
+            raise ValueError("round_robin must be a ticket size or a list "
+                             "of sizes (e.g. 2 or [2, 3])")
         t0 = time.perf_counter()
         with self._lock:
             self._requests += 1
@@ -449,7 +456,8 @@ class SimService:
                 shard=bool(body.get("shard", self.cfg.shard)),
                 seed=int(body.get("seed", 0)),
                 price=None if price is None else int(price),
-                correlations=bool(body.get("correlations", False)))
+                correlations=bool(body.get("correlations", False)),
+                round_robin=rr)
         return {"parlay": jsonable(res),
                 "elapsed_s": round(time.perf_counter() - t0, 3)}
 

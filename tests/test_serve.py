@@ -186,6 +186,16 @@ def test_parlay_endpoint(server):
                      ["moneyline"]):  # JSON string, not an object -> 400
         code, err = _post(base + "/parlay", {**body, "legs": bad_legs})
         assert code == 400, (bad_legs, err)
+    # round robin rides the same request (priced card, JSON-clean)
+    code, out = _post(base + "/parlay", {**body, "round_robin": [1, 2]})
+    assert code == 200, out
+    rr = out["parlay"]["round_robin"]
+    assert rr["n_tickets"] == 3 and rr["by"] == [1, 2]
+    assert all("ev_$100" in t for t in rr["tickets"])  # price applied
+    # bad size specs are 400s, not 500s
+    for bad_rr in ("2", [0], [9]):
+        code, err = _post(base + "/parlay", {**body, "round_robin": bad_rr})
+        assert code == 400, (bad_rr, err)
 
 
 def test_season_endpoint(server):
