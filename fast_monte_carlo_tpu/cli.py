@@ -164,23 +164,58 @@ def _cmd_parlay(args) -> int:
     return 0
 
 
+def _parse_line_pair(spec: str, flag: str):
+    """Parse a LOW,HIGH line pair for the middle flags."""
+    try:
+        lo, hi = (float(x) for x in spec.split(","))
+    except ValueError:
+        raise SystemExit(
+            f"{flag} wants two comma-separated lines (e.g. -3.5,7.5), "
+            f"got {spec!r}")
+    return lo, hi
+
+
+def _middle_specs(args):
+    """The (mid_spread, mid_total) kwargs both edges paths share."""
+    return dict(
+        mid_spread=(None if args.mid_spread is None else
+                    _parse_line_pair(args.mid_spread, "--mid-spread")),
+        mid_total=(None if args.mid_total is None else
+                   _parse_line_pair(args.mid_total, "--mid-total")))
+
+
 def _cmd_edges(args) -> int:
     if args.device:
         return _cmd_edges_device(args)
+    mids = _middle_specs(args)  # bad --mid specs fail before any pricing
+    want_mid = any(v is not None for v in mids.values())
     from .edge import find_edges
-    find_edges(csv_base=args.base, team_a=args.team_a, team_b=args.team_b,
-               spread=args.spread, total=args.total, props_csv=args.props,
-               directory=args.dir)
-    if args.alt and (args.spread is not None or args.total is not None):
-        from .edge import (alt_lines_from_sims, find_saved_files, load_table,
-                           print_alt_lines)
+    if args.spread is not None or args.total is not None or not want_mid:
+        # middles-only invocations skip the main report (game_market_odds
+        # refuses to price without a quoted line); everything else keeps
+        # the full spread/total/ML/props printout
+        find_edges(csv_base=args.base, team_a=args.team_a,
+                   team_b=args.team_b, spread=args.spread, total=args.total,
+                   props_csv=args.props, directory=args.dir)
+    want_alt = args.alt and (args.spread is not None
+                             or args.total is not None)
+    if want_alt or want_mid:
+        from .edge import find_saved_files, load_table
         scores_path, _ = find_saved_files(args.base, team_a=args.team_a,
                                           team_b=args.team_b,
                                           directory=args.dir)
+        sims = load_table(scores_path)
+    if want_alt:
+        from .edge import alt_lines_from_sims, print_alt_lines
         print_alt_lines(alt_lines_from_sims(
-            load_table(scores_path), args.team_a, args.team_b,
+            sims, args.team_a, args.team_b,
             spread=args.spread, total=args.total, width=args.alt_width,
             step=args.alt_step))
+    if want_mid:
+        from .edge import middles_from_sims, print_middle_readable
+        for res in middles_from_sims(sims, args.team_a, args.team_b,
+                                     **mids).values():
+            print_middle_readable(res)
     return 0
 
 
@@ -239,6 +274,12 @@ def _cmd_edges_device(args) -> int:
         print_alt_lines(alt_lines_from_summary(
             summary, args.team_a, args.team_b, spread=args.spread,
             total=args.total, width=args.alt_width, step=args.alt_step))
+    mids = _middle_specs(args)
+    if any(v is not None for v in mids.values()):
+        from .edge import middles_from_summary, print_middle_readable
+        for r in middles_from_summary(summary, args.team_a, args.team_b,
+                                      **mids).values():
+            print_middle_readable(r)
     if args.props:
         df = scan_props_device(out, a, b, args.props)
         print_prop_table(df)
@@ -655,6 +696,13 @@ def main(argv=None) -> int:
                     help="ladder half-width in points (default 12)")
     pe.add_argument("--alt-step", type=float, default=1.0,
                     help="ladder step in points (default 1)")
+    pe.add_argument("--mid-spread", default=None, metavar="TEAM_LINE,OPP_LINE",
+                    help="price a spread middle: hold team-a at the first "
+                         "line and team-b at the second (negative first "
+                         "lines need the = form: --mid-spread=-3.5,7.5)")
+    pe.add_argument("--mid-total", default=None, metavar="OVER,UNDER",
+                    help="price a total middle: Over the first line and "
+                         "Under the second (e.g. 51.5,57.5)")
     pe.add_argument("--artifacts", default="/root/reference")
     pe.set_defaults(fn=_cmd_edges)
 

@@ -1434,6 +1434,134 @@ def alt_lines_from_sims(sims: pd.DataFrame, team: str, opp: str, *,
     return out
 
 
+def middle_odds(dist: Dist, low: float, high: float, *,
+                price_low: int = -110, price_high: int = -110) -> Dict:
+    """Price a MIDDLE: simultaneous "over `low`" and "under `high`"
+    tickets on the same quantity (`low` < `high`), e.g. the favorite -3.5
+    at one book and the dog +7.5 at another.  If the result lands inside
+    the window both tickets win; outside it exactly one wins (so the
+    worst case costs only the juice); a push at either line refunds that
+    leg while the other wins.  The window probability reads off the SAME
+    Dist that prices the main lines — consistency with the quoted
+    markets is structural.  EV stakes $100 on each side.  No reference
+    counterpart: edge_finder.py prices one line per market (:283-336), so
+    it cannot ask a cross-line question."""
+    low, high = float(low), float(high)
+    if not low < high:
+        raise ValueError(
+            f"middle window is empty: need low < high, got [{low}, {high}]")
+    p_push_low, p_push_high = dist.push(low), dist.push(high)
+    p_mid = dist.over(low) - dist.over(high) - p_push_high
+    p_over_only = dist.over(high)    # over the window: the low leg wins
+    p_under_only = dist.under(low)   # under the window: the high leg wins
+
+    def _profit(price: int) -> float:
+        price = int(price)
+        return 100 * (100 / (-price)) if price < 0 else float(price)
+
+    w_lo, w_hi = _profit(price_low), _profit(price_high)
+    ev = (p_mid * (w_lo + w_hi)
+          + p_push_low * w_hi + p_push_high * w_lo
+          + p_under_only * (w_hi - 100.0) + p_over_only * (w_lo - 100.0))
+    return {
+        "low": low, "high": high,
+        "p_middle": round(p_mid, 6),
+        "p_low_leg_only": round(p_over_only, 6),
+        "p_high_leg_only": round(p_under_only, 6),
+        "p_push_low": round(p_push_low, 6),
+        "p_push_high": round(p_push_high, 6),
+        "price_low": int(price_low), "price_high": int(price_high),
+        "ev_$100_each": round(ev, 2),
+    }
+
+
+def spread_middle(margins: Dist, team: str, opp: str, line_team: float,
+                  line_opp: float, *, price_team: int = -110,
+                  price_opp: int = -110) -> Dict:
+    """Middle two spread tickets quoted at different books: `team` at
+    `line_team` (wins iff margin > -line_team) and `opp` at `line_opp`
+    (wins iff margin < line_opp).  The classic shape is favorite -3.5 +
+    dog +7.5: both cash on a 4-7 point win.  `margins` is the team-
+    perspective margin Dist (the one the main spread market reads)."""
+    res = middle_odds(margins, -float(line_team), float(line_opp),
+                      price_low=price_team, price_high=price_opp)
+    res["legs"] = [f"{team} {float(line_team):+g}",
+                   f"{opp} {float(line_opp):+g}"]
+    return res
+
+
+def total_middle(totals: Dist, over_line: float, under_line: float, *,
+                 price_over: int = -110, price_under: int = -110) -> Dict:
+    """Middle an Over at `over_line` with an Under at `under_line`
+    (over_line < under_line): both cash when the combined score lands
+    inside the window."""
+    res = middle_odds(totals, float(over_line), float(under_line),
+                      price_low=price_over, price_high=price_under)
+    res["legs"] = [f"Over {float(over_line):g}",
+                   f"Under {float(under_line):g}"]
+    return res
+
+
+def middles_from_summary(summary, team: str, opp: str, *,
+                         mid_spread=None, mid_total=None,
+                         price: int = -110) -> Dict[str, Dict]:
+    """Middles off a device-reduced ScoreSummary's histograms (team ==
+    side 0).  `mid_spread` is (team_line, opp_line) — e.g. (-3.5, 7.5)
+    holds team -3.5 and opp +7.5; `mid_total` is (over_line, under_line).
+    Zero extra simulation: the windows re-query the histograms the main
+    markets read."""
+    out: Dict[str, Dict] = {}
+    if mid_spread is not None:
+        lt, lo = mid_spread
+        out["spread"] = spread_middle(summary_margin_dist(summary), team,
+                                      opp, lt, lo, price_team=price,
+                                      price_opp=price)
+    if mid_total is not None:
+        ov, un = mid_total
+        out["total"] = total_middle(summary_total_dist(summary), ov, un,
+                                    price_over=price, price_under=price)
+    return out
+
+
+def middles_from_sims(sims: pd.DataFrame, team: str, opp: str, *,
+                      mid_spread=None, mid_total=None,
+                      price: int = -110) -> Dict[str, Dict]:
+    """Middles from a saved/in-memory scores table (the file path's twin
+    of middles_from_summary)."""
+    rows = _team_rows(sims, team, opp)
+    if rows.empty:
+        raise ValueError(
+            f"scores data holds no rows from {team}'s perspective vs {opp}")
+    out: Dict[str, Dict] = {}
+    if mid_spread is not None:
+        lt, lo = mid_spread
+        margins = Dist.from_values((rows["pts"] - rows["opp_pts"]).to_numpy())
+        out["spread"] = spread_middle(margins, team, opp, lt, lo,
+                                      price_team=price, price_opp=price)
+    if mid_total is not None:
+        ov, un = mid_total
+        totals = Dist.from_values((rows["pts"] + rows["opp_pts"]).to_numpy())
+        out["total"] = total_middle(totals, ov, un, price_over=price,
+                                    price_under=price)
+    return out
+
+
+def print_middle_readable(res: Dict) -> None:
+    legs = " / ".join(res.get("legs", [f"over {res['low']:g}",
+                                       f"under {res['high']:g}"]))
+    print(f"\n=== Middle: {legs} ===")
+    print(f"  P(both win):  {res['p_middle']:.4f}   "
+          f"window ({res['low']:g}, {res['high']:g})")
+    print(f"  P(low leg only): {res['p_low_leg_only']:.4f}   "
+          f"P(high leg only): {res['p_high_leg_only']:.4f}")
+    if res["p_push_low"] or res["p_push_high"]:
+        print(f"  push low/high: {res['p_push_low']:.4f} / "
+              f"{res['p_push_high']:.4f}")
+    print(f"  At {_odds_str(res['price_low'])} / "
+          f"{_odds_str(res['price_high'])}, $100 each side: "
+          f"EV ${res['ev_$100_each']:+.2f}")
+
+
 def slate_market_table(games, summaries, lines: Optional[pd.DataFrame] = None,
                        price: int = -110) -> pd.DataFrame:
     """Price a whole slate's game markets in one pass: one row per matchup
