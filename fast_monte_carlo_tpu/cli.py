@@ -219,6 +219,33 @@ def _cmd_edges(args) -> int:
     return 0
 
 
+def _cmd_prop(args) -> int:
+    """One player prop off saved sims (players_* table), optionally with
+    the alternate-line ladder around the quote."""
+    from .edge import player_prop_odds, player_prop_ladder
+
+    res = player_prop_odds(args.base, args.team, args.player, args.stat,
+                           args.line, role=args.role, directory=args.dir)
+    print(f"\n=== {res['player']} ({res['team']}, {res['role']}) "
+          f"{res['stat']} {res['line']:g} ===")
+    print(f"  Over:  {res['p_over']:.1%} fair {res['american_over']:+d}   "
+          f"Under: {res['p_under']:.1%} fair {res['american_under']:+d}"
+          + (f"   push {res['push_rate']:.1%}" if res["push_rate"] else ""))
+    print(f"  mean {res['mean']:.1f}  median {res['median']:.1f}  "
+          f"p75 {res['p75']:.1f}  p90 {res['p90']:.1f}")
+    print(f"  Best side at -110: {res['best_side']} "
+          f"(edge {res['edge']:+.2f}%, EV ${res['ev_per_$100']:+.2f}/$100)")
+    if args.ladder:
+        tbl = player_prop_ladder(args.base, args.team, args.player,
+                                 args.stat, args.line, role=args.role,
+                                 directory=args.dir, width=args.width,
+                                 step=args.step, price=args.price)
+        print("\nAlternate lines (same samples as the quote):")
+        print(tbl.drop(columns=["team", "player", "stat"])
+              .to_string(index=False))
+    return 0
+
+
 def _cmd_edges_device(args) -> int:
     """Device-resident edge scan: simulate and reduce on the accelerator —
     spread/total/ML from on-device histograms, props from device pstats.
@@ -705,6 +732,27 @@ def main(argv=None) -> int:
                          "Under the second (e.g. 51.5,57.5)")
     pe.add_argument("--artifacts", default="/root/reference")
     pe.set_defaults(fn=_cmd_edges)
+
+    pr = sub.add_parser(
+        "prop", help="price one player prop off saved sims")
+    pr.add_argument("team")
+    pr.add_argument("player")
+    pr.add_argument("stat", help="e.g. pass_yds / rush_yds / rec_yds / INT")
+    pr.add_argument("line", type=float)
+    pr.add_argument("--base", default=None,
+                    help="saved-sim base name (players_<base> table)")
+    pr.add_argument("--dir", default=".")
+    pr.add_argument("--role", default=None,
+                    help="qb/rush/target (default: inferred from the stat)")
+    pr.add_argument("--ladder", action="store_true",
+                    help="print the alternate-line ladder around the quote "
+                         "(same samples, zero extra sim)")
+    pr.add_argument("--width", type=float, default=None,
+                    help="ladder half-width (default by stat family)")
+    pr.add_argument("--step", type=float, default=None,
+                    help="ladder step (default by stat family)")
+    pr.add_argument("--price", type=int, default=-110)
+    pr.set_defaults(fn=_cmd_prop)
 
     pl = sub.add_parser("slate", help="simulate a slate of matchups")
     pl.add_argument("--games", required=True, help="csv with team_a,team_b columns")

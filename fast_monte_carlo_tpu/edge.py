@@ -281,10 +281,13 @@ def _ou_market(dist: Dist, line: float, *, head: Dict, over_key: str,
 # markets (math parity: edge_finder.py:168-336; structure: Dist core)
 # ---------------------------------------------------------------------------
 
-def player_prop_odds(csv_base: Optional[str], team: str, player: str, stat: str,
-                     line: float, *, role: Optional[str] = None,
-                     directory: str = ".",
-                     players_df: Optional[pd.DataFrame] = None) -> Dict:
+def _player_stat_dist(csv_base: Optional[str], team: str, player: str,
+                      stat: str, *, role: Optional[str] = None,
+                      directory: str = ".",
+                      players_df: Optional[pd.DataFrame] = None):
+    """The (Dist, resolved stat column, resolved role) of one player's
+    simulated stat from a players table — the shared sample lookup behind
+    player_prop_odds and the prop ladder."""
     if players_df is None:
         _, players_path = find_saved_files(csv_base, team_a=team, directory=directory)
         if players_path is None or not players_path.exists():
@@ -313,8 +316,16 @@ def player_prop_odds(csv_base: Optional[str], team: str, player: str, stat: str,
     if samples.size == 0:
         raise ValueError(f"{player}'s {stat_col} column holds no numeric "
                          "samples")
+    return Dist.from_values(samples), stat_col, role
 
-    d = Dist.from_values(samples)
+
+def player_prop_odds(csv_base: Optional[str], team: str, player: str, stat: str,
+                     line: float, *, role: Optional[str] = None,
+                     directory: str = ".",
+                     players_df: Optional[pd.DataFrame] = None) -> Dict:
+    d, stat_col, role = _player_stat_dist(
+        csv_base, team, player, stat, role=role, directory=directory,
+        players_df=players_df)
     market = _ou_market(
         d, float(line), digits=4, over_key="over", under_key="under",
         loc_prefix="",
@@ -1387,6 +1398,62 @@ def alt_total_table(totals: Dist, lines, price: int = -110) -> pd.DataFrame:
             "ev_$100": round(rec["ev"], 2),
         })
     return pd.DataFrame(rows)
+
+
+def alt_prop_table(dist: Dist, lines, price: int = -110) -> pd.DataFrame:
+    """One row per alternate prop line off a player's stat Dist:
+    over/under/push probabilities, fair prices, and the better side at
+    `price` (the same constant-juice yardstick as the game ladders)."""
+    rows = []
+    for ln in np.asarray(lines, dtype=float):
+        p_o, p_u, p_p = dist.over(ln), dist.under(ln), dist.push(ln)
+        rec = best_side_ev(p_o, price=price)
+        rows.append({
+            "line": float(ln),
+            "p_over": round(p_o, 6), "p_under": round(p_u, 6),
+            "push_rate": round(p_p, 6),
+            "fair_over": prob_to_american(p_o),
+            "fair_under": prob_to_american(p_u),
+            "bet": f"{rec['side']} {ln:g}",
+            "edge_pct": round(rec["edge"] * 100, 2),
+            "ev_$100": round(rec["ev"], 2),
+        })
+    return pd.DataFrame(rows)
+
+
+def _prop_ladder_grid(stat_col: str):
+    """Default (width, step) for a prop ladder by stat family: yardage
+    props move in 5s over a wide band; count stats (receptions, INTs,
+    TDs) in halves over a narrow one."""
+    if "yds" in stat_col or "yards" in stat_col:
+        return 30.0, 5.0
+    return 2.5, 0.5
+
+
+def player_prop_ladder(csv_base: Optional[str], team: str, player: str,
+                       stat: str, line: float, *,
+                       role: Optional[str] = None, directory: str = ".",
+                       players_df: Optional[pd.DataFrame] = None,
+                       width: Optional[float] = None,
+                       step: Optional[float] = None,
+                       price: int = -110) -> pd.DataFrame:
+    """Alternate-line ladder for one player prop, centered on the quoted
+    line, off the SAME stat samples player_prop_odds prices — the prop
+    twin of alt_lines_from_sims.  width/step default by stat family
+    (yardage: ±30 by 5; count stats: ±2.5 by 0.5).  No reference
+    counterpart: edge_finder.py prices one quoted prop line
+    (:168-231)."""
+    d, stat_col, role = _player_stat_dist(
+        csv_base, team, player, stat, role=role, directory=directory,
+        players_df=players_df)
+    dflt_w, dflt_s = _prop_ladder_grid(stat_col)
+    tbl = alt_prop_table(
+        d, ladder_lines(line, dflt_w if width is None else width,
+                        dflt_s if step is None else step), price=price)
+    tbl.insert(0, "stat", stat_col)
+    tbl.insert(0, "player", player)
+    tbl.insert(0, "team", team)
+    return tbl
 
 
 def alt_lines_from_summary(summary, team: str, opp: str, *,

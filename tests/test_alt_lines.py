@@ -174,3 +174,72 @@ def test_tease_legs_refuses_unteasable():
         tease_legs([{"kind": "spread", "team": "A", "line": -3.5}], -2.0)
     with pytest.raises(ValueError, match="object/dict"):
         tease_legs(["spread A -3.5"], 6.0)
+
+
+# ---------------------------------------------------------------------------
+# player-prop ladders (edge.player_prop_ladder / alt_prop_table / cli prop)
+# ---------------------------------------------------------------------------
+
+def _players_frame(n=1000):
+    rng = np.random.default_rng(9)
+    qb = pd.DataFrame({"team": "Alpha", "player": "QB One", "role": "QB",
+                       "pass_yds": rng.normal(250, 60, n).round()})
+    wr = pd.DataFrame({"team": "Alpha", "player": "WR One",
+                       "role": "Receiver",
+                       "rec": rng.poisson(5.0, n).astype(float),
+                       "pass_yds": np.nan})
+    return pd.concat([qb, wr], ignore_index=True)
+
+
+def test_prop_ladder_matches_main_prop_at_quote():
+    from fast_monte_carlo_tpu.edge import player_prop_ladder, player_prop_odds
+
+    df = _players_frame()
+    quote = 249.5
+    main = player_prop_odds(None, "Alpha", "QB One", "pass_yards", quote,
+                            players_df=df)
+    tbl = player_prop_ladder(None, "Alpha", "QB One", "pass_yards", quote,
+                             players_df=df)
+    # default yardage grid: +/-30 by 5 -> 13 rows, quote included
+    assert len(tbl) == 13 and quote in tbl["line"].tolist()
+    row = tbl.loc[tbl["line"] == quote].iloc[0]
+    assert row["p_over"] == pytest.approx(main["p_over"], abs=1e-4)
+    assert int(row["fair_over"]) == main["american_over"]
+    assert int(row["fair_under"]) == main["american_under"]
+    assert (row["team"], row["player"], row["stat"]) == \
+        ("Alpha", "QB One", "pass_yds")
+    # over probability is non-increasing up the ladder
+    assert (np.diff(tbl["p_over"].to_numpy()) <= 1e-12).all()
+
+
+def test_prop_ladder_count_stat_grid():
+    from fast_monte_carlo_tpu.edge import player_prop_ladder
+
+    tbl = player_prop_ladder(None, "Alpha", "WR One", "rec", 4.5,
+                             players_df=_players_frame())
+    # count-stat default grid: +/-2.5 by 0.5 -> 11 rows
+    assert len(tbl) == 11
+    assert tbl["line"].tolist() == [2.0, 2.5, 3.0, 3.5, 4.0, 4.5, 5.0,
+                                    5.5, 6.0, 6.5, 7.0]
+    # integer samples: whole-number rungs carry push mass, half-points none
+    assert tbl.loc[tbl["line"] == 4.0, "push_rate"].iloc[0] > 0
+    assert tbl.loc[tbl["line"] == 4.5, "push_rate"].iloc[0] == 0
+
+
+def test_cli_prop_command(tmp_path, capsys):
+    from fast_monte_carlo_tpu.cli import main
+
+    df = _players_frame()
+    pd.DataFrame([{"team": "Alpha", "opp": "Beta", "pts": 28,
+                   "opp_pts": 20}]).to_csv(tmp_path / "scores_ab.csv",
+                                           index=False)
+    df.to_csv(tmp_path / "players_ab.csv", index=False)
+    rc = main(["prop", "Alpha", "QB One", "pass_yds", "249.5",
+               "--base", "ab", "--dir", str(tmp_path), "--ladder"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "QB One (Alpha, QB) pass_yds 249.5" in out
+    assert "Alternate lines" in out and "279.5" in out
+    with pytest.raises(ValueError, match="never appears"):
+        main(["prop", "Alpha", "Nobody", "pass_yds", "249.5",
+              "--base", "ab", "--dir", str(tmp_path)])
