@@ -6,7 +6,8 @@ PregameSPPlus2025_1.csv), full play-by-play with every model head active
 alternating home/away first offense.
 
 Prints ONE JSON line:
-  {"metric": "...", "value": N, "unit": "games/sec", "vs_baseline": N}
+  {"metric": "...", "value": N, "unit": "games/sec", "vs_baseline": N,
+   "meta": {n, chunk, rng, mode, ...}}
 
 Baseline: the reference is a pure-Python multiprocessing simulator with no
 published numbers (BASELINE.md).  We use 40 games/sec as the baseline —
@@ -14,10 +15,27 @@ a generous estimate of `fast_monte_carlo_cfb.py` at its default 4 worker
 processes (our faithful single-core CPU oracle of the same workload runs
 ~10 games/s; the reference's own README-less self-timing harness is the
 only other evidence).
+
+Driver-robustness (round 4, after BENCH_r03 died rc=124 with no JSON):
+the axon backend compiles server-side with huge variance — a cold server
+cache costs 10-15 minutes REGARDLESS of the local .jax_cache state, while
+warm (server or local persistent cache) is ~10 s.  A killed client leaves
+the server compile running, so a later retry hits the finished artifact.
+This harness therefore (a) emits the JSON line as soon as a steady
+measurement exists instead of only after all repeats, (b) runs under a
+wall-clock budget (--budget / FMC_BENCH_BUDGET_S): a watchdog thread
+prints the best measurement so far and exits cleanly if the budget
+expires mid-refinement, and (c) measures a quick 1M-game shape first so
+a number exists within ~1 s of compile finishing, then refines at the
+steady-state 4M default.  The compile itself remains the one unboundable
+step; keep caches warm by running `python bench.py` after any engine
+change (CLAUDE.md round-4 protocol).
 """
 import argparse
 import json
+import os
 import sys
+import threading
 import time
 from pathlib import Path
 
@@ -29,7 +47,12 @@ REFERENCE_DIR = "/root/reference"
 
 
 def main() -> int:
+    t_start = time.perf_counter()
     ap = argparse.ArgumentParser()
+    ap.add_argument("--budget", type=float,
+                    default=float(os.environ.get("FMC_BENCH_BUDGET_S", "540")),
+                    help="wall-clock seconds before the watchdog emits the "
+                         "best measurement so far and exits (0 = no budget)")
     ap.add_argument("--mode", default="table", choices=["table", "exact", "analytic"])
     # default is the steady-state shape (64 pipelined 65k launches): the
     # 1M-game/16-launch shape spends a measurable share in pipeline
@@ -96,7 +119,6 @@ def main() -> int:
     args = ap.parse_args()
 
     if args.smoke:
-        import os
         os.environ["JAX_PLATFORMS"] = "cpu"
         args.n = min(args.n, 2048)
         if args.mode == "table":
@@ -154,35 +176,36 @@ def main() -> int:
     print(f"# setup (incl. table build): {build_s:.1f}s", file=sys.stderr)
 
     n_pairs = args.n if args.pairs else max(1, args.n // 2)
-    n_games = 2 * n_pairs
 
     stats = args.stats
     chunk_pairs = (args.chunk // 2) if args.chunk else n_pairs
     chunk_pairs = min(chunk_pairs, n_pairs)
-    n_chunks = -(-n_pairs // chunk_pairs)
 
     if args.summary:
-        def run_workload(seed0):
+        def run_workload(seed0, pairs):
             """Edge-scan workload: scores consumed by device-accumulated
             moments/histograms (api.run_pairs_summary), one transfer."""
-            return runner.run_pairs_summary(n_pairs, seed=seed0,
-                                            chunk_pairs=chunk_pairs,
+            return runner.run_pairs_summary(pairs, seed=seed0,
+                                            chunk_pairs=min(chunk_pairs,
+                                                            pairs),
                                             collect_stats=stats)
 
         def sanity(res):
             mean = np.asarray(res.mean_pts)
             return mean, float(np.asarray(res.win_rate)[0])
     else:
-        def run_workload(seed0):
+        def run_workload(seed0, pairs):
             """n split into pipelined launches (no sync between launches —
             measured ~20% over one big launch: overlapped dispatch + shorter
             per-launch early-exit tails).  One transfer at the end."""
+            cp = min(chunk_pairs, pairs)
+            nc = -(-pairs // cp)
             root = jax.random.PRNGKey(seed0)
-            outs = [runner.run_pairs(min(chunk_pairs, n_pairs - ci * chunk_pairs),
+            outs = [runner.run_pairs(min(cp, pairs - ci * cp),
                                      key=jax.random.fold_in(root, ci),
                                      collect_players=False,
                                      collect_stats=stats, block=False)
-                    for ci in range(n_chunks)]
+                    for ci in range(nc)]
             _ = np.asarray(outs[-1].score[:16])   # forced host transfer
             for o in outs[:-1]:
                 jax.block_until_ready(o.score)
@@ -193,32 +216,108 @@ def main() -> int:
             return score.mean(axis=0), float(
                 (score[:, 0] > score[:, 1]).mean())
 
-    t0 = time.perf_counter()
-    outs = run_workload(args.seed)
-    compile_s = time.perf_counter() - t0
-    print(f"# compile+first run: {compile_s:.1f}s "
-          f"({n_chunks} launch(es) of {2*chunk_pairs:,})", file=sys.stderr)
+    # ---- budget-guarded emission -------------------------------------
+    # state["best"] = (games_per_sec, pairs_of_that_run); the watchdog
+    # prints it and exits rc=0 if the budget expires mid-refinement, so a
+    # slow server-side compile day degrades the number, never the capture.
+    lock = threading.Lock()
+    state = {"best": None, "emitted": False, "compile_s": None,
+             "setup_s": build_s, "runs": []}
 
-    best = None
-    for r in range(args.repeats):
+    def emit(tag):
+        """Print the one JSON line.  Returns 'now' | 'already' | 'nothing'."""
+        with lock:
+            if state["emitted"]:
+                return "already"
+            if state["best"] is None:
+                return "nothing"
+            state["emitted"] = True
+            gps, pairs = state["best"]
+            print(json.dumps({
+                "metric": f"full_game_sims_per_sec_single_chip_{args.mode}"
+                          + ("_summary" if args.summary else ""),
+                "value": round(gps, 1),
+                "unit": "games/sec",
+                "vs_baseline": round(gps / BASELINE_GAMES_PER_SEC, 1),
+                "meta": {
+                    "n_games": 2 * pairs, "chunk_games": 2 * chunk_pairs,
+                    "rng": args.rng, "mode": args.mode,
+                    "workload": "summary" if args.summary else "raw_scores",
+                    "stats": stats, "quality": args.quality,
+                    "setup_s": round(state["setup_s"], 1),
+                    "compile_s": (None if state["compile_s"] is None
+                                  else round(state["compile_s"], 1)),
+                    "runs": [round(x, 1) for x in state["runs"]],
+                    "emit": tag,
+                },
+            }), flush=True)
+            return "now"
+
+    def watchdog():
+        while True:
+            left = args.budget - (time.perf_counter() - t_start)
+            if left <= 0:
+                break
+            time.sleep(min(left, 5.0))
+            with lock:
+                if state["emitted"]:
+                    return
+        got = emit("budget_expired")
+        if got == "already":
+            return
+        if got == "now":
+            print("# budget expired: emitted best-so-far", file=sys.stderr)
+            os._exit(0)
+        print("# budget expired before ANY measurement — the server-side "
+              "compile is still in flight; it keeps running after this "
+              "process dies, so an immediate retry will hit the finished "
+              "compile (CLAUDE.md round-4 bench protocol)", file=sys.stderr)
+        os._exit(3)
+
+    if args.budget > 0:
+        threading.Thread(target=watchdog, daemon=True).start()
+
+    def timed(seed0, pairs):
         t0 = time.perf_counter()
-        outs = run_workload(args.seed + 1000 * (r + 1))
+        res = run_workload(seed0, pairs)
         dt = time.perf_counter() - t0
-        best = dt if best is None else min(best, dt)
-        print(f"# run {r}: {dt:.3f}s -> {n_games/dt:,.0f} games/s", file=sys.stderr)
+        gps = 2 * pairs / dt
+        with lock:
+            state["runs"].append(gps)
+            if state["best"] is None or gps > state["best"][0]:
+                state["best"] = (gps, pairs)
+        print(f"# run n={2*pairs:,}: {dt:.3f}s -> {gps:,.0f} games/s",
+              file=sys.stderr)
+        return res, dt
+
+    # compile happens on the first chunk-sized launch; measure a QUICK
+    # shape right after so a valid number exists within ~1 s of compile
+    quick_pairs = min(n_pairs, max(chunk_pairs, 524288))
+    t0 = time.perf_counter()
+    outs = run_workload(args.seed, quick_pairs)
+    state["compile_s"] = time.perf_counter() - t0
+    print(f"# compile+first run: {state['compile_s']:.1f}s "
+          f"(launches of {2*chunk_pairs:,})", file=sys.stderr)
+    outs, quick_dt = timed(args.seed + 500, quick_pairs)
+
+    # refine at the full steady-state shape while the budget allows
+    full_est = (2 * n_pairs) / max(state["best"][0], 1.0) * 1.5 + 3.0
+    for r in range(args.repeats):
+        if n_pairs == quick_pairs and r == 0 and args.repeats == 1:
+            break  # quick run already measured the requested shape once
+        left = (args.budget - (time.perf_counter() - t_start)
+                if args.budget > 0 else float("inf"))
+        if left < full_est:
+            print(f"# budget: skipping full-shape repeat {r} "
+                  f"({left:.0f}s left < {full_est:.0f}s est)",
+                  file=sys.stderr)
+            break
+        outs, _ = timed(args.seed + 1000 * (r + 1), n_pairs)
 
     mean, win_a = sanity(outs)
     print(f"# sanity: mean {np.asarray(mean, float).round(2).tolist()} "
           f"winA {win_a:.4f}", file=sys.stderr)
-
-    games_per_sec = n_games / best
-    print(json.dumps({
-        "metric": f"full_game_sims_per_sec_single_chip_{args.mode}"
-                  + ("_summary" if args.summary else ""),
-        "value": round(games_per_sec, 1),
-        "unit": "games/sec",
-        "vs_baseline": round(games_per_sec / BASELINE_GAMES_PER_SEC, 1),
-    }))
+    emit("complete")
     return 0
 
 

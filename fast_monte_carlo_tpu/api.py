@@ -1131,6 +1131,7 @@ def simulate_slate_summaries(
     shard: bool = False,
     chunk_pairs: int = 32768,
     return_summaries: bool = False,
+    layout: str = "auto",
 ):
     """Production slate sweep: the per-matchup launch loop with device-
     accumulated ScoreMoments and ONE host transfer at the very end — the
@@ -1161,8 +1162,24 @@ def simulate_slate_summaries(
     (or seeds) share draw streams.  Returns one summary row per matchup
     (same columns as SlateRunner.run_summaries); return_summaries=True
     additionally returns the per-matchup ScoreSummary objects (histograms
-    included) for edge.slate_market_table pricing."""
+    included) for edge.slate_market_table pricing.
+
+    layout picks between the two slate executions:
+      'loop'       — the per-matchup launch loop above (single-chip
+                     record holder; shard=True makes each launch
+                     trial-sharded over the mesh);
+      'game_shard' — the game-sharded SlateRunner scan (one launch,
+                     matchups sharded over a ('game',) mesh; the
+                     multi-chip game-axis layout, ~8-10% slower on one
+                     chip);
+      'auto'       — loop on a single device, game-sharded scan on a
+                     multi-device mesh (unless shard=True explicitly
+                     chose trial sharding, focus rosters are in play,
+                     or the matchups aren't fusible — those fall back
+                     to the loop)."""
     cfg = cfg or SimConfig()
+    if layout not in ("auto", "loop", "game_shard"):
+        raise ValueError(f"layout must be auto|loop|game_shard, got {layout!r}")
     if not games:
         # mirror simulate_slate_props' empty-input contract instead of
         # letting tree_map die on zero summaries
@@ -1170,6 +1187,27 @@ def simulate_slate_summaries(
         return (df, []) if return_summaries else df
     heads = load_heads(artifact_dir)
     sp_df = load_sp_flex(sp_path)
+    want_game_shard = layout == "game_shard" or (
+        layout == "auto" and jax.device_count() > 1 and not shard
+        and focus_csv is None and mode == "table")
+    if want_game_shard:
+        ctxs = []
+        for ta, tb in games:
+            ctxs.append(tuple(
+                build_team_context_from_sp_flex(
+                    t, year, week, sp_df, player_slots=cfg.engine.player_slots)
+                for t in (ta, tb)))
+        try:
+            sr = SlateRunner(ctxs, heads, cfg, quality=table_quality,
+                             game_shard=True)
+            return sr.run_summaries(n_pairs, seed=seed,
+                                    chunk_pairs=chunk_pairs,
+                                    return_summaries=return_summaries)
+        except ValueError:
+            if layout == "game_shard":
+                raise     # explicitly requested: surface the reason
+            # auto: non-fusible matchups (player-dependent heads etc.)
+            # fall back to the per-matchup loop below
     if shard:
         chunk_pairs *= jax.device_count()
     root = jax.random.PRNGKey(seed)

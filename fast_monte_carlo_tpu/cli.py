@@ -190,10 +190,12 @@ def _cmd_edges(args) -> int:
     mids = _middle_specs(args)  # bad --mid specs fail before any pricing
     want_mid = any(v is not None for v in mids.values())
     from .edge import find_edges
-    if args.spread is not None or args.total is not None or not want_mid:
+    if (args.spread is not None or args.total is not None
+            or args.props is not None or not want_mid):
         # middles-only invocations skip the main report (game_market_odds
-        # refuses to price without a quoted line); everything else keeps
-        # the full spread/total/ML/props printout
+        # refuses to price without a quoted line); everything else —
+        # including a middles+props call — keeps the full
+        # spread/total/ML/props printout
         find_edges(csv_base=args.base, team_a=args.team_a,
                    team_b=args.team_b, spread=args.spread, total=args.total,
                    props_csv=args.props, directory=args.dir)
@@ -267,6 +269,7 @@ def _cmd_edges_device(args) -> int:
         print("edges --device needs --sp (it simulates in-process)",
               file=sys.stderr)
         return 2
+    mids = _middle_specs(args)  # bad --mid specs fail before the sim runs
     sp = load_sp_flex(args.sp)
     a = build_team_context_from_sp_flex(args.team_a, args.year, args.week, sp,
                                         focus_csv=args.focus)
@@ -301,7 +304,6 @@ def _cmd_edges_device(args) -> int:
         print_alt_lines(alt_lines_from_summary(
             summary, args.team_a, args.team_b, spread=args.spread,
             total=args.total, width=args.alt_width, step=args.alt_step))
-    mids = _middle_specs(args)
     if any(v is not None for v in mids.values()):
         from .edge import middles_from_summary, print_middle_readable
         for r in middles_from_summary(summary, args.team_a, args.team_b,

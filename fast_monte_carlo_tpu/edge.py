@@ -1007,8 +1007,16 @@ def _round_robin_jit():
 def _rr_sizes(by, n_legs: int):
     """Normalize a round-robin size spec (int or iterable of ints) and
     validate it against the leg count."""
-    ks = sorted({int(k) for k in
-                 ((by,) if isinstance(by, (int, np.integer)) else by)})
+    def _as_size(k):
+        # bools are int subclasses, and float sizes like 2.5 must not
+        # silently truncate to 2 — both are caller errors
+        if isinstance(k, bool) or float(k) != int(k):
+            raise ValueError(
+                f"round-robin ticket size must be an integer, got {k!r}")
+        return int(k)
+
+    scalar = isinstance(by, (int, float, np.integer, np.floating))
+    ks = sorted({_as_size(k) for k in ((by,) if scalar else by)})
     if not ks:
         raise ValueError("round robin needs at least one ticket size")
     for k in ks:
@@ -1863,10 +1871,13 @@ def find_edges(*, csv_base: Optional[str], team_a: str, team_b: str,
                min_abs_edge_pct: float = 2.0) -> None:
     """One-call report: spread/total, fair moneylines, prop scan
     (edge_finder.py:586-614)."""
-    gm = game_market_odds(csv_base, team_a, team_b, spread=spread, total=total,
-                          directory=directory)
+    if spread is not None or total is not None:
+        gm = game_market_odds(csv_base, team_a, team_b, spread=spread,
+                              total=total, directory=directory)
+        print_game_market_readable(gm)
+    # moneyline + props need no quoted line; a lines-less call (e.g.
+    # `edges --props sheet.csv`, possibly alongside --mid-*) still reports
     ml = moneyline_from_sims(csv_base, team_a, team_b, directory=directory)
-    print_game_market_readable(gm)
     print_moneyline_readable(ml)
     if props_csv and Path(props_csv).exists():
         props = scan_props_for_matchup(csv_base, team_a, team_b, props_csv,

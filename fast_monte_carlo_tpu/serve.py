@@ -440,9 +440,16 @@ class SimService:
             raise ValueError("legs must be a JSON array of 1..20 leg objects")
         price = body.get("price")
         rr = body.get("round_robin")
-        if rr is not None and not isinstance(rr, (int, list)):
-            raise ValueError("round_robin must be a ticket size or a list "
-                             "of sizes (e.g. 2 or [2, 3])")
+
+        def _is_size(k):  # bool is an int subclass: JSON `true` is NOT size 1
+            return isinstance(k, int) and not isinstance(k, bool)
+
+        if rr is not None and not (
+                _is_size(rr)
+                or (isinstance(rr, list) and rr
+                    and all(_is_size(k) for k in rr))):
+            raise ValueError("round_robin must be an integer ticket size or "
+                             "a non-empty list of integers (e.g. 2 or [2, 3])")
         t0 = time.perf_counter()
         with self._lock:
             self._requests += 1

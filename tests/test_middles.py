@@ -169,3 +169,18 @@ def test_cli_edges_middle(tmp_path, capsys, monkeypatch):
         main(["edges", "--base", "ks_isu", "--team-a", "Kansas State",
               "--team-b", "Iowa State", "--mid-spread", "oops",
               "--dir", str(tmp_path)])
+
+    # middles-only + --props must still run the main report (moneyline +
+    # prop scan) — it used to be silently dropped when no --spread/--total
+    # was quoted (ADVICE r3)
+    props = tmp_path / "props.csv"
+    pd.DataFrame({"team": ["Kansas State"], "player": ["Avery Johnson"],
+                  "stat": ["pass_yards"], "yards": [250.5]}
+                 ).to_csv(props, index=False)
+    rc = main(["edges", "--base", "ks_isu", "--team-a", "Kansas State",
+               "--team-b", "Iowa State", "--mid-total", "50.5,57.5",
+               "--props", str(props), "--dir", str(tmp_path)])
+    assert rc == 0
+    text = capsys.readouterr().out
+    assert "Fair Moneyline" in text
+    assert "Middle: Over 50.5 / Under 57.5" in text

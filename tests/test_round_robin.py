@@ -112,6 +112,14 @@ def test_round_robin_validation(rr_out):
         round_robin(out, a, b, LEGS, by=[])
     with pytest.raises(ValueError, match="max_tickets"):
         round_robin(out, a, b, LEGS, by=2, max_tickets=3)
+    # bool is an int subclass: JSON `true` must not price a singles card
+    with pytest.raises(ValueError, match="must be an integer"):
+        round_robin(out, a, b, LEGS, by=True)
+    # non-integral sizes must not silently truncate (2.5 -> 2)
+    with pytest.raises(ValueError, match="must be an integer"):
+        round_robin(out, a, b, LEGS, by=[2.5])
+    with pytest.raises(ValueError, match="must be an integer"):
+        round_robin(out, a, b, LEGS, by=[2, True])
 
 
 def test_round_robin_blocks_exact(rr_out):

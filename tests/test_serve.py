@@ -192,8 +192,9 @@ def test_parlay_endpoint(server):
     rr = out["parlay"]["round_robin"]
     assert rr["n_tickets"] == 3 and rr["by"] == [1, 2]
     assert all("ev_$100" in t for t in rr["tickets"])  # price applied
-    # bad size specs are 400s, not 500s
-    for bad_rr in ("2", [0], [9]):
+    # bad size specs are 400s, not 500s; JSON true (bool ⊂ int) and
+    # non-integral floats are rejected rather than silently coerced
+    for bad_rr in ("2", [0], [9], True, [2.5], [], [2, True]):
         code, err = _post(base + "/parlay", {**body, "round_robin": bad_rr})
         assert code == 400, (bad_rr, err)
 

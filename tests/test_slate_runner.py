@@ -161,3 +161,50 @@ def test_simulate_slate_summaries_sharded(reference_dir):
         assert abs(got.iloc[i].mean_total - want.iloc[i].mean_total) < 3.0, i
     # two different matchups actually ran under per-game fold_in roots
     assert got.iloc[0].win_a != got.iloc[1].win_a
+
+
+def test_slate_layout_auto_by_mesh(reference_dir, monkeypatch):
+    """layout='auto' picks the execution by mesh size with no user flag:
+    game-sharded scan on a multi-device mesh (this suite's 8-device
+    virtual mesh), per-matchup loop on one device — the single-chip
+    record holder vs the multi-chip game-axis layout (VERDICT r3 #6)."""
+    import fast_monte_carlo_tpu.api as api
+
+    sp_path = str(reference_dir / "PregameSPPlus2025_1.csv")
+    games = [("Kansas State", "Iowa State"), ("Alabama", "Georgia")]
+    picked = []
+
+    real_gs = api.SlateRunner.run_summaries
+    real_loop = api.MatchupRunner.run_pairs_summary
+    monkeypatch.setattr(
+        api.SlateRunner, "run_summaries",
+        lambda self, *a, **k: (picked.append("game_shard"),
+                               real_gs(self, *a, **k))[1])
+    monkeypatch.setattr(
+        api.MatchupRunner, "run_pairs_summary",
+        lambda self, *a, **k: (picked.append("loop"),
+                               real_loop(self, *a, **k))[1])
+
+    kw = dict(sp_path=sp_path, n_pairs=64, chunk_pairs=64, seed=1,
+              table_quality="nano")
+    df = api.simulate_slate_summaries(games, **kw)       # 8 devices
+    assert picked == ["game_shard"]
+    assert len(df) == 2 and (df.n_games == 128).all()
+
+    picked.clear()
+    monkeypatch.setattr(jax, "device_count", lambda *a, **k: 1)
+    df1 = api.simulate_slate_summaries(games, **kw)      # "one device"
+    assert picked and all(p == "loop" for p in picked)
+    assert len(df1) == 2 and (df1.n_games == 128).all()
+
+    # shard=True is an explicit trial-sharding choice: auto respects it
+    picked.clear()
+    monkeypatch.setattr(jax, "device_count", lambda *a, **k: 8)
+    api.simulate_slate_summaries(games, shard=True, **kw)
+    assert picked and all(p == "loop" for p in picked)
+    # an explicit layout request overrides auto in the other direction
+    picked.clear()
+    api.simulate_slate_summaries(games, layout="game_shard", **kw)
+    assert picked == ["game_shard"]
+    with pytest.raises(ValueError, match="layout must be"):
+        api.simulate_slate_summaries(games, layout="nope", **kw)
