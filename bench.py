@@ -116,6 +116,16 @@ def main() -> int:
                     choices=["default", "coarse", "slate", "fused", "turbo",
                              "nano"],
                     help="table axis-resolution preset")
+    ap.add_argument("--shard", action="store_true",
+                    help="multichip readiness: run every launch as a "
+                         "shard_map over the FULL visible device mesh "
+                         "(per-device ScoreMoments + one psum per chunk — "
+                         "parallel.simulate_moments_sharded, the production "
+                         "multi-chip path).  chunk scales by device count "
+                         "so each device keeps the 65,536-game per-launch "
+                         "optimum.  On real v5e-8 hardware this is the "
+                         "one-command multi-chip bench; on one chip it "
+                         "measures the shard_map overhead (~flat).")
     args = ap.parse_args()
 
     if args.smoke:
@@ -171,14 +181,21 @@ def main() -> int:
 
     t0 = time.perf_counter()
     runner = MatchupRunner(a, b, heads, cfg, mode=args.mode,
-                           table_quality=args.quality)
+                           table_quality=args.quality, shard=args.shard)
     build_s = time.perf_counter() - t0
-    print(f"# setup (incl. table build): {build_s:.1f}s", file=sys.stderr)
+    ndev = jax.device_count()
+    print(f"# setup (incl. table build): {build_s:.1f}s"
+          + (f" | sharded over {ndev} device(s)" if args.shard else ""),
+          file=sys.stderr)
 
     n_pairs = args.n if args.pairs else max(1, args.n // 2)
 
     stats = args.stats
     chunk_pairs = (args.chunk // 2) if args.chunk else n_pairs
+    if args.shard:
+        # keep the measured per-device launch optimum: each device still
+        # sees 65,536 games per launch (mirrors simulate_slate_summaries)
+        chunk_pairs *= ndev
     chunk_pairs = min(chunk_pairs, n_pairs)
 
     if args.summary:
@@ -235,7 +252,8 @@ def main() -> int:
             gps, pairs = state["best"]
             print(json.dumps({
                 "metric": f"full_game_sims_per_sec_single_chip_{args.mode}"
-                          + ("_summary" if args.summary else ""),
+                          + ("_summary" if args.summary else "")
+                          + ("_sharded" if args.shard else ""),
                 "value": round(gps, 1),
                 "unit": "games/sec",
                 "vs_baseline": round(gps / BASELINE_GAMES_PER_SEC, 1),
@@ -244,6 +262,7 @@ def main() -> int:
                     "rng": args.rng, "mode": args.mode,
                     "workload": "summary" if args.summary else "raw_scores",
                     "stats": stats, "quality": args.quality,
+                    "ndev": ndev, "sharded": args.shard,
                     "setup_s": round(state["setup_s"], 1),
                     "compile_s": (None if state["compile_s"] is None
                                   else round(state["compile_s"], 1)),

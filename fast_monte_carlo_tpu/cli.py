@@ -480,7 +480,7 @@ def _cmd_serve(args) -> int:
                     year=args.year, week=args.week, mode=args.mode,
                     table_quality=args.quality, focus_csv=args.focus,
                     shard=args.shard, max_n_pairs=args.max_pairs,
-                    max_games=args.max_games),
+                    max_games=args.max_games, deadline_s=args.deadline),
         host=args.host, port=args.port, warm_games=warm_games)
     return 0
 
@@ -877,6 +877,9 @@ def main(argv=None) -> int:
                     dest="max_pairs", help="per-request n_pairs ceiling")
     pv.add_argument("--max-games", type=int, default=80, dest="max_games",
                     help="per-request slate size ceiling")
+    pv.add_argument("--deadline", type=float, default=None,
+                    help="per-request admission deadline (seconds): shed "
+                         "requests with 503 when queue wait exceeds it")
     pv.set_defaults(fn=_cmd_serve)
 
     args = p.parse_args(argv)

@@ -46,6 +46,7 @@ import json
 import math
 import threading
 import time
+from contextlib import contextmanager
 from dataclasses import dataclass
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Optional
@@ -70,6 +71,10 @@ def jsonable(o):
     return o
 
 
+class Overloaded(RuntimeError):
+    """Request shed by the admission deadline (mapped to HTTP 503)."""
+
+
 @dataclass(frozen=True)
 class ServeConfig:
     """Static per-process serving configuration (the request body carries
@@ -84,6 +89,11 @@ class ServeConfig:
     shard: bool = False          # default; request "shard" overrides
     max_n_pairs: int = 2_000_000  # per-request guard
     max_games: int = 80          # per-request slate bound (weekly ~60)
+    # per-request admission deadline: a request that spends longer than
+    # this QUEUED behind the device lock is shed with 503 before any
+    # device work launches (a launched program can't be aborted, so the
+    # guard bounds queue wait, not the running sim).  None = never shed.
+    deadline_s: Optional[float] = None
 
 
 class SimService:
@@ -92,10 +102,36 @@ class SimService:
     and serializes device work behind one lock."""
 
     def __init__(self, cfg: ServeConfig):
+        import collections
+
         self.cfg = cfg
         self._lock = threading.Lock()
         self._t0 = time.time()
         self._requests = 0
+        # per-endpoint completed-request latency rings (seconds, includes
+        # queue wait); /health reports p50/p95 off them
+        self._latency = collections.defaultdict(
+            lambda: collections.deque(maxlen=512))
+
+    @contextmanager
+    def _admit(self, endpoint: str, t0: float):
+        """Device-lock admission with the deadline guard; records the
+        endpoint's end-to-end latency on success."""
+        dl = self.cfg.deadline_s
+        if dl is None:
+            acquired = self._lock.acquire()
+        else:
+            left = dl - (time.perf_counter() - t0)
+            acquired = left > 0 and self._lock.acquire(timeout=left)
+        if not acquired:
+            raise Overloaded(
+                f"queue wait exceeded deadline_s={dl}; retry later")
+        try:
+            self._requests += 1
+            yield
+        finally:
+            self._lock.release()
+        self._latency[endpoint].append(time.perf_counter() - t0)
 
     # -- warmup ---------------------------------------------------------
     def warm(self, games=None, n_pairs: int = 256) -> dict:
@@ -121,6 +157,17 @@ class SimService:
         from .models.heads import _HEADS_MEMO
         from .ops.table_lookup import _DEVICE_TABLE_CACHE
 
+        lat = {}
+        for ep, ring in self._latency.items():
+            if not ring:
+                continue
+            a = np.sort(np.asarray(ring))
+            lat[ep] = {
+                "n": len(a),
+                "p50_ms": round(float(np.percentile(a, 50)) * 1e3, 1),
+                "p95_ms": round(float(np.percentile(a, 95)) * 1e3, 1),
+                "max_ms": round(float(a[-1]) * 1e3, 1),
+            }
         return {
             "status": "ok",
             "platform": jax.devices()[0].platform,
@@ -129,6 +176,7 @@ class SimService:
             "requests": self._requests,
             "heads_memo": len(_HEADS_MEMO),
             "device_tables": len(_DEVICE_TABLE_CACHE),
+            "latency": lat,
             "config": jsonable(self.cfg.__dict__),
         }
 
@@ -169,8 +217,7 @@ class SimService:
         games = self._games(body)
         lines = body.get("lines")
         t0 = time.perf_counter()
-        with self._lock:
-            self._requests += 1
+        with self._admit("slate", t0):
             df, summaries = simulate_slate_summaries(
                 games, sp_path=self.cfg.sp_path, year=self.cfg.year,
                 week=self.cfg.week, n_pairs=self._n_pairs(body, 32768),
@@ -195,8 +242,7 @@ class SimService:
 
         ta, tb = body["team_a"], body["team_b"]
         t0 = time.perf_counter()
-        with self._lock:
-            self._requests += 1
+        with self._admit("sim", t0):
             df, (summary,) = simulate_slate_summaries(
                 [(ta, tb)], sp_path=self.cfg.sp_path, year=self.cfg.year,
                 week=self.cfg.week, n_pairs=self._n_pairs(body, 32768),
@@ -265,8 +311,7 @@ class SimService:
                 f"n_games must be in (0, {2 * self.cfg.max_n_pairs}], "
                 f"got {n_games}")
         t0 = time.perf_counter()
-        with self._lock:
-            self._requests += 1
+        with self._admit("live", t0):
             row, summary = simulate_live_game(
                 ta, tb, sit, sp_path=self.cfg.sp_path, year=self.cfg.year,
                 week=self.cfg.week, n_games=n_games,
@@ -304,8 +349,7 @@ class SimService:
                 f"(0, {2 * self.cfg.max_n_pairs}], "
                 f"got {len(sits)} * {n_per}")
         t0 = time.perf_counter()
-        with self._lock:
-            self._requests += 1
+        with self._admit("live_curve", t0):
             df, _ = simulate_live_curve(
                 ta, tb, sits, sp_path=self.cfg.sp_path, year=self.cfg.year,
                 week=self.cfg.week, n_games_per=n_per,
@@ -340,8 +384,7 @@ class SimService:
                 f"n_games must be in (0, {2 * self.cfg.max_n_pairs}], "
                 f"got {n_games}")
         t0 = time.perf_counter()
-        with self._lock:
-            self._requests += 1
+        with self._admit("fourth", t0):
             res = evaluate_fourth_down(
                 body["team_a"], body["team_b"], sit,
                 sp_path=self.cfg.sp_path, year=self.cfg.year,
@@ -378,8 +421,7 @@ class SimService:
                 f"entries, got {len(opponents)}")
         line = body.get("line")
         t0 = time.perf_counter()
-        with self._lock:
-            self._requests += 1
+        with self._admit("season", t0):
             res = project_season(
                 team, opponents=opponents, games=games,
                 line=None if line is None else float(line),
@@ -400,8 +442,7 @@ class SimService:
 
         games = self._games(body)
         t0 = time.perf_counter()
-        with self._lock:
-            self._requests += 1
+        with self._admit("props", t0):
             df = simulate_slate_props(
                 games, sp_path=self.cfg.sp_path,
                 props_csv=pd.DataFrame(body["props"]),
@@ -451,8 +492,7 @@ class SimService:
             raise ValueError("round_robin must be an integer ticket size or "
                              "a non-empty list of integers (e.g. 2 or [2, 3])")
         t0 = time.perf_counter()
-        with self._lock:
-            self._requests += 1
+        with self._admit("parlay", t0):
             res = simulate_parlay(
                 body["team_a"], body["team_b"], legs,
                 sp_path=self.cfg.sp_path, year=self.cfg.year,
@@ -526,6 +566,8 @@ class _Handler(BaseHTTPRequestHandler):
             return
         try:
             self._reply(200, getattr(self.service, name)(body))
+        except Overloaded as e:
+            self._reply(503, {"error": str(e)})
         except (KeyError, ValueError, TypeError) as e:
             self._reply(400, {"error": f"{type(e).__name__}: {e}"})
         except Exception as e:  # noqa: BLE001 — surface, don't kill the server

@@ -380,3 +380,41 @@ def test_fourth_endpoint(server):
     for bad in ({"down": 2}, {"n_games": 10**9}):
         code, err = _post(base + "/fourth", {**body, **bad})
         assert code == 400, (bad, err)
+
+
+def test_deadline_guard_and_latency(reference_dir):
+    """Admission deadline: a request queued behind the device lock past
+    cfg.deadline_s is shed with 503 BEFORE any device work; /health
+    reports per-endpoint p50/p95 latency off completed requests only."""
+    import time
+
+    from fast_monte_carlo_tpu.serve import ServeConfig, SimService, make_server
+
+    cfg = ServeConfig(sp_path=str(reference_dir / "PregameSPPlus2025_1.csv"),
+                      artifact_dir=str(reference_dir), mode="analytic",
+                      max_n_pairs=4096, max_games=2, deadline_s=0.2)
+    service = SimService(cfg)
+    srv = make_server(service, port=0)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        body = {"team_a": "Kansas State", "team_b": "Iowa State",
+                "n_pairs": 64}
+        code, out = _post(base + "/sim", body)
+        assert code == 200, out
+        n_ok = service._requests
+        with service._lock:   # simulate a long-running device request
+            t0 = time.perf_counter()
+            code, err = _post(base + "/sim", body)
+            waited = time.perf_counter() - t0
+        assert code == 503 and "deadline" in err["error"]
+        assert 0.15 <= waited < 5.0          # shed at ~deadline, not hang
+        assert service._requests == n_ok     # shed before device work
+        code, h = _get(base + "/health")
+        assert code == 200
+        lat = h["latency"]["sim"]
+        assert lat["n"] == 1                 # only the completed request
+        assert lat["p95_ms"] >= lat["p50_ms"] > 0
+    finally:
+        srv.shutdown()
+        srv.server_close()
