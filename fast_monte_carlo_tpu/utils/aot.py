@@ -1,0 +1,104 @@
+"""Opt-in AOT executable snapshots (zero-compile cold starts).
+
+The axon TPU backend compiles server-side with huge variance: a cold
+server cache costs 10-15 minutes even when the HLO is unchanged, and the
+local persistent compilation cache — while verified working (CLAUDE.md
+round-4 bench protocol) — keys on backend/version fingerprints outside
+our control.  `jax.experimental.serialize_executable` round-trips the
+COMPILED executable itself (measured on the axon v5e chip 2026-08-20:
+~0 ms serialize for a 0.7 MB program, ~10 ms deserialize, bitwise-equal
+results), so a production deployment can snapshot its warm program set
+once and boot every subsequent process with zero compiles:
+
+    from fast_monte_carlo_tpu.utils.aot import aot_compile_cached
+
+    exe = aot_compile_cached(step_fn, example_args, key="sim_chunk")
+    out = exe(*args)          # same contract as jax.jit(step_fn)(*args)
+
+Snapshots are keyed by (caller key, jax version, device platform/kind,
+abstract input signature); any mismatch — new jax, different chip, new
+shapes — quietly falls back to a fresh lower+compile and rewrites the
+snapshot.  Executables are hardware-specific by nature: treat the cache
+directory as a per-deployment artifact, not a portable one (XLA:CPU
+snapshots in particular embed host CPU features and may refuse to load
+elsewhere).
+
+This is deliberately NOT wired into the library's jit-cache hot paths:
+those are protected by golden/parity tests and the persistent cache
+already covers the common case.  Use it at the deployment boundary
+(serving boot, bench capture) where cold-start latency matters.
+"""
+from __future__ import annotations
+
+import hashlib
+import os
+import pickle
+from pathlib import Path
+from typing import Any, Callable, Optional
+
+__all__ = ["aot_compile_cached", "aot_fingerprint"]
+
+
+def aot_fingerprint(key: str, args: tuple) -> str:
+    """Stable id for (program, jax/backend/device, input signature)."""
+    import jax
+    import jax.numpy as jnp
+
+    dev = jax.devices()[0]
+    sig = jax.tree_util.tree_map(
+        lambda x: (tuple(jnp.shape(x)), str(jnp.result_type(x))), args)
+    raw = repr((key, jax.__version__, dev.platform,
+                getattr(dev, "device_kind", ""), sig))
+    return hashlib.sha256(raw.encode()).hexdigest()[:16]
+
+
+def aot_compile_cached(
+    fn: Callable,
+    example_args: tuple,
+    *,
+    key: str,
+    cache_dir: str = ".aot_cache",
+    static_argnums: tuple = (),
+    verbose: bool = False,
+) -> Any:
+    """Return a loaded executable for `fn(*example_args)` — from the
+    snapshot when one matches, else freshly compiled (and snapshotted).
+
+    The returned object is callable with the same pytree contract as
+    `jax.jit(fn)` at the example signature.  Snapshot write failures are
+    non-fatal (the compiled executable is returned regardless); load
+    failures fall back to compiling.
+    """
+    import jax
+    from jax.experimental.serialize_executable import (
+        deserialize_and_load, serialize,
+    )
+
+    path = Path(cache_dir) / f"{key}_{aot_fingerprint(key, example_args)}.aotx"
+    if path.exists():
+        try:
+            with open(path, "rb") as fh:
+                blob, in_tree, out_tree = pickle.load(fh)
+            exe = deserialize_and_load(blob, in_tree, out_tree)
+            if verbose:
+                print(f"# aot: loaded {path.name} ({path.stat().st_size:,}B)")
+            return exe
+        except Exception as e:  # stale/corrupt/foreign snapshot: recompile
+            if verbose:
+                print(f"# aot: snapshot load failed ({type(e).__name__}: "
+                      f"{e}); recompiling")
+    compiled = (jax.jit(fn, static_argnums=static_argnums)
+                .lower(*example_args).compile())
+    try:
+        blob, in_tree, out_tree = serialize(compiled)
+        path.parent.mkdir(parents=True, exist_ok=True)
+        tmp = path.with_suffix(".tmp")
+        with open(tmp, "wb") as fh:
+            pickle.dump((blob, in_tree, out_tree), fh)
+        os.replace(tmp, path)
+        if verbose:
+            print(f"# aot: wrote {path.name} ({len(blob):,}B)")
+    except Exception as e:  # backend without serialize support: still usable
+        if verbose:
+            print(f"# aot: snapshot write failed ({type(e).__name__}: {e})")
+    return compiled
