@@ -317,6 +317,12 @@ def main() -> int:
     state["compile_s"] = time.perf_counter() - t0
     print(f"# compile+first run: {state['compile_s']:.1f}s "
           f"(launches of {2*chunk_pairs:,})", file=sys.stderr)
+    # provisional best: the compile-polluted first run IS a valid (slow)
+    # games/s measurement — if the budget expires during the first clean
+    # run, the watchdog emits THIS rather than dying with 'no measurement'
+    # (real timed runs replace it via the max() in timed())
+    with lock:
+        state["best"] = (2 * quick_pairs / state["compile_s"], quick_pairs)
     outs, quick_dt = timed(args.seed + 500, quick_pairs)
 
     # refine at the full steady-state shape while the budget allows

@@ -987,6 +987,34 @@ def _runner_for(a: TeamContext, b: TeamContext, heads, cfg: SimConfig,
     return r
 
 
+_GAME_SHARD_MEMO: Dict = {}
+_GAME_SHARD_MEMO_MAX = 4
+
+
+def _game_shard_runner(games, year, week, sp_df, heads, cfg, quality):
+    """Memoized game-sharded SlateRunner for the layout='auto'/'game_shard'
+    path — without this every warm multi-device slate call would re-run
+    build_direction/build_fused_table/pack/upload per request (the exact
+    30-120s warm-call host-overhead class the round-3 memos eliminated).
+    Context identity carries the content fingerprint: the team-context
+    builder is itself memoized, so same inputs -> same cached instances
+    -> same ids."""
+    ctxs = []
+    for ta, tb in games:
+        ctxs.append(tuple(
+            build_team_context_from_sp_flex(
+                t, year, week, sp_df, player_slots=cfg.engine.player_slots)
+            for t in (ta, tb)))
+    key = (tuple((id(a), id(b)) for a, b in ctxs), id(heads), cfg, quality)
+    sr = _GAME_SHARD_MEMO.get(key)
+    if sr is None:
+        sr = SlateRunner(ctxs, heads, cfg, quality=quality, game_shard=True)
+        while len(_GAME_SHARD_MEMO) >= _GAME_SHARD_MEMO_MAX:
+            _GAME_SHARD_MEMO.pop(next(iter(_GAME_SHARD_MEMO)))
+        _GAME_SHARD_MEMO[key] = sr
+    return sr
+
+
 @lru_cache(maxsize=8)
 def _shared_slate_jit(cfg: SimConfig, heads_fn):
     # slate summaries consume scores only: skip player AND box-score accrual
@@ -1172,11 +1200,14 @@ def simulate_slate_summaries(
                      matchups sharded over a ('game',) mesh; the
                      multi-chip game-axis layout, ~8-10% slower on one
                      chip);
-      'auto'       — loop on a single device, game-sharded scan on a
-                     multi-device mesh (unless shard=True explicitly
-                     chose trial sharding, focus rosters are in play,
-                     or the matchups aren't fusible — those fall back
-                     to the loop)."""
+      'auto'       — loop on a single device (or a 1-game slate),
+                     game-sharded scan on a multi-device mesh (unless
+                     shard=True explicitly chose trial sharding, focus
+                     rosters are in play, mode isn't 'table', or the
+                     matchups aren't fusible — those fall back to the
+                     loop).  An explicit 'game_shard' REJECTS focus_csv
+                     and non-table modes instead of silently dropping
+                     them."""
     cfg = cfg or SimConfig()
     if layout not in ("auto", "loop", "game_shard"):
         raise ValueError(f"layout must be auto|loop|game_shard, got {layout!r}")
@@ -1187,27 +1218,37 @@ def simulate_slate_summaries(
         return (df, []) if return_summaries else df
     heads = load_heads(artifact_dir)
     sp_df = load_sp_flex(sp_path)
+    if layout == "game_shard":
+        # an explicit request must not silently drop incompatible knobs:
+        # focus rosters can't fuse into shared tables, and the scan only
+        # exists for table mode
+        if focus_csv is not None:
+            raise ValueError("layout='game_shard' cannot honor focus_csv "
+                             "(focus rosters are player-dependent and "
+                             "don't fuse); use layout='loop'")
+        if mode != "table":
+            raise ValueError(f"layout='game_shard' is table-mode only "
+                             f"(got mode={mode!r}); use layout='loop'")
     want_game_shard = layout == "game_shard" or (
         layout == "auto" and jax.device_count() > 1 and not shard
-        and focus_csv is None and mode == "table")
+        and len(games) > 1 and focus_csv is None and mode == "table")
     if want_game_shard:
-        ctxs = []
-        for ta, tb in games:
-            ctxs.append(tuple(
-                build_team_context_from_sp_flex(
-                    t, year, week, sp_df, player_slots=cfg.engine.player_slots)
-                for t in (ta, tb)))
+        sr = None
         try:
-            sr = SlateRunner(ctxs, heads, cfg, quality=table_quality,
-                             game_shard=True)
-            return sr.run_summaries(n_pairs, seed=seed,
-                                    chunk_pairs=chunk_pairs,
-                                    return_summaries=return_summaries)
+            sr = _game_shard_runner(
+                tuple(tuple(g) for g in games), year, week, sp_df, heads,
+                cfg, table_quality)
         except ValueError:
             if layout == "game_shard":
                 raise     # explicitly requested: surface the reason
             # auto: non-fusible matchups (player-dependent heads etc.)
             # fall back to the per-matchup loop below
+        if sr is not None:
+            # runtime errors inside the run must SURFACE, not silently
+            # re-simulate the slate through the loop
+            return sr.run_summaries(n_pairs, seed=seed,
+                                    chunk_pairs=chunk_pairs,
+                                    return_summaries=return_summaries)
     if shard:
         chunk_pairs *= jax.device_count()
     root = jax.random.PRNGKey(seed)

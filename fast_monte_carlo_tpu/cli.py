@@ -879,7 +879,8 @@ def main(argv=None) -> int:
                     help="per-request slate size ceiling")
     pv.add_argument("--deadline", type=float, default=None,
                     help="per-request admission deadline (seconds): shed "
-                         "requests with 503 when queue wait exceeds it")
+                         "requests with 503 when queue wait exceeds it "
+                         "(omit or <=0: never shed)")
     pv.set_defaults(fn=_cmd_serve)
 
     args = p.parse_args(argv)

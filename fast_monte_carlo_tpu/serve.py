@@ -92,7 +92,8 @@ class ServeConfig:
     # per-request admission deadline: a request that spends longer than
     # this QUEUED behind the device lock is shed with 503 before any
     # device work launches (a launched program can't be aborted, so the
-    # guard bounds queue wait, not the running sim).  None = never shed.
+    # guard bounds queue wait, not the running sim).  None or <=0 =
+    # never shed.
     deadline_s: Optional[float] = None
 
 
@@ -109,15 +110,21 @@ class SimService:
         self._t0 = time.time()
         self._requests = 0
         # per-endpoint completed-request latency rings (seconds, includes
-        # queue wait); /health reports p50/p95 off them
+        # queue wait); /health reports p50/p95 off them.  A dedicated
+        # small lock guards ring append vs /health iteration — /health
+        # must never 500 with 'deque mutated during iteration' under the
+        # very load it exists to observe
         self._latency = collections.defaultdict(
             lambda: collections.deque(maxlen=512))
+        self._lat_lock = threading.Lock()
 
     @contextmanager
     def _admit(self, endpoint: str, t0: float):
         """Device-lock admission with the deadline guard; records the
         endpoint's end-to-end latency on success."""
         dl = self.cfg.deadline_s
+        if dl is not None and dl <= 0:
+            dl = None   # 0/negative means 'no deadline', not 'shed all'
         if dl is None:
             acquired = self._lock.acquire()
         else:
@@ -131,7 +138,8 @@ class SimService:
             yield
         finally:
             self._lock.release()
-        self._latency[endpoint].append(time.perf_counter() - t0)
+        with self._lat_lock:
+            self._latency[endpoint].append(time.perf_counter() - t0)
 
     # -- warmup ---------------------------------------------------------
     def warm(self, games=None, n_pairs: int = 256) -> dict:
@@ -157,8 +165,10 @@ class SimService:
         from .models.heads import _HEADS_MEMO
         from .ops.table_lookup import _DEVICE_TABLE_CACHE
 
+        with self._lat_lock:
+            rings = {ep: list(ring) for ep, ring in self._latency.items()}
         lat = {}
-        for ep, ring in self._latency.items():
+        for ep, ring in rings.items():
             if not ring:
                 continue
             a = np.sort(np.asarray(ring))

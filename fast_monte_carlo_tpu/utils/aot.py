@@ -39,14 +39,28 @@ from typing import Any, Callable, Optional
 __all__ = ["aot_compile_cached", "aot_fingerprint"]
 
 
-def aot_fingerprint(key: str, args: tuple) -> str:
-    """Stable id for (program, jax/backend/device, input signature)."""
+def aot_fingerprint(key: str, args: tuple,
+                    static_argnums: tuple = ()) -> str:
+    """Stable id for (program, jax/backend/device, input signature).
+
+    Static args are fingerprinted by VALUE (the executable is specialized
+    on them — two calls differing only in a static int must not share a
+    snapshot); traced args by shape/dtype.  Non-arraylike traced leaves
+    fall back to repr."""
     import jax
     import jax.numpy as jnp
 
+    def leaf_sig(x):
+        try:
+            return (tuple(jnp.shape(x)), str(jnp.result_type(x)))
+        except Exception:
+            return ("repr", repr(x))
+
     dev = jax.devices()[0]
-    sig = jax.tree_util.tree_map(
-        lambda x: (tuple(jnp.shape(x)), str(jnp.result_type(x))), args)
+    sig = tuple(
+        ("static", repr(a)) if i in static_argnums
+        else jax.tree_util.tree_map(leaf_sig, a)
+        for i, a in enumerate(args))
     raw = repr((key, jax.__version__, dev.platform,
                 getattr(dev, "device_kind", ""), sig))
     return hashlib.sha256(raw.encode()).hexdigest()[:16]
@@ -74,7 +88,8 @@ def aot_compile_cached(
         deserialize_and_load, serialize,
     )
 
-    path = Path(cache_dir) / f"{key}_{aot_fingerprint(key, example_args)}.aotx"
+    fp = aot_fingerprint(key, example_args, static_argnums)
+    path = Path(cache_dir) / f"{key}_{fp}.aotx"
     if path.exists():
         try:
             with open(path, "rb") as fh:

@@ -81,3 +81,9 @@ def test_aot_fingerprint_keys_on_signature():
     assert aot_fingerprint("a", x) != aot_fingerprint("b", x)
     y = jnp.ones((8, 8)), jnp.zeros((5,), jnp.int32)
     assert aot_fingerprint("a", x) != aot_fingerprint("a", y)
+    # static args key by VALUE: a chunk-size change must miss the snapshot
+    z24 = (jnp.ones((8, 8)), 24)
+    z48 = (jnp.ones((8, 8)), 48)
+    assert aot_fingerprint("a", z24, (1,)) != aot_fingerprint("a", z48, (1,))
+    # and non-arraylike statics don't crash the fingerprint
+    assert aot_fingerprint("a", (jnp.ones((4,)), "mode"), (1,))

@@ -208,3 +208,19 @@ def test_slate_layout_auto_by_mesh(reference_dir, monkeypatch):
     assert picked == ["game_shard"]
     with pytest.raises(ValueError, match="layout must be"):
         api.simulate_slate_summaries(games, layout="nope", **kw)
+    # explicit game_shard REJECTS knobs it cannot honor instead of
+    # silently dropping them (focus rosters don't fuse; scan is
+    # table-mode only)
+    with pytest.raises(ValueError, match="cannot honor focus_csv"):
+        api.simulate_slate_summaries(games, layout="game_shard",
+                                     focus_csv="roster.csv", **kw)
+    with pytest.raises(ValueError, match="table-mode only"):
+        api.simulate_slate_summaries(games, layout="game_shard",
+                                     mode="analytic", **kw)
+    # warm repeat reuses the memoized game-sharded runner (no rebuild)
+    import fast_monte_carlo_tpu.api as api_mod
+    n_memo = len(api_mod._GAME_SHARD_MEMO)
+    picked.clear()
+    api.simulate_slate_summaries(games, layout="game_shard", **kw)
+    assert picked == ["game_shard"]
+    assert len(api_mod._GAME_SHARD_MEMO) == n_memo
