@@ -42,7 +42,10 @@ from fast_monte_carlo_tpu.edge import ev_per_100_at_minus110, prob_to_american
 from fast_monte_carlo_tpu.models.heads import load_heads
 
 N_MATCHUPS = int(sys.argv[1]) if len(sys.argv) > 1 else 60
-OUT_MD = sys.argv[2] if len(sys.argv) > 2 else "benchmarks/BASELINE_RUNS.md"
+# default to a scratch name: BASELINE_RUNS.md is the curated longitudinal
+# record (hand-edited narrative per round) — a default run must not
+# clobber it (it did once in round 4; restored from git)
+OUT_MD = sys.argv[2] if len(sys.argv) > 2 else "benchmarks/BASELINE_RUNS_latest.md"
 MARGIN_OFF, NBINS = 100, 200   # margin support [-100, 100)
 TOTAL_BINS = 160
 B3_PAIRS = int(os.environ.get("B3_PAIRS", 50_000))
