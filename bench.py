@@ -197,6 +197,17 @@ def main() -> int:
         # sees 65,536 games per launch (mirrors simulate_slate_summaries)
         chunk_pairs *= ndev
     chunk_pairs = min(chunk_pairs, n_pairs)
+    if args.shard and not args.summary:
+        # raw-scores mode feeds chunks straight to run_pairs, which
+        # REFUSES launches not divisible by the mesh — round n up to
+        # whole chunks (the summary path already does) so an odd -n
+        # can't crash after minutes of compile with no JSON emitted
+        rounded = -(-n_pairs // chunk_pairs) * chunk_pairs
+        if rounded != n_pairs:
+            print(f"# --shard raw-scores: n rounded {2*n_pairs:,} -> "
+                  f"{2*rounded:,} games (whole sharded launches)",
+                  file=sys.stderr)
+            n_pairs = rounded
 
     if args.summary:
         def run_workload(seed0, pairs):
@@ -312,6 +323,9 @@ def main() -> int:
     # compile happens on the first chunk-sized launch; measure a QUICK
     # shape right after so a valid number exists within ~1 s of compile
     quick_pairs = min(n_pairs, max(chunk_pairs, 524288))
+    if args.shard and not args.summary:
+        # keep the quick shape on whole sharded launches too
+        quick_pairs = min(n_pairs, -(-quick_pairs // chunk_pairs) * chunk_pairs)
     t0 = time.perf_counter()
     outs = run_workload(args.seed, quick_pairs)
     state["compile_s"] = time.perf_counter() - t0

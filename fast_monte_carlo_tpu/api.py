@@ -970,25 +970,42 @@ _CHUNK_KEY_SCHEME = "fold_in-v2"
 # matchup per call (pack assembly + table-cache key hashing) — serial in
 # single-matchup serving requests.  FIFO-capped like the device-table
 # cache.
+def _fifo_memo(memo: Dict, cap: int, key, build):
+    """Shared FIFO memo used by the runner caches below.  id()-based keys
+    are safe ONLY because the cached value pins the keyed objects alive
+    (the runner holds its contexts/heads), so an id can't be reused while
+    its entry lives — keep that invariant if you touch eviction."""
+    v = memo.get(key)
+    if v is None:
+        v = build()
+        while len(memo) >= cap:
+            memo.pop(next(iter(memo)))
+        memo[key] = v
+    return v
+
+
 _RUNNER_MEMO: Dict[tuple, "MatchupRunner"] = {}
 _RUNNER_MEMO_MAX = 128
 
 
 def _runner_for(a: TeamContext, b: TeamContext, heads, cfg: SimConfig,
                 mode: str, table_quality: str, shard: bool) -> "MatchupRunner":
-    key = (id(a), id(b), id(heads), cfg, mode, table_quality, shard)
-    r = _RUNNER_MEMO.get(key)
-    if r is None:
-        r = MatchupRunner(a, b, heads, cfg, mode=mode,
-                          table_quality=table_quality, shard=shard)
-        while len(_RUNNER_MEMO) >= _RUNNER_MEMO_MAX:
-            _RUNNER_MEMO.pop(next(iter(_RUNNER_MEMO)))
-        _RUNNER_MEMO[key] = r
-    return r
+    return _fifo_memo(
+        _RUNNER_MEMO, _RUNNER_MEMO_MAX,
+        (id(a), id(b), id(heads), cfg, mode, table_quality, shard),
+        lambda: MatchupRunner(a, b, heads, cfg, mode=mode,
+                              table_quality=table_quality, shard=shard))
 
 
 _GAME_SHARD_MEMO: Dict = {}
 _GAME_SHARD_MEMO_MAX = 4
+_GAME_SHARD_FAILED: set = set()   # keys whose SlateRunner build raised
+
+# the quality presets SlateRunner actually supports: anything else maps
+# to a coarse FUSED table inside __post_init__ — a different quantization
+# ladder than the loop's per-head tables, so routing must not send other
+# presets here silently (cli --batched clamps to the same set)
+GAME_SHARD_QUALITIES = ("nano", "turbo", "fused")
 
 
 def _game_shard_runner(games, year, week, sp_df, heads, cfg, quality):
@@ -998,7 +1015,9 @@ def _game_shard_runner(games, year, week, sp_df, heads, cfg, quality):
     30-120s warm-call host-overhead class the round-3 memos eliminated).
     Context identity carries the content fingerprint: the team-context
     builder is itself memoized, so same inputs -> same cached instances
-    -> same ids."""
+    -> same ids.  Returns None for a slate that already FAILED to build
+    (non-fusible) so the auto path skips straight to the loop instead of
+    paying the throwaway table builds again."""
     ctxs = []
     for ta, tb in games:
         ctxs.append(tuple(
@@ -1006,13 +1025,16 @@ def _game_shard_runner(games, year, week, sp_df, heads, cfg, quality):
                 t, year, week, sp_df, player_slots=cfg.engine.player_slots)
             for t in (ta, tb)))
     key = (tuple((id(a), id(b)) for a, b in ctxs), id(heads), cfg, quality)
-    sr = _GAME_SHARD_MEMO.get(key)
-    if sr is None:
-        sr = SlateRunner(ctxs, heads, cfg, quality=quality, game_shard=True)
-        while len(_GAME_SHARD_MEMO) >= _GAME_SHARD_MEMO_MAX:
-            _GAME_SHARD_MEMO.pop(next(iter(_GAME_SHARD_MEMO)))
-        _GAME_SHARD_MEMO[key] = sr
-    return sr
+    if key in _GAME_SHARD_FAILED:
+        return None
+    try:
+        return _fifo_memo(
+            _GAME_SHARD_MEMO, _GAME_SHARD_MEMO_MAX, key,
+            lambda: SlateRunner(ctxs, heads, cfg, quality=quality,
+                                game_shard=True))
+    except ValueError:
+        _GAME_SHARD_FAILED.add(key)
+        raise
 
 
 @lru_cache(maxsize=8)
@@ -1220,8 +1242,11 @@ def simulate_slate_summaries(
     sp_df = load_sp_flex(sp_path)
     if layout == "game_shard":
         # an explicit request must not silently drop incompatible knobs:
-        # focus rosters can't fuse into shared tables, and the scan only
-        # exists for table mode
+        # focus rosters can't fuse into shared tables, the scan only
+        # exists for table mode, shard=True means TRIAL sharding (a
+        # different layout), and SlateRunner maps unsupported quality
+        # presets to a coarse fused table (a different quantization
+        # ladder than the loop's per-head tables)
         if focus_csv is not None:
             raise ValueError("layout='game_shard' cannot honor focus_csv "
                              "(focus rosters are player-dependent and "
@@ -1229,9 +1254,18 @@ def simulate_slate_summaries(
         if mode != "table":
             raise ValueError(f"layout='game_shard' is table-mode only "
                              f"(got mode={mode!r}); use layout='loop'")
+        if shard:
+            raise ValueError("layout='game_shard' and shard=True (trial "
+                             "sharding) are different layouts — pick one")
+        if table_quality not in GAME_SHARD_QUALITIES:
+            raise ValueError(
+                f"layout='game_shard' supports table_quality in "
+                f"{GAME_SHARD_QUALITIES} (got {table_quality!r}); other "
+                f"presets would silently degrade to a coarse fused table")
     want_game_shard = layout == "game_shard" or (
         layout == "auto" and jax.device_count() > 1 and not shard
-        and len(games) > 1 and focus_csv is None and mode == "table")
+        and len(games) > 1 and focus_csv is None and mode == "table"
+        and table_quality in GAME_SHARD_QUALITIES)
     if want_game_shard:
         sr = None
         try:
@@ -1243,6 +1277,11 @@ def simulate_slate_summaries(
                 raise     # explicitly requested: surface the reason
             # auto: non-fusible matchups (player-dependent heads etc.)
             # fall back to the per-matchup loop below
+        if sr is None and layout == "game_shard":
+            # a previously-recorded build failure returns None; the
+            # explicit request must still fail loudly, not quietly loop
+            raise ValueError("layout='game_shard': this slate previously "
+                             "failed to build fusible tables")
         if sr is not None:
             # runtime errors inside the run must SURFACE, not silently
             # re-simulate the slate through the loop

@@ -15,13 +15,15 @@ once and boot every subsequent process with zero compiles:
     exe = aot_compile_cached(step_fn, example_args, key="sim_chunk")
     out = exe(*args)          # same contract as jax.jit(step_fn)(*args)
 
-Snapshots are keyed by (caller key, jax version, device platform/kind,
-abstract input signature); any mismatch — new jax, different chip, new
-shapes — quietly falls back to a fresh lower+compile and rewrites the
-snapshot.  Executables are hardware-specific by nature: treat the cache
-directory as a per-deployment artifact, not a portable one (XLA:CPU
-snapshots in particular embed host CPU features and may refuse to load
-elsewhere).
+Snapshots are keyed by (caller key, function bytecode, jax version,
+device topology — count + kinds, abstract input signature, static-arg
+values); any mismatch — a code edit, new jax, different chip or mesh
+width, new shapes — quietly falls back to a fresh lower+compile and
+rewrites the snapshot.  Closure-captured values are NOT hashed: version
+the `key` string when semantics change outside the function body.
+Executables are hardware-specific by nature: treat the cache directory
+as a per-deployment artifact, not a portable one (XLA:CPU snapshots in
+particular embed host CPU features and may refuse to load elsewhere).
 
 This is deliberately NOT wired into the library's jit-cache hot paths:
 those are protected by golden/parity tests and the persistent cache
@@ -40,13 +42,25 @@ __all__ = ["aot_compile_cached", "aot_fingerprint"]
 
 
 def aot_fingerprint(key: str, args: tuple,
-                    static_argnums: tuple = ()) -> str:
-    """Stable id for (program, jax/backend/device, input signature).
+                    static_argnums: tuple = (),
+                    fn: Optional[Callable] = None) -> str:
+    """Stable id for (program, jax/backend/topology, input signature).
 
     Static args are fingerprinted by VALUE (the executable is specialized
     on them — two calls differing only in a static int must not share a
-    snapshot); traced args by shape/dtype.  Non-arraylike traced leaves
-    fall back to repr."""
+    snapshot); traced args by shape/dtype; non-arraylike traced leaves by
+    repr.  The fingerprint also hashes:
+
+    * the FUNCTION's bytecode (co_code/consts/names recursively) when
+      `fn` is given — a code change must not serve the pre-change
+      executable.  Closure-captured VALUES and functions the kernel calls
+      are not visible to this hash; version the `key` string when
+      semantics change outside the function body.
+    * the device topology (count + per-device kinds), not just device 0 —
+      a snapshot from an 8-device mesh deserializes FINE in a 1-device
+      process and then refuses every call (tests/test_aot.py), which
+      would bypass the load-failure recompile fallback.
+    """
     import jax
     import jax.numpy as jnp
 
@@ -56,13 +70,27 @@ def aot_fingerprint(key: str, args: tuple,
         except Exception:
             return ("repr", repr(x))
 
-    dev = jax.devices()[0]
+    def code_sig(code):
+        consts = tuple(
+            code_sig(c) if hasattr(c, "co_code") else repr(c)
+            for c in code.co_consts)
+        return (code.co_code, consts, code.co_names, code.co_varnames)
+
+    fn_sig = ""
+    if fn is not None:
+        inner = getattr(fn, "__wrapped__", fn)
+        code = getattr(inner, "__code__", None)
+        fn_sig = (repr(code_sig(code)) if code is not None
+                  else repr(inner))
+
+    devs = jax.devices()
+    topo = (len(devs), tuple(getattr(d, "device_kind", d.platform)
+                             for d in devs))
     sig = tuple(
         ("static", repr(a)) if i in static_argnums
         else jax.tree_util.tree_map(leaf_sig, a)
         for i, a in enumerate(args))
-    raw = repr((key, jax.__version__, dev.platform,
-                getattr(dev, "device_kind", ""), sig))
+    raw = repr((key, jax.__version__, devs[0].platform, topo, fn_sig, sig))
     return hashlib.sha256(raw.encode()).hexdigest()[:16]
 
 
@@ -88,7 +116,7 @@ def aot_compile_cached(
         deserialize_and_load, serialize,
     )
 
-    fp = aot_fingerprint(key, example_args, static_argnums)
+    fp = aot_fingerprint(key, example_args, static_argnums, fn=fn)
     path = Path(cache_dir) / f"{key}_{fp}.aotx"
     if path.exists():
         try:

@@ -217,6 +217,18 @@ def test_slate_layout_auto_by_mesh(reference_dir, monkeypatch):
     with pytest.raises(ValueError, match="table-mode only"):
         api.simulate_slate_summaries(games, layout="game_shard",
                                      mode="analytic", **kw)
+    with pytest.raises(ValueError, match="different layouts"):
+        api.simulate_slate_summaries(games, layout="game_shard",
+                                     shard=True, **kw)
+    kw_coarse = {**kw, "table_quality": "coarse"}
+    with pytest.raises(ValueError, match="supports table_quality"):
+        api.simulate_slate_summaries(games, layout="game_shard",
+                                     **kw_coarse)
+    # auto with an unsupported quality keeps the loop (no silent
+    # quantization-ladder change), even on the 8-device mesh
+    picked.clear()
+    api.simulate_slate_summaries(games, **kw_coarse)
+    assert picked and all(p == "loop" for p in picked)
     # warm repeat reuses the memoized game-sharded runner (no rebuild)
     import fast_monte_carlo_tpu.api as api_mod
     n_memo = len(api_mod._GAME_SHARD_MEMO)
