@@ -90,7 +90,7 @@ if wip.exists():
         m._caches = ck["caches"]
     print(f"resumed at {len(scores)} games", flush=True)
 
-MILESTONES = (16000, 32000, 65536, 131072)
+MILESTONES = (16000, 32000, 65536, 131072, 196608, 262144, 327680)
 
 
 def write_npz(n: int) -> None:
