@@ -201,7 +201,14 @@ def main() -> int:
         # raw-scores mode feeds chunks straight to run_pairs, which
         # REFUSES launches not divisible by the mesh — round n up to
         # whole chunks (the summary path already does) so an odd -n
-        # can't crash after minutes of compile with no JSON emitted
+        # can't crash after minutes of compile with no JSON emitted.
+        # The clamp above can also make chunk_pairs itself non-mesh-
+        # divisible (any -n <= one sharded launch): round chunk_pairs up
+        # so 2*chunk_pairs stays divisible by ndev (ADVICE r4)
+        import math
+        div = ndev // math.gcd(2, ndev)
+        if chunk_pairs % div:
+            chunk_pairs = -(-chunk_pairs // div) * div
         rounded = -(-n_pairs // chunk_pairs) * chunk_pairs
         if rounded != n_pairs:
             print(f"# --shard raw-scores: n rounded {2*n_pairs:,} -> "
@@ -260,7 +267,7 @@ def main() -> int:
             if state["best"] is None:
                 return "nothing"
             state["emitted"] = True
-            gps, pairs = state["best"]
+            gps, pairs, eff_chunk_pairs = state["best"]
             print(json.dumps({
                 "metric": f"full_game_sims_per_sec_single_chip_{args.mode}"
                           + ("_summary" if args.summary else "")
@@ -269,7 +276,10 @@ def main() -> int:
                 "unit": "games/sec",
                 "vs_baseline": round(gps / BASELINE_GAMES_PER_SEC, 1),
                 "meta": {
-                    "n_games": 2 * pairs, "chunk_games": 2 * chunk_pairs,
+                    # chunk of the best run (a quick-shape best can run
+                    # fewer pairs than the configured chunk — ADVICE r4)
+                    "n_games": 2 * pairs, "chunk_games": 2 * eff_chunk_pairs,
+                    "chunk_games_configured": 2 * chunk_pairs,
                     "rng": args.rng, "mode": args.mode,
                     "workload": "summary" if args.summary else "raw_scores",
                     "stats": stats, "quality": args.quality,
@@ -315,7 +325,7 @@ def main() -> int:
         with lock:
             state["runs"].append(gps)
             if state["best"] is None or gps > state["best"][0]:
-                state["best"] = (gps, pairs)
+                state["best"] = (gps, pairs, min(chunk_pairs, pairs))
         print(f"# run n={2*pairs:,}: {dt:.3f}s -> {gps:,.0f} games/s",
               file=sys.stderr)
         return res, dt
@@ -336,7 +346,8 @@ def main() -> int:
     # run, the watchdog emits THIS rather than dying with 'no measurement'
     # (real timed runs replace it via the max() in timed())
     with lock:
-        state["best"] = (2 * quick_pairs / state["compile_s"], quick_pairs)
+        state["best"] = (2 * quick_pairs / state["compile_s"], quick_pairs,
+                         min(chunk_pairs, quick_pairs))
     outs, quick_dt = timed(args.seed + 500, quick_pairs)
 
     # refine at the full steady-state shape while the budget allows

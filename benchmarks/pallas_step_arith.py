@@ -1,0 +1,336 @@
+"""Pallas whole-chunk play-step ARITHMETIC kernel — the round-5 measurement.
+
+VERDICT r4 #1: the one unmeasured single-chip lever is the play step's
+arithmetic share (~0.3 ms of the ~0.63 ms step at B=131k —
+benchmarks/step_breakdown.py), bounded at <=2x by the chain40 VPU probe.
+This benchmark measures XLA vs Pallas on exactly that share: the analytic
+heads + state machine + RNG, score-only (the bench workload), using the same
+representative step step_breakdown.py decomposed the budget with.
+
+Four structures, all computing the SAME math (`rep_arith`):
+
+  xla-threefry   lax.scan, inline jax.random threefry draws (library default)
+  xla-rbg        lax.scan, inline RngBitGenerator draws (bench default)
+  pallas-step    one pallas_call per scan step; hardware PRNG in-kernel
+                 (the only structure a production TABLE-mode hybrid could
+                 use: the nano gather is state-dependent every step and must
+                 stay in XLA — PALLAS_NOTE round-4 — so a kernel can at most
+                 wrap one step's post-gather arithmetic)
+  pallas-chunk   ONE pallas_call per 24-step chunk, jax.lax.fori_loop inside,
+                 state VMEM/register-resident across the whole chunk, per-step
+                 hardware PRNG reseed (VERDICT r4 #1's prescribed structure;
+                 the best case for Pallas — zero per-step kernel boundary).
+                 Structurally only available to gather-free (analytic-mode)
+                 programs, so it BOUNDS any Pallas arithmetic structure.
+
+Decision rule (VERDICT r4 #1): production hybrid is live only if pallas-step
+beats the matching XLA scan; the lever list is closed (written negative) if
+even pallas-chunk cannot beat XLA on pure arithmetic.
+
+Usage: python benchmarks/pallas_step_arith.py [B] [STEPS]   (TPU only)
+"""
+from __future__ import annotations
+
+import math
+import sys
+import time
+from functools import partial
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+
+jax.config.update("jax_compilation_cache_dir",
+                  str(Path(__file__).resolve().parents[1] / ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
+from fast_monte_carlo_tpu.config import SimConfig
+from fast_monte_carlo_tpu.models import analytic
+
+B = int(sys.argv[1]) if len(sys.argv) > 1 else 131072
+STEPS = int(sys.argv[2]) if len(sys.argv) > 2 else 360
+CH = 24                      # production play_chunk
+BLK = 2048                   # games per kernel grid step
+NROWS = 24                   # random-bit rows: 13 uniforms + 4 BM pairs, padded
+                             # to a whole number of 8-sublane vregs
+F32, I32 = jnp.float32, jnp.int32
+cfg = SimConfig()
+_TWO_PI = 2.0 * math.pi
+
+STATE_DTYPES = (I32, I32, I32, F32, F32, I32, I32, I32, I32)
+# (off, sec, down, dist, ytg, period, in_rz, score_a, score_b)
+
+
+def rep_arith(state, u, n):
+    """One play step's arithmetic: analytic heads + state machine,
+    score-only.  `u` = 13 uniform vectors, `n` = 4 normal vectors.  Pure
+    jnp over same-shaped vectors — runs identically under XLA and inside a
+    Pallas kernel.  Mirrors benchmarks/step_breakdown.py's FULL step minus
+    stats/players/feature-stack (the shares the bench workload never pays)."""
+    off, sec, down, dist, ytg, period, in_rz_i, sa, sb = state
+    active = sec > 0
+    in_rz = in_rz_i != 0
+    is_a = off == 0
+    sd = (sa - sb).astype(F32) * jnp.where(is_a, 1.0, -1.0)
+
+    # per-direction constants as 2-way selects (the nano take_dir chain)
+    off_o = jnp.where(is_a, 35.7, 31.5).astype(F32)
+    def_d = jnp.where(is_a, 20.6, 20.0).astype(F32)
+    ymult = jnp.where(is_a, 1.01, 0.99).astype(F32)
+    mz = jnp.where(is_a, 0.11, -0.11).astype(F32)
+    bias = jnp.where(is_a, 0.013, -0.013).astype(F32)
+
+    # analytic heads (the arithmetic stand-in for the table channel math)
+    p_c = jnp.clip(0.68 - 0.022 * jnp.maximum(0.0, dist - 3.0) + bias,
+                   0.02, 0.98)
+    inc, itc, sck = analytic.stage2_fallback_probs(down.astype(F32), dist, cfg, jnp)
+    inc, itc, sck = analytic.stage2_nudge(inc, itc, sck, cfg, jnp)
+    s2c1, s2c2 = inc, inc + sck
+    pass_mu = 4.5 + 0.45 * dist
+    p_pass = analytic.pass_prob_v1(down, dist, ytg, sec, sd, cfg, jnp)
+    p_go = jnp.minimum(1.0, analytic.go_for_it_prob(
+        ytg, dist, sd, sec, cfg, jnp) * cfg.fourth.go_multiplier)
+    p_fg = analytic.field_goal_prob(ytg + 17.0, cfg, jnp)
+    ep = analytic.explosive_prob(ytg, off_o, def_d, cfg, jnp)
+    rzp = analytic.rz_finish_prob_pass(ytg, down, off_o, def_d, cfg, jnp)
+    rzr = analytic.rz_finish_prob_run(ytg, down, off_o, def_d, cfg, jnp)
+
+    # state machine (step_breakdown machine block, score-only)
+    is4 = down == 4
+    go = active & is4 & (u[0] < p_go)
+    st_play = active & is4 & ~go
+    fg_att = st_play & (ytg <= 38.0)
+    punt = st_play & ~fg_att
+    scrim = active & ~st_play
+    fg_good = fg_att & (u[1] < p_fg)
+    fg_miss = fg_att & ~fg_good
+    gross = jnp.maximum(30.0, 43.0 + 6.0 * n[0])
+    pret = jnp.maximum(0.0, 6.0 + 3.0 * n[1])
+    net = gross - pret
+    tb_p = jnp.clip((60.0 - ytg) / 60.0, 0.10, 0.55)
+    tb = (ytg <= 60.0) & (u[2] < tb_p)
+    net = jnp.where(tb, ytg - 25.0, net)
+    net = jnp.floor(jnp.clip(net, 15.0, ytg - 1.0))   # positive: floor==trunc
+    punt_spot = jnp.clip(100.0 - (ytg - net), 1.0, 99.0)
+    trip1 = scrim & ~in_rz & (ytg <= 20)
+    is_pass = scrim & (u[3] < p_pass)
+    is_run = scrim & ~is_pass
+    complete = is_pass & (u[7] < p_c)
+    notc = is_pass & ~complete
+    o_inc = notc & (u[11] < s2c1)
+    o_sck = notc & ~o_inc & (u[11] < s2c2)
+    o_int = notc & ~o_inc & ~o_sck
+    py = jnp.clip(pass_mu + 7.0 * n[2], 0.0, ytg) * ymult
+    expg = (ytg > 25.0) & (u[8] < 0.6 * ep)
+    boost = 0.35 + u[9] * 0.6
+    py = jnp.where(expg, jnp.minimum(py * (1 + boost * (1 + 0.5 * mz)), ytg), py)
+    rz_p = (ytg <= 12.0) & (down <= 3) & (u[10] < rzp)
+    py = jnp.where(rz_p, ytg, py)
+    pass_td = complete & (py + 1e-9 >= ytg)
+    pass_gain = complete & ~pass_td
+    sy = jnp.clip(-6.0 + 2.2 * n[2], -20.0, 0.0)
+    loss = jnp.minimum(jnp.maximum(0.0, -sy), ytg)
+    ret = jnp.clip(6.0 + 5.0 * n[3], 0.0, ytg)
+    int_spot = 100.0 - (ytg - ret)
+    ry = jnp.clip(4.2 + 4.0 * n[2], -4.0, ytg) * ymult
+    expr = (ytg > 25.0) & (u[8] < 0.5 * ep)
+    ry = jnp.where(expr, jnp.minimum(ry * (1 + boost), ytg), ry)
+    rz_r = (ytg <= 9.0) & (down <= 3) & (u[10] < rzr)
+    ry = jnp.where(rz_r, ytg, ry)
+    run_td = is_run & (ry + 1e-9 >= ytg)
+    run_gain = is_run & ~run_td
+    adv = pass_gain | run_gain
+    gained = jnp.where(pass_gain, py, 0.0) + jnp.where(run_gain, ry, 0.0)
+    ytg_a = jnp.where(adv, jnp.maximum(0.0, ytg - gained), ytg)
+    first = adv & (gained + 1e-6 >= dist)
+    down_a = jnp.where(adv, jnp.where(first, 1, down + 1), down)
+    dist_a = jnp.where(adv, jnp.where(first, 10.0, dist - gained), dist)
+    downs_to = adv & ~first & (down_a > 4)
+    ytg_a = jnp.where(o_sck, ytg + loss, ytg_a)
+    dist_a = jnp.where(o_sck, dist + loss, dist_a)
+    down_a = jnp.where(o_sck | o_inc, down + 1, down_a)
+    flip_a = downs_to | o_int
+    spot_a = jnp.where(o_int, int_spot, 100.0 - ytg_a)
+    off_a = jnp.where(flip_a, 1 - off, off)
+    ytg_a = jnp.where(flip_a, spot_a, ytg_a)
+    down_a = jnp.where(flip_a, 1, down_a)
+    dist_a = jnp.where(flip_a, 10.0, dist_a)
+    in_rz_a = jnp.where(flip_a, False, in_rz | trip1)
+    t = (fg_att.astype(I32) * 6 + punt.astype(I32) * 6
+         + pass_td.astype(I32) * 20 + pass_gain.astype(I32) * 26
+         + o_inc.astype(I32) * 10 + o_sck.astype(I32) * 24
+         + o_int.astype(I32) * 12
+         + (run_td | run_gain).astype(I32) * 28)
+    sec_b = jnp.maximum(0, sec - t)
+    period_b = jnp.where(sec_b > 0, 4 - ((sec_b - 1) // 900), 4).astype(I32)
+    halftime = active & (period_b != period) & (period_b == 3)
+    off_b = jnp.where(halftime, 1 - off_a, off_a)
+    ytg_b = jnp.where(halftime, 75.0, ytg_a)
+    down_b = jnp.where(halftime, 1, down_a)
+    dist_b = jnp.where(halftime, 10.0, dist_a)
+    in_rz_b = jnp.where(halftime, False, in_rz_a)
+    flip_c = fg_good | fg_miss | punt | pass_td | run_td
+    spot_c = jnp.where(fg_miss, 100.0 - ytg,
+                       jnp.where(punt, punt_spot, 75.0))
+    off_c = jnp.where(flip_c, 1 - off_b, off_b)
+    ytg_c = jnp.where(flip_c, spot_c, ytg_b)
+    down_c = jnp.where(flip_c, 1, down_b)
+    dist_c = jnp.where(flip_c, 10.0, dist_b)
+    in_rz_c = jnp.where(flip_c, False, in_rz_b)
+    td = pass_td | run_td
+    pts = td.astype(I32) * 7 + fg_good.astype(I32) * 3
+    sa_f = sa + jnp.where(is_a, pts, 0)
+    sb_f = sb + jnp.where(is_a, 0, pts)
+    return (off_c.astype(I32), sec_b.astype(I32), down_c.astype(I32),
+            dist_c.astype(F32), ytg_c.astype(F32), period_b,
+            in_rz_c.astype(I32), sa_f.astype(I32), sb_f.astype(I32))
+
+
+def init_state(b):
+    return (jnp.arange(b, dtype=I32) % 2, jnp.full((b,), 3600, I32),
+            jnp.ones((b,), I32), jnp.full((b,), 10.0, F32),
+            jnp.full((b,), 75.0, F32), jnp.ones((b,), I32),
+            jnp.zeros((b,), I32), jnp.zeros((b,), I32), jnp.zeros((b,), I32))
+
+
+# ---- XLA scan baselines ----------------------------------------------------
+
+def make_xla(impl):
+    def step(s, key):
+        ku, kn = jax.random.split(key)
+        u = jax.random.uniform(ku, (B, 13))
+        nn = jax.random.normal(kn, (B, 4))
+        return rep_arith(s, [u[:, i] for i in range(13)],
+                         [nn[:, i] for i in range(4)]), None
+
+    def run(key):
+        if impl == "rbg":
+            raw = jax.random.key_data(key).reshape(-1)
+            raw = jnp.tile(raw, 2)[:4].astype(jnp.uint32)
+            key = jax.random.wrap_key_data(raw, impl="rbg")
+        keys = jax.random.split(key, STEPS)
+        out, _ = jax.lax.scan(step, init_state(B), keys,
+                              unroll=cfg.engine.scan_unroll)
+        return out[7], out[8]
+
+    return run
+
+
+# ---- Pallas kernels ----------------------------------------------------------
+
+def _draws(seed, step_idx, pid):
+    """13 uniforms + 4 Box-Muller normals as rows of hardware random bits,
+    seeded on (seed, absolute step, block) like ops/rng_pallas.py."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    pltpu.prng_seed(seed ^ (step_idx * jnp.int32(-1640531527))
+                    ^ (pid * jnp.int32(40503)))
+    bits = pltpu.prng_random_bits((NROWS, BLK))
+    u01 = (bits & jnp.int32(0x00FFFFFF)).astype(F32) * jnp.float32(1.0 / (1 << 24))
+    u = [u01[i] for i in range(13)]
+    eps = jnp.float32(1e-7)
+    a0 = jnp.maximum(u01[13], eps)
+    a1 = jnp.maximum(u01[15], eps)
+    r0 = jnp.sqrt(-2.0 * jnp.log(a0))
+    r1 = jnp.sqrt(-2.0 * jnp.log(a1))
+    t0 = jnp.float32(_TWO_PI) * u01[14]
+    t1 = jnp.float32(_TWO_PI) * u01[16]
+    n = [r0 * jnp.cos(t0), r0 * jnp.sin(t0), r1 * jnp.cos(t1), r1 * jnp.sin(t1)]
+    return u, n
+
+
+def _kernel_step(seed_ref, step_ref, *refs):
+    ins, outs = refs[:9], refs[9:]
+    u, n = _draws(seed_ref[0, 0], step_ref[0, 0], pl.program_id(0))
+    new = rep_arith(tuple(r[:] for r in ins), u, n)
+    for o, v in zip(outs, new):
+        o[:] = v
+
+
+def _kernel_chunk(seed_ref, base_ref, *refs):
+    ins, outs = refs[:9], refs[9:]
+    pid = pl.program_id(0)
+    seed, base = seed_ref[0, 0], base_ref[0, 0]
+
+    def body(j, carry):
+        u, n = _draws(seed, base + j, pid)
+        return rep_arith(carry, u, n)
+
+    final = jax.lax.fori_loop(0, CH, body, tuple(r[:] for r in ins))
+    for o, v in zip(outs, final):
+        o[:] = v
+
+
+def _pallas_call(kernel, seed, idx, state):
+    from jax.experimental.pallas import tpu as pltpu
+
+    spec = pl.BlockSpec((BLK,), lambda i: (i,))
+    smem = pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(B // BLK,),
+        in_specs=[smem, smem] + [spec] * 9,
+        out_specs=tuple([spec] * 9),
+        out_shape=tuple(jax.ShapeDtypeStruct((B,), d) for d in STATE_DTYPES),
+    )(seed.reshape(1, 1), idx.reshape(1, 1), *state)
+
+
+def make_pallas(chunked):
+    def run(key):
+        raw = jax.random.key_data(key).astype(jnp.uint32)
+        seed = (raw[0] ^ (raw[1] * jnp.uint32(2654435761))).astype(jnp.int32)
+        if chunked:
+            def step(s, ci):
+                return _pallas_call(_kernel_chunk, seed, ci * CH, s), None
+            out, _ = jax.lax.scan(step, init_state(B),
+                                  jnp.arange(STEPS // CH, dtype=I32))
+        else:
+            def step(s, j):
+                return _pallas_call(_kernel_step, seed, j, s), None
+            out, _ = jax.lax.scan(step, init_state(B),
+                                  jnp.arange(STEPS, dtype=I32))
+        return out[7], out[8]
+
+    return run
+
+
+def timed(name, fn):
+    g = jax.jit(fn)
+    key = jax.random.PRNGKey(0)
+    t0 = time.perf_counter()
+    sa, sb = g(key)
+    sa_h, sb_h = np.asarray(sa), np.asarray(sb)
+    compile_s = time.perf_counter() - t0
+    best = 1e9
+    for _ in range(3):
+        t0 = time.perf_counter()
+        sa, sb = g(key)
+        _ = np.asarray(sa[:8])
+        best = min(best, time.perf_counter() - t0)
+    gps = B / best
+    print(f"{name:16s} {best:7.3f}s  {best/STEPS*1e3:6.3f} ms/step  "
+          f"{gps:10,.0f} eq-games/s  [compile {compile_s:.0f}s]  "
+          f"mean {sa_h.mean():.2f}/{sb_h.mean():.2f} "
+          f"winA {(sa_h > sb_h).mean():.4f}", flush=True)
+    return best
+
+
+if __name__ == "__main__":
+    dev = jax.devices()[0]
+    print(f"device: {dev.platform} {getattr(dev, 'device_kind', '')} "
+          f"B={B} steps={STEPS}", flush=True)
+    if dev.platform != "tpu":
+        print("TPU-only measurement; refusing to run elsewhere")
+        raise SystemExit(2)
+    assert B % BLK == 0 and STEPS % CH == 0
+    results = {}
+    results["xla-threefry"] = timed("xla-threefry", make_xla("threefry"))
+    results["xla-rbg"] = timed("xla-rbg", make_xla("rbg"))
+    results["pallas-chunk"] = timed("pallas-chunk24", make_pallas(True))
+    results["pallas-step"] = timed("pallas-step", make_pallas(False))
+    base = results["xla-rbg"]
+    for k, v in results.items():
+        print(f"  {k:16s} {base/v:5.2f}x vs xla-rbg")

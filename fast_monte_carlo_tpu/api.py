@@ -999,7 +999,10 @@ def _runner_for(a: TeamContext, b: TeamContext, heads, cfg: SimConfig,
 
 _GAME_SHARD_MEMO: Dict = {}
 _GAME_SHARD_MEMO_MAX = 4
-_GAME_SHARD_FAILED: set = set()   # keys whose SlateRunner build raised
+# key -> original build-error message; FIFO-bounded like the memos so a
+# transient failure can't mark a slate failed forever (ADVICE r4)
+_GAME_SHARD_FAILED: Dict = {}
+_GAME_SHARD_FAILED_MAX = 16
 
 # the quality presets SlateRunner actually supports: anything else maps
 # to a coarse FUSED table inside __post_init__ — a different quantization
@@ -1008,7 +1011,8 @@ _GAME_SHARD_FAILED: set = set()   # keys whose SlateRunner build raised
 GAME_SHARD_QUALITIES = ("nano", "turbo", "fused")
 
 
-def _game_shard_runner(games, year, week, sp_df, heads, cfg, quality):
+def _game_shard_runner(games, year, week, sp_df, heads, cfg, quality,
+                       explicit=False):
     """Memoized game-sharded SlateRunner for the layout='auto'/'game_shard'
     path — without this every warm multi-device slate call would re-run
     build_direction/build_fused_table/pack/upload per request (the exact
@@ -1026,14 +1030,20 @@ def _game_shard_runner(games, year, week, sp_df, heads, cfg, quality):
             for t in (ta, tb)))
     key = (tuple((id(a), id(b)) for a, b in ctxs), id(heads), cfg, quality)
     if key in _GAME_SHARD_FAILED:
+        if explicit:
+            raise ValueError(
+                "layout='game_shard': this slate previously failed to "
+                f"build fusible tables: {_GAME_SHARD_FAILED[key]}")
         return None
     try:
         return _fifo_memo(
             _GAME_SHARD_MEMO, _GAME_SHARD_MEMO_MAX, key,
             lambda: SlateRunner(ctxs, heads, cfg, quality=quality,
                                 game_shard=True))
-    except ValueError:
-        _GAME_SHARD_FAILED.add(key)
+    except Exception as e:
+        while len(_GAME_SHARD_FAILED) >= _GAME_SHARD_FAILED_MAX:
+            _GAME_SHARD_FAILED.pop(next(iter(_GAME_SHARD_FAILED)))
+        _GAME_SHARD_FAILED[key] = f"{type(e).__name__}: {e}"
         raise
 
 
@@ -1271,17 +1281,15 @@ def simulate_slate_summaries(
         try:
             sr = _game_shard_runner(
                 tuple(tuple(g) for g in games), year, week, sp_df, heads,
-                cfg, table_quality)
-        except ValueError:
+                cfg, table_quality, explicit=layout == "game_shard")
+        except Exception:
+            # catch ALL build-failure types (KeyError/TypeError from
+            # pack/table assembly, not just ValueError — ADVICE r4): an
+            # unusual matchup must fall back to the loop, not fail the call
             if layout == "game_shard":
                 raise     # explicitly requested: surface the reason
             # auto: non-fusible matchups (player-dependent heads etc.)
             # fall back to the per-matchup loop below
-        if sr is None and layout == "game_shard":
-            # a previously-recorded build failure returns None; the
-            # explicit request must still fail loudly, not quietly loop
-            raise ValueError("layout='game_shard': this slate previously "
-                             "failed to build fusible tables")
         if sr is not None:
             # runtime errors inside the run must SURFACE, not silently
             # re-simulate the slate through the loop

@@ -1010,11 +1010,18 @@ def _rr_sizes(by, n_legs: int):
     def _as_size(k):
         # bools are int subclasses, and float sizes like 2.5 must not
         # silently truncate to 2 — both are caller errors
-        if isinstance(k, bool) or float(k) != int(k):
+        if isinstance(k, (bool, np.bool_)) or float(k) != int(k):
             raise ValueError(
                 f"round-robin ticket size must be an integer, got {k!r}")
         return int(k)
 
+    # strings iterate character-wise (by='23' would silently become sizes
+    # {2, 3}) and np.bool_ is neither int nor bool — reject both up front
+    # with the intended ValueError (ADVICE r4)
+    if isinstance(by, (str, bytes, np.bool_)):
+        raise ValueError(
+            f"round-robin size spec must be an int or an iterable of "
+            f"ints, got {by!r}")
     scalar = isinstance(by, (int, float, np.integer, np.floating))
     ks = sorted({_as_size(k) for k in ((by,) if scalar else by)})
     if not ks:

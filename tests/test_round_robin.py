@@ -120,6 +120,15 @@ def test_round_robin_validation(rr_out):
         round_robin(out, a, b, LEGS, by=[2.5])
     with pytest.raises(ValueError, match="must be an integer"):
         round_robin(out, a, b, LEGS, by=[2, True])
+    # strings iterate character-wise: by='23' must not become sizes {2, 3}
+    with pytest.raises(ValueError, match="size spec"):
+        round_robin(out, a, b, LEGS, by="23")
+    # np.bool_ is neither int nor bool: must be the intended ValueError,
+    # not a TypeError from the iterable branch
+    with pytest.raises(ValueError, match="size spec"):
+        round_robin(out, a, b, LEGS, by=np.bool_(True))
+    with pytest.raises(ValueError, match="must be an integer"):
+        round_robin(out, a, b, LEGS, by=[2, np.bool_(True)])
 
 
 def test_round_robin_blocks_exact(rr_out):

@@ -236,3 +236,30 @@ def test_slate_layout_auto_by_mesh(reference_dir, monkeypatch):
     api.simulate_slate_summaries(games, layout="game_shard", **kw)
     assert picked == ["game_shard"]
     assert len(api_mod._GAME_SHARD_MEMO) == n_memo
+
+
+def test_slate_game_shard_build_failure_fallback(reference_dir, monkeypatch):
+    """A SlateRunner build failure of ANY exception type falls back to the
+    per-matchup loop under layout='auto', records the original reason, and
+    an explicit layout='game_shard' re-request surfaces that reason
+    (ADVICE r4: non-ValueError escapes; reason-less 'previously failed')."""
+    import fast_monte_carlo_tpu.api as api
+
+    sp_path = str(reference_dir / "PregameSPPlus2025_1.csv")
+    games = [("Kansas State", "Iowa State"), ("Alabama", "Georgia")]
+    # 'turbo' keeps the memo/failure key distinct from the other tests'
+    # 'nano' runners built in this process
+    kw = dict(sp_path=sp_path, n_pairs=8, chunk_pairs=8, seed=1,
+              table_quality="turbo")
+    calls = []
+
+    def boom(self, *a, **k):
+        calls.append(1)
+        raise TypeError("synthetic build failure")
+
+    monkeypatch.setattr(api.SlateRunner, "__init__", boom)
+    df = api.simulate_slate_summaries(games, **kw)   # auto on 8 devices
+    assert len(df) == 2 and calls
+    with pytest.raises(ValueError, match="synthetic build failure"):
+        api.simulate_slate_summaries(games, layout="game_shard", **kw)
+    assert len(api._GAME_SHARD_FAILED) <= api._GAME_SHARD_FAILED_MAX
