@@ -53,9 +53,14 @@ from fast_monte_carlo_tpu.models import analytic
 B = int(sys.argv[1]) if len(sys.argv) > 1 else 131072
 STEPS = int(sys.argv[2]) if len(sys.argv) > 2 else 360
 CH = 24                      # production play_chunk
-BLK = 2048                   # games per kernel grid step
-NROWS = 24                   # random-bit rows: 13 uniforms + 4 BM pairs, padded
-                             # to a whole number of 8-sublane vregs
+# the kernel works on native 2D (sublane, lane) tiles: 1D (2048,) vectors hit
+# a Mosaic hard-stop ("Unsupported target bitwidth for truncation" on the
+# i8->i1 mask casts), so state lives as (B/128, 128) arrays with (16, 128)
+# blocks = 2048 games per grid step
+BROW = 16                    # block rows
+LANE = 128
+BLK = BROW * LANE            # games per kernel grid step
+NDRAW = 17                   # 13 uniforms + 4 Box-Muller input uniforms
 F32, I32 = jnp.float32, jnp.int32
 cfg = SimConfig()
 _TWO_PI = 2.0 * math.pi
@@ -64,7 +69,7 @@ STATE_DTYPES = (I32, I32, I32, F32, F32, I32, I32, I32, I32)
 # (off, sec, down, dist, ytg, period, in_rz, score_a, score_b)
 
 
-def rep_arith(state, u, n):
+def rep_arith(state, u, n, heads=None):
     """One play step's arithmetic: analytic heads + state machine,
     score-only.  `u` = 13 uniform vectors, `n` = 4 normal vectors.  Pure
     jnp over same-shaped vectors — runs identically under XLA and inside a
@@ -83,13 +88,19 @@ def rep_arith(state, u, n):
     mz = jnp.where(is_a, 0.11, -0.11).astype(F32)
     bias = jnp.where(is_a, 0.013, -0.013).astype(F32)
 
-    # analytic heads (the arithmetic stand-in for the table channel math)
-    p_c = jnp.clip(0.68 - 0.022 * jnp.maximum(0.0, dist - 3.0) + bias,
-                   0.02, 0.98)
+    # heads: analytic stand-ins, or table-selected vectors (production
+    # nano shape — `heads` = (p_c, pass_mu, pass_sg, rush_mu, rush_sg,
+    # sack_mu, sack_sg) from the gathered row's channel select)
+    if heads is None:
+        p_c = jnp.clip(0.68 - 0.022 * jnp.maximum(0.0, dist - 3.0) + bias,
+                       0.02, 0.98)
+        pass_mu = 4.5 + 0.45 * dist
+        pass_sg, rush_mu, rush_sg, sack_mu, sack_sg = 7.0, 4.2, 4.0, -6.0, 2.2
+    else:
+        p_c, pass_mu, pass_sg, rush_mu, rush_sg, sack_mu, sack_sg = heads
     inc, itc, sck = analytic.stage2_fallback_probs(down.astype(F32), dist, cfg, jnp)
     inc, itc, sck = analytic.stage2_nudge(inc, itc, sck, cfg, jnp)
     s2c1, s2c2 = inc, inc + sck
-    pass_mu = 4.5 + 0.45 * dist
     p_pass = analytic.pass_prob_v1(down, dist, ytg, sec, sd, cfg, jnp)
     p_go = jnp.minimum(1.0, analytic.go_for_it_prob(
         ytg, dist, sd, sec, cfg, jnp) * cfg.fourth.go_multiplier)
@@ -123,7 +134,7 @@ def rep_arith(state, u, n):
     o_inc = notc & (u[11] < s2c1)
     o_sck = notc & ~o_inc & (u[11] < s2c2)
     o_int = notc & ~o_inc & ~o_sck
-    py = jnp.clip(pass_mu + 7.0 * n[2], 0.0, ytg) * ymult
+    py = jnp.clip(pass_mu + pass_sg * n[2], 0.0, ytg) * ymult
     expg = (ytg > 25.0) & (u[8] < 0.6 * ep)
     boost = 0.35 + u[9] * 0.6
     py = jnp.where(expg, jnp.minimum(py * (1 + boost * (1 + 0.5 * mz)), ytg), py)
@@ -131,11 +142,11 @@ def rep_arith(state, u, n):
     py = jnp.where(rz_p, ytg, py)
     pass_td = complete & (py + 1e-9 >= ytg)
     pass_gain = complete & ~pass_td
-    sy = jnp.clip(-6.0 + 2.2 * n[2], -20.0, 0.0)
+    sy = jnp.clip(sack_mu + sack_sg * n[2], -20.0, 0.0)
     loss = jnp.minimum(jnp.maximum(0.0, -sy), ytg)
     ret = jnp.clip(6.0 + 5.0 * n[3], 0.0, ytg)
     int_spot = 100.0 - (ytg - ret)
-    ry = jnp.clip(4.2 + 4.0 * n[2], -4.0, ytg) * ymult
+    ry = jnp.clip(rush_mu + rush_sg * n[2], -4.0, ytg) * ymult
     expr = (ytg > 25.0) & (u[8] < 0.5 * ep)
     ry = jnp.where(expr, jnp.minimum(ry * (1 + boost), ytg), ry)
     rz_r = (ytg <= 9.0) & (down <= 3) & (u[10] < rzr)
@@ -158,7 +169,8 @@ def rep_arith(state, u, n):
     ytg_a = jnp.where(flip_a, spot_a, ytg_a)
     down_a = jnp.where(flip_a, 1, down_a)
     dist_a = jnp.where(flip_a, 10.0, dist_a)
-    in_rz_a = jnp.where(flip_a, False, in_rz | trip1)
+    in_rz_a = ~flip_a & (in_rz | trip1)   # where(m, False, x) trips a
+    # Mosaic i8->i1 truncation hard-stop; pure mask algebra instead
     t = (fg_att.astype(I32) * 6 + punt.astype(I32) * 6
          + pass_td.astype(I32) * 20 + pass_gain.astype(I32) * 26
          + o_inc.astype(I32) * 10 + o_sck.astype(I32) * 24
@@ -171,7 +183,7 @@ def rep_arith(state, u, n):
     ytg_b = jnp.where(halftime, 75.0, ytg_a)
     down_b = jnp.where(halftime, 1, down_a)
     dist_b = jnp.where(halftime, 10.0, dist_a)
-    in_rz_b = jnp.where(halftime, False, in_rz_a)
+    in_rz_b = ~halftime & in_rz_a
     flip_c = fg_good | fg_miss | punt | pass_td | run_td
     spot_c = jnp.where(fg_miss, 100.0 - ytg,
                        jnp.where(punt, punt_spot, 75.0))
@@ -179,7 +191,7 @@ def rep_arith(state, u, n):
     ytg_c = jnp.where(flip_c, spot_c, ytg_b)
     down_c = jnp.where(flip_c, 1, down_b)
     dist_c = jnp.where(flip_c, 10.0, dist_b)
-    in_rz_c = jnp.where(flip_c, False, in_rz_b)
+    in_rz_c = ~flip_c & in_rz_b
     td = pass_td | run_td
     pts = td.astype(I32) * 7 + fg_good.astype(I32) * 3
     sa_f = sa + jnp.where(is_a, pts, 0)
@@ -222,22 +234,27 @@ def make_xla(impl):
 # ---- Pallas kernels ----------------------------------------------------------
 
 def _draws(seed, step_idx, pid):
-    """13 uniforms + 4 Box-Muller normals as rows of hardware random bits,
-    seeded on (seed, absolute step, block) like ops/rng_pallas.py."""
+    """13 uniforms + 4 Box-Muller normals as (BROW, LANE) tiles of hardware
+    random bits, seeded on (seed, absolute step, block) like
+    ops/rng_pallas.py."""
     from jax.experimental.pallas import tpu as pltpu
 
     pltpu.prng_seed(seed ^ (step_idx * jnp.int32(-1640531527))
                     ^ (pid * jnp.int32(40503)))
-    bits = pltpu.prng_random_bits((NROWS, BLK))
+    bits = pltpu.prng_random_bits((NDRAW * BROW, LANE))
     u01 = (bits & jnp.int32(0x00FFFFFF)).astype(F32) * jnp.float32(1.0 / (1 << 24))
-    u = [u01[i] for i in range(13)]
+
+    def row(i):
+        return u01[i * BROW:(i + 1) * BROW]
+
+    u = [row(i) for i in range(13)]
     eps = jnp.float32(1e-7)
-    a0 = jnp.maximum(u01[13], eps)
-    a1 = jnp.maximum(u01[15], eps)
+    a0 = jnp.maximum(row(13), eps)
+    a1 = jnp.maximum(row(15), eps)
     r0 = jnp.sqrt(-2.0 * jnp.log(a0))
     r1 = jnp.sqrt(-2.0 * jnp.log(a1))
-    t0 = jnp.float32(_TWO_PI) * u01[14]
-    t1 = jnp.float32(_TWO_PI) * u01[16]
+    t0 = jnp.float32(_TWO_PI) * row(14)
+    t1 = jnp.float32(_TWO_PI) * row(16)
     n = [r0 * jnp.cos(t0), r0 * jnp.sin(t0), r1 * jnp.cos(t1), r1 * jnp.sin(t1)]
     return u, n
 
@@ -267,14 +284,15 @@ def _kernel_chunk(seed_ref, base_ref, *refs):
 def _pallas_call(kernel, seed, idx, state):
     from jax.experimental.pallas import tpu as pltpu
 
-    spec = pl.BlockSpec((BLK,), lambda i: (i,))
+    spec = pl.BlockSpec((BROW, LANE), lambda i: (i, 0))
     smem = pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
     return pl.pallas_call(
         kernel,
         grid=(B // BLK,),
         in_specs=[smem, smem] + [spec] * 9,
         out_specs=tuple([spec] * 9),
-        out_shape=tuple(jax.ShapeDtypeStruct((B,), d) for d in STATE_DTYPES),
+        out_shape=tuple(jax.ShapeDtypeStruct((B // LANE, LANE), d)
+                        for d in STATE_DTYPES),
     )(seed.reshape(1, 1), idx.reshape(1, 1), *state)
 
 
@@ -282,17 +300,121 @@ def make_pallas(chunked):
     def run(key):
         raw = jax.random.key_data(key).astype(jnp.uint32)
         seed = (raw[0] ^ (raw[1] * jnp.uint32(2654435761))).astype(jnp.int32)
+        init = tuple(a.reshape(B // LANE, LANE) for a in init_state(B))
         if chunked:
             def step(s, ci):
                 return _pallas_call(_kernel_chunk, seed, ci * CH, s), None
-            out, _ = jax.lax.scan(step, init_state(B),
+            out, _ = jax.lax.scan(step, init,
                                   jnp.arange(STEPS // CH, dtype=I32))
         else:
             def step(s, j):
                 return _pallas_call(_kernel_step, seed, j, s), None
-            out, _ = jax.lax.scan(step, init_state(B),
+            out, _ = jax.lax.scan(step, init,
                                   jnp.arange(STEPS, dtype=I32))
+        return out[7].reshape(B), out[8].reshape(B)
+
+    return run
+
+
+# ---- production-shaped table variants ---------------------------------------
+# the nano step's real structure: bins + ONE gather from a (16384, 105)
+# table + down/sd dot-select -> 7 head channels (+ the analytic gates and
+# state machine rep_arith already models).  'xla-tab' keeps everything in
+# XLA (the production program shape); 'hybrid-tab' moves machine+RNG into a
+# per-step Pallas kernel with the selected head vectors as extra inputs —
+# the ONLY Pallas structure the table mode admits (the gather is
+# state-dependent every step and must stay in XLA).
+R_DIR = 8192      # nano rows per direction (16 dist x 32 ytg x 16 sec)
+N_SD = 3
+N_HC = 7          # p_c, pass (mu, sg), rush (mu, sg), sack (mu, sg)
+N_CH = 5 * N_SD * N_HC
+
+
+def make_table():
+    rng = np.random.default_rng(7)
+    base = np.tile(np.array([0.62, 7.0, 7.0, 4.2, 4.0, -6.0, 2.2],
+                            np.float32), 5 * N_SD)
+    t = base[None, :] + rng.normal(0, 0.05, (2 * R_DIR, N_CH)).astype(np.float32)
+    return jnp.asarray(t)
+
+
+def table_select(values, off, sec, down, dist, ytg, sd):
+    di = jnp.clip(jnp.round(dist * 0.5), 0, 15).astype(I32)
+    yi = jnp.clip(jnp.round(ytg * 0.32), 0, 31).astype(I32)
+    si = jnp.clip(sec // 240, 0, 15).astype(I32)
+    state = (di * 32 + yi) * 16 + si
+    row = jnp.take(values, off * R_DIR + state, axis=0, mode="clip")  # (B, 105)
+    down_i = jnp.clip(down - 1, 0, 4)
+    oh = (down_i[:, None] == jnp.arange(5)[None, :]).astype(row.dtype)
+    sel = jnp.einsum("bdc,bd->bc", row.reshape(-1, 5, N_SD * N_HC), oh)
+    sdi = jnp.clip((sd + 21.0) // 14.0, 0, 2).astype(I32)
+    oh2 = (sdi[:, None] == jnp.arange(N_SD)[None, :]).astype(sel.dtype)
+    sel = jnp.einsum("bsc,bs->bc", sel.reshape(-1, N_SD, N_HC), oh2)
+    return [sel[:, i] for i in range(N_HC)]
+
+
+def _heads_of(s_flat, values):
+    off, sec, down, dist, ytg = s_flat[0], s_flat[1], s_flat[2], s_flat[3], s_flat[4]
+    sd = (s_flat[7] - s_flat[8]).astype(F32) * jnp.where(off == 0, 1.0, -1.0)
+    return table_select(values, off, sec, down, dist, ytg, sd)
+
+
+def make_xla_tab(values):
+    def step(s, key):
+        ku, kn = jax.random.split(key)
+        u = jax.random.uniform(ku, (B, 13))
+        nn = jax.random.normal(kn, (B, 4))
+        heads = _heads_of(s, values)
+        return rep_arith(s, [u[:, i] for i in range(13)],
+                         [nn[:, i] for i in range(4)], heads), None
+
+    def run(key):
+        raw = jax.random.key_data(key).reshape(-1)
+        raw = jnp.tile(raw, 2)[:4].astype(jnp.uint32)
+        key = jax.random.wrap_key_data(raw, impl="rbg")
+        keys = jax.random.split(key, STEPS)
+        out, _ = jax.lax.scan(step, init_state(B), keys,
+                              unroll=cfg.engine.scan_unroll)
         return out[7], out[8]
+
+    return run
+
+
+def _kernel_step_tab(seed_ref, step_ref, *refs):
+    ins, heads, outs = refs[:9], refs[9:9 + N_HC], refs[9 + N_HC:]
+    u, n = _draws(seed_ref[0, 0], step_ref[0, 0], pl.program_id(0))
+    new = rep_arith(tuple(r[:] for r in ins), u, n,
+                    tuple(h[:] for h in heads))
+    for o, v in zip(outs, new):
+        o[:] = v
+
+
+def make_hybrid_tab(values):
+    from jax.experimental.pallas import tpu as pltpu
+
+    spec = pl.BlockSpec((BROW, LANE), lambda i: (i, 0))
+    smem = pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
+
+    def run(key):
+        raw = jax.random.key_data(key).astype(jnp.uint32)
+        seed = (raw[0] ^ (raw[1] * jnp.uint32(2654435761))).astype(jnp.int32)
+        init = tuple(a.reshape(B // LANE, LANE) for a in init_state(B))
+
+        def step(s, j):
+            heads = _heads_of(tuple(a.reshape(B) for a in s), values)
+            heads2 = [h.reshape(B // LANE, LANE) for h in heads]
+            new = pl.pallas_call(
+                _kernel_step_tab,
+                grid=(B // BLK,),
+                in_specs=[smem, smem] + [spec] * (9 + N_HC),
+                out_specs=tuple([spec] * 9),
+                out_shape=tuple(jax.ShapeDtypeStruct((B // LANE, LANE), d)
+                                for d in STATE_DTYPES),
+            )(seed.reshape(1, 1), j.reshape(1, 1), *s, *heads2)
+            return new, None
+
+        out, _ = jax.lax.scan(step, init, jnp.arange(STEPS, dtype=I32))
+        return out[7].reshape(B), out[8].reshape(B)
 
     return run
 
@@ -331,6 +453,11 @@ if __name__ == "__main__":
     results["xla-rbg"] = timed("xla-rbg", make_xla("rbg"))
     results["pallas-chunk"] = timed("pallas-chunk24", make_pallas(True))
     results["pallas-step"] = timed("pallas-step", make_pallas(False))
+    values = make_table()
+    results["xla-tab"] = timed("xla-tab(rbg)", make_xla_tab(values))
+    results["hybrid-tab"] = timed("hybrid-tab", make_hybrid_tab(values))
     base = results["xla-rbg"]
     for k, v in results.items():
         print(f"  {k:16s} {base/v:5.2f}x vs xla-rbg")
+    print(f"  hybrid-tab vs xla-tab: "
+          f"{results['xla-tab']/results['hybrid-tab']:5.2f}x")
