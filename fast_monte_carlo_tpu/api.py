@@ -512,13 +512,19 @@ def _fo_alternating(n_games: int):
 @lru_cache(maxsize=1)
 def _score_moments_jit():
     from .parallel.aggregate import score_moments
-    return jax.jit(score_moments)
+    from .utils.aot import AotJit
+    # AotJit == jax.jit until utils.aot.set_aot_dir activates snapshot
+    # serving (ServeConfig.aot_dir / cli serve --aot).  Key versioning:
+    # bump the _v suffix when the wrapped function's semantics change —
+    # closure/callee bodies are invisible to the snapshot fingerprint.
+    return AotJit(score_moments, key="moments_v1")
 
 
 @lru_cache(maxsize=1)
 def _summary_from_moments_jit():
     from .parallel.aggregate import summary_from_moments
-    return jax.jit(summary_from_moments)
+    from .utils.aot import AotJit
+    return AotJit(summary_from_moments, key="summmom_v1")
 
 
 @lru_cache(maxsize=1)
@@ -538,10 +544,19 @@ def _heads_fn_cached(mode: str, cfg: SimConfig):
 
 @lru_cache(maxsize=32)
 def _shared_sim_jit(cfg: SimConfig, heads_fn):
-    return jax.jit(
+    from .utils.aot import AotJit, cfg_fingerprint
+    # the snapshot key carries cfg + the heads-eval identity: the lambda's
+    # own bytecode (which the AOT fingerprint hashes) is the same for every
+    # (cfg, mode), and a stage-1-table program must never serve an
+    # analytic-mode request's snapshot.  _v1: bump on simulate_games /
+    # play_step semantic changes (callee bodies are fingerprint-invisible;
+    # an aot_dir is a per-deployment artifact — wipe it on upgrade).
+    return AotJit(
         lambda pack, hs, key, fo, n, collect, stats: simulate_games(
             pack, cfg, heads_fn, hs, key, n, fo, collect_players=collect,
             collect_stats=stats),
+        key=f"sim_v1_{cfg_fingerprint(cfg)}_"
+            f"{getattr(heads_fn, '__qualname__', 'h')}",
         static_argnums=(4, 5, 6))
 
 

@@ -480,7 +480,8 @@ def _cmd_serve(args) -> int:
                     year=args.year, week=args.week, mode=args.mode,
                     table_quality=args.quality, focus_csv=args.focus,
                     shard=args.shard, max_n_pairs=args.max_pairs,
-                    max_games=args.max_games, deadline_s=args.deadline),
+                    max_games=args.max_games, deadline_s=args.deadline,
+                    aot_dir=args.aot),
         host=args.host, port=args.port, warm_games=warm_games)
     return 0
 
@@ -881,6 +882,11 @@ def main(argv=None) -> int:
                     help="per-request admission deadline (seconds): shed "
                          "requests with 503 when queue wait exceeds it "
                          "(omit or <=0: never shed)")
+    pv.add_argument("--aot", default=None, metavar="DIR",
+                    help="AOT executable snapshot dir: first compile of "
+                         "each launch program is snapshotted here and "
+                         "every later process boot loads it instead of "
+                         "compiling (wipe the dir on library upgrades)")
     pv.set_defaults(fn=_cmd_serve)
 
     args = p.parse_args(argv)

@@ -95,6 +95,15 @@ class ServeConfig:
     # guard bounds queue wait, not the running sim).  None or <=0 =
     # never shed.
     deadline_s: Optional[float] = None
+    # AOT executable snapshot dir (utils.aot): when set, the sim/moments
+    # launch programs load pre-compiled executables from here on first
+    # use and snapshot on first compile — a fresh process answers its
+    # first /sim with zero XLA compiles once the dir is warm (VERDICT r4
+    # #2; the measured 76.3s cold /sim was compile-dominated).  The dir
+    # is a per-deployment artifact: topology/jax-version mismatches fall
+    # back to compiling, but WIPE IT on library upgrades (callee-body
+    # changes are invisible to the snapshot fingerprint).
+    aot_dir: Optional[str] = None
 
 
 class SimService:
@@ -106,6 +115,9 @@ class SimService:
         import collections
 
         self.cfg = cfg
+        if cfg.aot_dir:
+            from .utils.aot import set_aot_dir
+            set_aot_dir(cfg.aot_dir)
         self._lock = threading.Lock()
         self._t0 = time.time()
         self._requests = 0

@@ -38,7 +38,8 @@ import pickle
 from pathlib import Path
 from typing import Any, Callable, Optional
 
-__all__ = ["aot_compile_cached", "aot_fingerprint"]
+__all__ = ["aot_compile_cached", "aot_fingerprint", "AotJit",
+           "set_aot_dir", "get_aot_dir", "cfg_fingerprint"]
 
 
 def aot_fingerprint(key: str, args: tuple,
@@ -145,3 +146,111 @@ def aot_compile_cached(
         if verbose:
             print(f"# aot: snapshot write failed ({type(e).__name__}: {e})")
     return compiled
+
+
+# ---------------------------------------------------------------------------
+# Process-wide AOT switch + jit-compatible wrapper (round 5, VERDICT r4 #2)
+# ---------------------------------------------------------------------------
+
+_AOT_DIR: Optional[str] = None
+
+
+def set_aot_dir(d: Optional[str]) -> None:
+    """Activate (or deactivate, with None) AOT snapshot serving for every
+    AotJit call site in the process.  Serving boot sets this from
+    ServeConfig.aot_dir; the default None keeps every hot path on plain
+    jax.jit exactly as before."""
+    global _AOT_DIR
+    _AOT_DIR = d
+
+
+def get_aot_dir() -> Optional[str]:
+    return _AOT_DIR
+
+
+def cfg_fingerprint(obj: Any) -> str:
+    """Deterministic short hash of a (frozen, repr-stable) config object —
+    AotJit call sites fold it into their snapshot key because closure
+    contents are invisible to the bytecode fingerprint.  repr-based, not
+    hash(): Python salts str hashes per process."""
+    return hashlib.sha256(repr(obj).encode()).hexdigest()[:10]
+
+
+class AotJit:
+    """``jax.jit``-compatible callable that can serve each input signature
+    from an AOT executable snapshot.
+
+    With no AOT dir active (`set_aot_dir(None)`, the default) every call
+    forwards to a plain ``jax.jit`` of `fn` — the hot paths are untouched
+    beyond one global read.  With a dir active, the first call for each
+    (static values, input avals) signature loads a topology-fingerprinted
+    executable via `aot_compile_cached` (compiling + snapshotting on miss),
+    and later calls dispatch to it directly.  Any executable-call failure
+    — e.g. the jax-0.9 forced-CPU-mesh caveat where DESERIALIZED
+    executables refuse plain-array args (tests/test_aot.py) — falls back
+    to the jit path permanently for that signature, so activation can
+    never change results or break a call, only skip compiles.
+
+    `key` must encode everything the program depends on beyond `fn`'s own
+    bytecode (closure-captured configs: use `cfg_fingerprint`)."""
+
+    def __init__(self, fn: Callable, *, key: str, static_argnums: tuple = ()):
+        import jax
+
+        self._fn = fn
+        self._key = key
+        self._static = tuple(static_argnums)
+        self._jit = jax.jit(fn, static_argnums=static_argnums)
+        self._exes: dict = {}
+
+    def _sig(self, args: tuple):
+        import jax
+        import jax.numpy as jnp
+
+        out = []
+        for i, a in enumerate(args):
+            if i in self._static:
+                out.append(("s", a if isinstance(a, (int, bool, float, str))
+                            else repr(a)))
+            else:
+                leaves, treedef = jax.tree_util.tree_flatten(a)
+                out.append((tuple((tuple(jnp.shape(x)),
+                                   str(jnp.result_type(x)))
+                                  for x in leaves), treedef))
+        return tuple(out)
+
+    def __call__(self, *args):
+        d = get_aot_dir()
+        if d is None:
+            return self._jit(*args)
+        sig = self._sig(args)
+        ent = self._exes.get(sig)
+        if ent is None:
+            dyn_idx = tuple(i for i in range(len(args))
+                            if i not in self._static)
+            fn, nargs = self._fn, len(args)
+            statics = {i: args[i] for i in self._static}
+
+            def bound(*dyn):
+                full = [None] * nargs
+                for j, i in enumerate(dyn_idx):
+                    full[i] = dyn[j]
+                for i, v in statics.items():
+                    full[i] = v
+                return fn(*full)
+
+            import re
+            safe = re.sub(r"[^A-Za-z0-9_.-]", "", self._key)
+            skey = f"{safe}_{hashlib.sha256(repr(sig).encode()).hexdigest()[:10]}"
+            try:
+                exe = aot_compile_cached(bound, tuple(args[i] for i in dyn_idx),
+                                         key=skey, cache_dir=d)
+            except Exception:
+                exe = None  # lower/compile path failed: stay on jit
+            ent = self._exes[sig] = {"exe": exe, "dyn": dyn_idx}
+        if ent["exe"] is not None:
+            try:
+                return ent["exe"](*(args[i] for i in ent["dyn"]))
+            except Exception:
+                ent["exe"] = None   # e.g. deserialized-exe arg refusal
+        return self._jit(*args)

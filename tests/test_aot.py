@@ -87,3 +87,65 @@ def test_aot_fingerprint_keys_on_signature():
     assert aot_fingerprint("a", z24, (1,)) != aot_fingerprint("a", z48, (1,))
     # and non-arraylike statics don't crash the fingerprint
     assert aot_fingerprint("a", (jnp.ones((4,)), "mode"), (1,))
+
+
+def test_aotjit_inactive_is_plain_jit(tmp_path):
+    import jax.numpy as jnp
+
+    from fast_monte_carlo_tpu.utils.aot import AotJit, get_aot_dir
+
+    assert get_aot_dir() is None
+    g = AotJit(lambda x, n: (x * n).sum(), key="t1", static_argnums=(1,))
+    x = jnp.arange(8.0)
+    assert float(g(x, 3)) == float((x * 3).sum())
+    assert not list(tmp_path.glob("*.aotx"))   # nothing written when off
+
+
+def test_aotjit_active_snapshots_and_falls_back(tmp_path):
+    """Active AotJit: same results as jit, one snapshot per signature, and
+    a SECOND instance (a fresh process stand-in) that hits the
+    deserialized-executable path still answers correctly — under this
+    suite's forced 8-device CPU mesh jax 0.9 deserialized executables
+    refuse plain-array calls (module docstring), so this exercises the
+    permanent-fallback guard the serve wiring relies on."""
+    import jax.numpy as jnp
+
+    from fast_monte_carlo_tpu.utils.aot import AotJit, set_aot_dir
+
+    x = jnp.arange(16.0)
+    try:
+        set_aot_dir(str(tmp_path))
+        g = AotJit(lambda x, n: (x * n).sum(), key="t2", static_argnums=(1,))
+        want3, want5 = float((x * 3).sum()), float((x * 5).sum())
+        assert float(g(x, 3)) == want3
+        assert float(g(x, 5)) == want5          # statics dispatch by value
+        assert float(g(x, 3)) == want3          # repeat hits the memo
+        files = list(tmp_path.glob("t2_*.aotx"))
+        assert len(files) == 2                  # one snapshot per signature
+
+        g2 = AotJit(lambda x, n: (x * n).sum(), key="t2", static_argnums=(1,))
+        assert float(g2(x, 3)) == want3         # load-or-fallback, same answer
+        assert float(g2(x, 3)) == want3
+    finally:
+        set_aot_dir(None)
+
+
+def test_serve_config_activates_aot(tmp_path, reference_dir):
+    """ServeConfig.aot_dir flips the process switch, and a real (tiny,
+    analytic) /sim request through the service writes sim-program
+    snapshots while returning a normal answer."""
+    from fast_monte_carlo_tpu.serve import ServeConfig, SimService
+    from fast_monte_carlo_tpu.utils.aot import get_aot_dir, set_aot_dir
+
+    try:
+        svc = SimService(ServeConfig(
+            sp_path=str(reference_dir / "PregameSPPlus2025_1.csv"),
+            artifact_dir=str(reference_dir), mode="analytic",
+            aot_dir=str(tmp_path)))
+        assert get_aot_dir() == str(tmp_path)
+        out = svc.sim({"team_a": "Kansas State", "team_b": "Iowa State",
+                       "n_pairs": 64, "mode": "analytic"})
+        assert "moneyline" in out and "summary" in out
+        assert list(tmp_path.glob("sim_v1_*.aotx"))   # program snapshotted
+    finally:
+        set_aot_dir(None)
