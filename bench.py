@@ -126,6 +126,12 @@ def main() -> int:
                          "optimum.  On real v5e-8 hardware this is the "
                          "one-command multi-chip bench; on one chip it "
                          "measures the shard_map overhead (~flat).")
+    ap.add_argument("--no-lanes", dest="lanes", action="store_false",
+                    default=True,
+                    help="skip the extra production-lane measurements "
+                         "(slate loop 60x65k, config-#3 sweep 60x100k) "
+                         "that otherwise run after the main bench while "
+                         "the budget allows and land in meta.lanes")
     args = ap.parse_args()
 
     if args.smoke:
@@ -257,7 +263,7 @@ def main() -> int:
     # slow server-side compile day degrades the number, never the capture.
     lock = threading.Lock()
     state = {"best": None, "emitted": False, "compile_s": None,
-             "setup_s": build_s, "runs": []}
+             "setup_s": build_s, "runs": [], "lanes": []}
 
     def emit(tag):
         """Print the one JSON line.  Returns 'now' | 'already' | 'nothing'."""
@@ -288,6 +294,7 @@ def main() -> int:
                     "compile_s": (None if state["compile_s"] is None
                                   else round(state["compile_s"], 1)),
                     "runs": [round(x, 1) for x in state["runs"]],
+                    "lanes": state["lanes"],
                     "emit": tag,
                 },
             }), flush=True)
@@ -367,6 +374,54 @@ def main() -> int:
     mean, win_a = sanity(outs)
     print(f"# sanity: mean {np.asarray(mean, float).round(2).tolist()} "
           f"winA {win_a:.4f}", file=sys.stderr)
+
+    # ---- production lanes (VERDICT r4 #5): slate-class numbers ---------
+    # the repo's production-workload records (slate loop 1.63M games/s,
+    # BASELINE config #3 1.60M) were self-reported until round 5; these
+    # lanes re-measure them in the SAME driver capture, budget permitting.
+    # Lane failures or budget exhaustion never block the main emission.
+    if args.lanes and args.mode == "table" and not args.shard \
+            and not args.smoke:
+        try:
+            from fast_monte_carlo_tpu.api import simulate_slate_summaries
+            ranked = sp.sort_values("RATING", ascending=False)["team"].tolist()
+            games60 = [(ranked[i], ranked[i + 1]) for i in range(0, 120, 2)]
+            for lane, np_lane, warm_est in (
+                    ("slate_loop_60x65k", 32768, 240.0),
+                    ("sweep3_60x100k", 50000, 90.0)):
+                left = (args.budget - (time.perf_counter() - t_start)
+                        if args.budget > 0 else float("inf"))
+                if left < warm_est + 30.0:
+                    print(f"# lane {lane}: skipped ({left:.0f}s budget "
+                          f"left < {warm_est + 30:.0f}s est)",
+                          file=sys.stderr)
+                    break
+                kw = dict(sp_path=f"{REFERENCE_DIR}/PregameSPPlus2025_1.csv",
+                          n_pairs=np_lane, chunk_pairs=np_lane,
+                          artifact_dir=REFERENCE_DIR, mode="table",
+                          table_quality=args.quality, seed=args.seed,
+                          cfg=cfg)   # same rng/engine knobs as the bench
+                t0 = time.perf_counter()
+                simulate_slate_summaries(games60, **kw)   # builds+compile
+                warm_s = time.perf_counter() - t0
+                t0 = time.perf_counter()
+                df = simulate_slate_summaries(games60, **kw)
+                dt = time.perf_counter() - t0
+                n_lane = int(df.n_games.sum())
+                gps = n_lane / dt
+                with lock:
+                    state["lanes"].append({
+                        "lane": lane, "games_per_sec": round(gps, 1),
+                        "n_games": n_lane, "matchups": len(games60),
+                        "warmup_s": round(warm_s, 1),
+                        "run_s": round(dt, 3)})
+                print(f"# lane {lane}: {gps:,.0f} games/s "
+                      f"({n_lane:,} games in {dt:.2f}s; warmup "
+                      f"{warm_s:.0f}s)", file=sys.stderr)
+        except Exception as e:  # noqa: BLE001 — lanes are best-effort
+            print(f"# lanes failed ({type(e).__name__}: {e}); emitting "
+                  f"main result anyway", file=sys.stderr)
+
     emit("complete")
     return 0
 

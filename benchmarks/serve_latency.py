@@ -55,6 +55,11 @@ def main():
                     help="requests per client per endpoint")
     ap.add_argument("--deadline", type=float, default=None,
                     help="ServeConfig.deadline_s (503 shedding)")
+    ap.add_argument("--same-matchup", action="store_true",
+                    help="all clients post the IDENTICAL /sim body (no "
+                         "seed variation): measures request coalescing — "
+                         "concurrent identical requests share one device "
+                         "launch (VERDICT r4 #4)")
     ap.add_argument("--sp", default="/root/reference/PregameSPPlus2025_1.csv")
     args = ap.parse_args()
 
@@ -76,11 +81,15 @@ def main():
     shed = {"/sim": 0, "/live": 0}
     lock = threading.Lock()
 
+    endpoints = ([("/sim", SIM_BODY)] if args.same_matchup
+                 else [("/sim", SIM_BODY), ("/live", LIVE_BODY)])
+
     def client(k):
         for i in range(args.requests):
-            for path, body in (("/sim", SIM_BODY), ("/live", LIVE_BODY)):
+            for path, body in endpoints:
                 body = dict(body)
-                body["seed"] = 1000 * k + i   # vary requests a little
+                if not args.same_matchup:
+                    body["seed"] = 1000 * k + i   # vary requests a little
                 code, dt = _post(base + path, body)
                 with lock:
                     if code == 200:
@@ -97,8 +106,10 @@ def main():
         t.join()
     wall = time.perf_counter() - t0
 
-    print(f"\n{args.clients} clients x {args.requests} req x 2 endpoints "
-          f"in {wall:.1f}s")
+    print(f"\n{args.clients} clients x {args.requests} req x "
+          f"{len(endpoints)} endpoint(s)"
+          + (" [same-matchup]" if args.same_matchup else "")
+          + f" in {wall:.1f}s")
     for path, xs in results.items():
         if not xs:
             continue
@@ -109,6 +120,8 @@ def main():
         h = json.loads(r.read())
     print("service-side /health latency:",
           json.dumps(h.get("latency", {}), indent=2))
+    print(f"coalesced (requests answered from a shared launch): "
+          f"{h.get('coalesced', 0)}")
     srv.shutdown()
     srv.server_close()
 

@@ -75,6 +75,28 @@ class Overloaded(RuntimeError):
     """Request shed by the admission deadline (mapped to HTTP 503)."""
 
 
+class _BatchItem:
+    """One matchup's slot in a coalesced /sim batch."""
+    __slots__ = ("evt", "out", "err", "waiters")
+
+    def __init__(self):
+        self.evt = threading.Event()
+        self.out = None      # (summary_row_dict, ScoreSummary)
+        self.err = None
+        self.waiters = 0     # requests registered on this slot (observability)
+
+
+class _SimBatch:
+    """Open /sim batch for one (n_pairs, mode, shard, seed) group: requests
+    arriving while the device lock is busy register their matchup here; the
+    group's first arrival (the leader) seals the batch when it ACQUIRES the
+    lock and answers every matchup with ONE slate launch."""
+    __slots__ = ("items",)
+
+    def __init__(self):
+        self.items: dict = {}   # (team_a, team_b) -> _BatchItem
+
+
 @dataclass(frozen=True)
 class ServeConfig:
     """Static per-process serving configuration (the request body carries
@@ -129,6 +151,10 @@ class SimService:
         self._latency = collections.defaultdict(
             lambda: collections.deque(maxlen=512))
         self._lat_lock = threading.Lock()
+        # /sim request coalescing (VERDICT r4 #4): open batches by group
+        self._batch_lock = threading.Lock()
+        self._sim_batches: dict = {}
+        self._coalesced = 0   # requests answered from a shared launch
 
     @contextmanager
     def _admit(self, endpoint: str, t0: float):
@@ -196,6 +222,7 @@ class SimService:
             "device_count": jax.device_count(),
             "uptime_s": round(time.time() - self._t0, 1),
             "requests": self._requests,
+            "coalesced": self._coalesced,
             "heads_memo": len(_HEADS_MEMO),
             "device_tables": len(_DEVICE_TABLE_CACHE),
             "latency": lat,
@@ -258,49 +285,139 @@ class SimService:
 
     def sim(self, body: dict) -> dict:
         """One matchup: summary + fair moneyline, plus spread/total
-        markets when quoted."""
-        from .api import simulate_slate_summaries
+        markets when quoted.
+
+        Requests COALESCE (VERDICT r4 #4): while the device lock is busy,
+        /sim arrivals for the same (n_pairs, mode, shard, seed) group
+        register their matchup in an open batch; the group's first
+        arrival (the leader) seals the batch when it acquires the lock
+        and answers every queued matchup with ONE slate launch.
+        Identical requests share one launch outright (the sim is
+        deterministic in the group key, so shared answers are exactly
+        what sequential calls would have returned); distinct matchups
+        queue-batch into the slate path.  Market/alt pricing stays
+        per-request (host-side, off the shared summary)."""
         from .edge import market_odds_from_summary, summary_moneyline
 
         ta, tb = body["team_a"], body["team_b"]
         t0 = time.perf_counter()
-        with self._admit("sim", t0):
-            df, (summary,) = simulate_slate_summaries(
-                [(ta, tb)], sp_path=self.cfg.sp_path, year=self.cfg.year,
-                week=self.cfg.week, n_pairs=self._n_pairs(body, 32768),
-                artifact_dir=self.cfg.artifact_dir,
-                focus_csv=self.cfg.focus_csv, mode=self._mode(body),
-                table_quality=self.cfg.table_quality,
-                shard=bool(body.get("shard", self.cfg.shard)),
-                seed=int(body.get("seed", 0)), return_summaries=True)
-            out = {
-                "summary": jsonable(df)[0],
-                "moneyline": jsonable(summary_moneyline(summary, ta, tb)),
-            }
-            spread, total = body.get("spread"), body.get("total")
-            if spread is not None or total is not None:
-                out["markets"] = jsonable(market_odds_from_summary(
-                    summary, ta, tb,
-                    spread=None if spread is None else float(spread),
-                    total=None if total is None else float(total)))
-                alt = body.get("alt")
-                if alt:
-                    from .edge import alt_lines_from_summary
-                    opts = alt if isinstance(alt, dict) else {}
-                    width = float(opts.get("width", 12.0))
-                    step = float(opts.get("step", 1.0))
-                    if not (step > 0 and width / step <= 100):
-                        raise ValueError(
-                            "alt ladder capped at 201 rows: need step > 0 "
-                            "and width/step <= 100")
-                    out["alt"] = {
-                        k: jsonable(v) for k, v in alt_lines_from_summary(
-                            summary, ta, tb,
-                            spread=None if spread is None else float(spread),
-                            total=None if total is None else float(total),
-                            width=width, step=step).items()}
+        n_pairs = self._n_pairs(body, 32768)
+        mode = self._mode(body)
+        shard = bool(body.get("shard", self.cfg.shard))
+        seed = int(body.get("seed", 0))
+        group = (n_pairs, mode, shard, seed)
+        with self._batch_lock:
+            batch = self._sim_batches.get(group)
+            leader = batch is None
+            if leader:
+                batch = _SimBatch()
+                self._sim_batches[group] = batch
+            item = batch.items.get((ta, tb))
+            if item is None:
+                item = batch.items[(ta, tb)] = _BatchItem()
+            item.waiters += 1
+        if leader:
+            self._run_sim_batch(group, batch, n_pairs, mode, shard, seed, t0)
+        else:
+            self._await_batch_item(item, t0)
+        if item.err is not None:
+            raise item.err
+        row, summary = item.out
+        out = {
+            "summary": row,
+            "moneyline": jsonable(summary_moneyline(summary, ta, tb)),
+        }
+        spread, total = body.get("spread"), body.get("total")
+        if spread is not None or total is not None:
+            out["markets"] = jsonable(market_odds_from_summary(
+                summary, ta, tb,
+                spread=None if spread is None else float(spread),
+                total=None if total is None else float(total)))
+            alt = body.get("alt")
+            if alt:
+                from .edge import alt_lines_from_summary
+                opts = alt if isinstance(alt, dict) else {}
+                width = float(opts.get("width", 12.0))
+                step = float(opts.get("step", 1.0))
+                if not (step > 0 and width / step <= 100):
+                    raise ValueError(
+                        "alt ladder capped at 201 rows: need step > 0 "
+                        "and width/step <= 100")
+                out["alt"] = {
+                    k: jsonable(v) for k, v in alt_lines_from_summary(
+                        summary, ta, tb,
+                        spread=None if spread is None else float(spread),
+                        total=None if total is None else float(total),
+                        width=width, step=step).items()}
         out["elapsed_s"] = round(time.perf_counter() - t0, 3)
         return out
+
+    def _run_sim_batch(self, group, batch: _SimBatch, n_pairs, mode, shard,
+                       seed, t0) -> None:
+        """Leader path: acquire the device lock, seal the batch, run one
+        slate launch for every queued matchup, distribute results.  Any
+        failure (including an admission shed) fails the whole batch —
+        followers re-raise the same exception."""
+        from .api import simulate_slate_summaries
+
+        def run(subset):
+            df, summaries = simulate_slate_summaries(
+                subset, sp_path=self.cfg.sp_path, year=self.cfg.year,
+                week=self.cfg.week, n_pairs=n_pairs,
+                artifact_dir=self.cfg.artifact_dir,
+                focus_csv=self.cfg.focus_csv, mode=mode,
+                table_quality=self.cfg.table_quality,
+                shard=shard, seed=seed, return_summaries=True)
+            return list(zip(jsonable(df), summaries))
+
+        try:
+            with self._admit("sim", t0):
+                with self._batch_lock:
+                    # seal: arrivals from here on open the NEXT batch
+                    if self._sim_batches.get(group) is batch:
+                        del self._sim_batches[group]
+                    games = list(batch.items.keys())
+                try:
+                    per = dict(zip(games, run(games)))
+                except Exception:
+                    if len(games) == 1:
+                        raise
+                    # one bad matchup must not fail its batch-mates: fall
+                    # back to per-matchup launches (old /sim semantics —
+                    # each request sees only its own error)
+                    per = {}
+                    for g in games:
+                        try:
+                            per[g] = run([g])[0]
+                        except Exception as ge:  # noqa: BLE001
+                            batch.items[g].err = ge
+            for g, it in batch.items.items():
+                if g in per:
+                    it.out = per[g]
+                it.evt.set()
+        except BaseException as e:
+            with self._batch_lock:
+                if self._sim_batches.get(group) is batch:
+                    del self._sim_batches[group]
+            for it in batch.items.values():
+                if not it.evt.is_set():
+                    it.err = e
+                    it.evt.set()
+            raise
+
+    def _await_batch_item(self, item: _BatchItem, t0) -> None:
+        """Follower path: wait for the leader's launch (bounded by the
+        admission deadline) and record this request's own latency."""
+        dl = self.cfg.deadline_s
+        if dl is not None and dl <= 0:
+            dl = None
+        timeout = None if dl is None else max(0.0, dl - (time.perf_counter() - t0))
+        if not item.evt.wait(timeout):
+            raise Overloaded(
+                f"queue wait exceeded deadline_s={dl}; retry later")
+        with self._lat_lock:
+            self._coalesced += 1
+            self._latency["sim"].append(time.perf_counter() - t0)
 
     def live(self, body: dict) -> dict:
         """In-game win probability + live market pricing: resume trials

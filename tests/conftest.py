@@ -63,3 +63,55 @@ def make_state_batch(rng: np.random.Generator, n: int) -> "np.ndarray":
         "two_minute": ((seconds % 1800) <= 120).astype(np.float64),
     }
     return cols
+
+
+# ---------------------------------------------------------------------------
+# Suite-time governance (VERDICT r4 #7): every run records per-test call
+# durations + slow-marker status to .pytest_durations.json; the standalone
+# auditor `python tests/check_suite_time.py` fails when the not-slow subset
+# outgrows its budget or an unmarked test exceeds the per-test cap (and
+# names the tests to move behind @pytest.mark.slow).
+# ---------------------------------------------------------------------------
+
+_DURATIONS: dict = {}
+
+
+def pytest_collection_modifyitems(config, items):
+    # record EVERY collected item's slow status (even ones a -m/-k filter
+    # later deselects) so a partial run still refreshes marker state in
+    # the durations record — newly-marked tests must not stay recorded
+    # as not-slow until the next full run
+    config._fmc_slow_map = {i.nodeid: bool(i.get_closest_marker("slow"))
+                            for i in items}
+
+
+def pytest_runtest_logreport(report):
+    if report.when == "call":
+        _DURATIONS[report.nodeid] = round(report.duration, 2)
+
+
+def pytest_sessionfinish(session, exitstatus):
+    import json
+
+    slow_map = getattr(session.config, "_fmc_slow_map", {})
+    if not _DURATIONS and not slow_map:
+        return
+    path = REPO / ".pytest_durations.json"
+    try:
+        prev = json.loads(path.read_text()) if path.exists() else {}
+    except Exception:
+        prev = {}
+    # merge: partial runs (-k, -m) update only the tests they ran, so the
+    # auditor can judge the full picture from the most recent full run +
+    # later partials; marker status refreshes for everything COLLECTED
+    tests = prev.get("tests", {})
+    for nid, dur in _DURATIONS.items():
+        tests[nid] = {"s": dur, "slow": slow_map.get(nid, False)}
+    for nid, is_slow in slow_map.items():
+        if nid in tests and nid not in _DURATIONS:
+            tests[nid]["slow"] = is_slow
+    try:
+        path.write_text(json.dumps(
+            {"tests": tests, "host_nproc": os.cpu_count()}, indent=0))
+    except Exception:
+        pass

@@ -11,6 +11,7 @@ import sys
 from pathlib import Path
 
 import numpy as np
+import pytest
 
 REPO = Path(__file__).resolve().parents[1]
 
@@ -130,6 +131,7 @@ def test_aotjit_active_snapshots_and_falls_back(tmp_path):
         set_aot_dir(None)
 
 
+@pytest.mark.slow   # compiles the full sim program (~50s on this host)
 def test_serve_config_activates_aot(tmp_path, reference_dir):
     """ServeConfig.aot_dir flips the process switch, and a real (tiny,
     analytic) /sim request through the service writes sim-program

@@ -418,3 +418,179 @@ def test_deadline_guard_and_latency(reference_dir):
     finally:
         srv.shutdown()
         srv.server_close()
+
+
+def _wait_for_waiters(service, n, timeout=30.0):
+    """Poll until n requests have registered in open /sim batches."""
+    import time as _time
+    t0 = _time.perf_counter()
+    while _time.perf_counter() - t0 < timeout:
+        with service._batch_lock:
+            got = sum(it.waiters for b in service._sim_batches.values()
+                      for it in b.items.values())
+        if got >= n:
+            return got
+        _time.sleep(0.02)
+    raise AssertionError(f"only {got}/{n} requests registered")
+
+
+def _patched_slate_counter():
+    import fast_monte_carlo_tpu.api as api
+    calls = []
+    real = api.simulate_slate_summaries
+
+    def counted(games, *a, **k):
+        calls.append(tuple(games))
+        return real(games, *a, **k)
+
+    return api, real, counted, calls
+
+
+def test_sim_coalescing_identical_requests(server):
+    """Concurrent IDENTICAL /sim requests share ONE device launch
+    (VERDICT r4 #4): with the device lock held, four arrivals pile into
+    one batch; on release one slate launch answers all four with
+    identical summaries."""
+    base, service = server
+    api, real, counted, calls = _patched_slate_counter()
+    body = {"team_a": "Kansas State", "team_b": "Iowa State",
+            "n_pairs": 128, "seed": 77}
+    outs = [None] * 4
+
+    def go(i):
+        outs[i] = _post(base + "/sim", body)
+
+    api.simulate_slate_summaries = counted
+    service._lock.acquire()
+    held = True
+    try:
+        ts = [threading.Thread(target=go, args=(i,)) for i in range(4)]
+        for t in ts:
+            t.start()
+        _wait_for_waiters(service, 4)
+        service._lock.release()
+        held = False
+        for t in ts:
+            t.join(timeout=120)
+        assert [o[0] for o in outs] == [200] * 4, outs
+        sums = [o[1]["summary"] for o in outs]
+        assert all(s == sums[0] for s in sums)
+        assert calls == [(("Kansas State", "Iowa State"),)]  # ONE launch
+        _, h = _get(base + "/health")
+        assert h["coalesced"] >= 3
+    finally:
+        if held:
+            service._lock.release()
+        api.simulate_slate_summaries = real
+
+
+def test_sim_coalescing_distinct_matchups_batch_into_slate(server):
+    """Distinct queued matchups in the same (n, mode, shard, seed) group
+    answer from ONE slate launch carrying both games."""
+    base, service = server
+    api, real, counted, calls = _patched_slate_counter()
+    bodies = [{"team_a": "Kansas State", "team_b": "Iowa State",
+               "n_pairs": 128, "seed": 78},
+              {"team_a": "Alabama", "team_b": "Georgia",
+               "n_pairs": 128, "seed": 78}]
+    outs = [None] * 2
+
+    def go(i):
+        outs[i] = _post(base + "/sim", bodies[i])
+
+    api.simulate_slate_summaries = counted
+    service._lock.acquire()
+    held = True
+    try:
+        ts = [threading.Thread(target=go, args=(i,)) for i in range(2)]
+        for t in ts:
+            t.start()
+        _wait_for_waiters(service, 2)
+        service._lock.release()
+        held = False
+        for t in ts:
+            t.join(timeout=120)
+        assert [o[0] for o in outs] == [200] * 2, outs
+        assert outs[0][1]["summary"]["team_a"] == "Kansas State"
+        assert outs[1][1]["summary"]["team_a"] == "Alabama"
+        assert len(calls) == 1 and set(calls[0]) == {
+            ("Kansas State", "Iowa State"), ("Alabama", "Georgia")}
+    finally:
+        if held:
+            service._lock.release()
+        api.simulate_slate_summaries = real
+
+
+def test_sim_batch_bad_matchup_fails_alone(server):
+    """One unknown team in a coalesced batch must NOT fail its
+    batch-mates: the leader falls back to per-matchup launches and each
+    request sees only its own outcome (old /sim semantics)."""
+    base, service = server
+    bodies = [{"team_a": "Kansas State", "team_b": "Iowa State",
+               "n_pairs": 128, "seed": 79},
+              {"team_a": "Nowhere University", "team_b": "Iowa State",
+               "n_pairs": 128, "seed": 79}]
+    outs = [None] * 2
+
+    def go(i):
+        outs[i] = _post(base + "/sim", bodies[i])
+
+    service._lock.acquire()
+    held = True
+    try:
+        ts = [threading.Thread(target=go, args=(i,)) for i in range(2)]
+        for t in ts:
+            t.start()
+        _wait_for_waiters(service, 2)
+        service._lock.release()
+        held = False
+        for t in ts:
+            t.join(timeout=120)
+        by_team = {b["team_a"]: o for b, o in zip(bodies, outs)}
+        assert by_team["Kansas State"][0] == 200, by_team
+        assert by_team["Nowhere University"][0] in (400, 500)
+    finally:
+        if held:
+            service._lock.release()
+
+
+def test_sim_coalescing_deadline_sheds_followers(reference_dir):
+    """The admission deadline bounds a follower's wait too: with the
+    device lock held past deadline_s, queued identical requests shed 503
+    instead of hanging, and the service keeps answering afterwards."""
+    import time as _time
+
+    from fast_monte_carlo_tpu.serve import ServeConfig, SimService, make_server
+
+    cfg = ServeConfig(sp_path=str(reference_dir / "PregameSPPlus2025_1.csv"),
+                      artifact_dir=str(reference_dir), mode="analytic",
+                      max_n_pairs=4096, deadline_s=0.6)
+    service = SimService(cfg)
+    srv = make_server(service, port=0)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        body = {"team_a": "Kansas State", "team_b": "Iowa State",
+                "n_pairs": 64}
+        outs = [None] * 2
+
+        def go(i):
+            outs[i] = _post(base + "/sim", body)
+
+        service._lock.acquire()
+        try:
+            ts = [threading.Thread(target=go, args=(i,)) for i in range(2)]
+            for t in ts:
+                t.start()
+            _wait_for_waiters(service, 2)
+            _time.sleep(1.0)    # past the 0.6s deadline
+        finally:
+            service._lock.release()
+        for t in ts:
+            t.join(timeout=60)
+        assert [o[0] for o in outs] == [503, 503], outs
+        code, out = _post(base + "/sim", body)   # lock free: serves again
+        assert code == 200, out
+    finally:
+        srv.shutdown()
+        srv.server_close()
