@@ -199,6 +199,14 @@ def test_win_prob_proxy_default_on(contexts):
     so this is a regression pin, not a flaky sample; the bound is the
     criterion widened by the honest SE at this power (2-seed cache-draw
     spread 0.74pp/√2 + sampling), exactly the full test's formula.
+
+    The +0.44pp engine-high offset this pin tolerates is quantitatively
+    closed (VALIDATION.md "Error budget", round 5): it is the cache-key
+    granularity gap — the engine's nano-layer coherent freeze lifts
+    win_A +1.13pp while the reference's finer cache keys lift −0.21pp
+    (default-quality tables, frozen at their finer sd axes, land between
+    at +0.18pp) — measured by the pre-registered 2×2 ablation in
+    benchmarks/error_budget.py, not an unexplained bias.
     """
     from fast_monte_carlo_tpu.api import MatchupRunner
 
