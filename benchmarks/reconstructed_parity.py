@@ -1,0 +1,88 @@
+"""Reconstructed-mode referee stream + high-power parity (VERDICT r4 #6).
+
+The full-fidelity RECONSTRUCTED mode (config.reconstructed_config +
+models.heads.load_reconstructed_heads: recovered ML play policy, repo-
+trained stage-2, non-unit temperature T=1.45) gets its own committed
+referee stream (`benchmarks/oracle_reconstructed_{n}.npz`, CPU oracle,
+seed 321) and an engine-vs-oracle win-prob bound, mirroring
+ml_policy_parity.py.  tests/test_reconstructed.py pins the default-on
+reduced-power version against the committed stream.
+
+Usage: python benchmarks/reconstructed_parity.py [n_oracle] [engine_pairs]
+"""
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", str(REPO / ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
+import numpy as np
+
+from fast_monte_carlo_tpu.api import MatchupRunner
+from fast_monte_carlo_tpu.config import reconstructed_config
+from fast_monte_carlo_tpu.data import build_team_context_from_sp_flex, load_sp_flex
+from fast_monte_carlo_tpu.models.heads import load_reconstructed_heads
+
+n_oracle = int(sys.argv[1]) if len(sys.argv) > 1 else 8000
+n_pairs = int(sys.argv[2]) if len(sys.argv) > 2 else 131072
+
+cfg = reconstructed_config()
+sp = load_sp_flex("/root/reference/PregameSPPlus2025_1.csv")
+A = build_team_context_from_sp_flex("Kansas State", 2025, 1, sp)
+B = build_team_context_from_sp_flex("Iowa State", 2025, 1, sp)
+heads = load_reconstructed_heads()
+assert heads.play is not None and heads.stage2 is not None
+assert heads.play_temperature != 1.0, "overlay temperature not loaded"
+
+cache = REPO / "benchmarks" / f"oracle_reconstructed_{n_oracle}.npz"
+if cache.exists():
+    o_sc = np.load(cache)["score"]
+    print(f"oracle scores: loaded {len(o_sc)} from {cache.name}", flush=True)
+else:
+    from fast_monte_carlo_tpu.oracle import OracleMatchup
+    m = OracleMatchup(A, B, heads, cfg)
+    rng = np.random.default_rng(321)
+    t0 = time.perf_counter()
+    o_sc = np.asarray([m.simulate_game(i % 2, rng)["score"]
+                       for i in range(n_oracle)], dtype=float)
+    np.savez_compressed(cache, score=o_sc)
+    print(f"oracle: {n_oracle} games in {time.perf_counter()-t0:.0f}s",
+          flush=True)
+
+r = MatchupRunner(A, B, heads, cfg, mode="table", table_quality="nano")
+t0 = time.perf_counter()
+out = r.run_pairs(n_pairs, seed=21, collect_players=False,
+                  collect_stats=False)
+e_sc = np.asarray(out.score, dtype=float)
+print(f"engine: {len(e_sc)} games in {time.perf_counter()-t0:.1f}s",
+      flush=True)
+
+o_win = float((o_sc[:, 0] > o_sc[:, 1]).mean())
+e_win = float((e_sc[:, 0] > e_sc[:, 1]).mean())
+se = float(np.sqrt(o_win * (1 - o_win) / len(o_sc)
+                   + e_win * (1 - e_win) / len(e_sc)))
+z = (e_win - o_win) / se
+o_m, e_m = o_sc[:, 0] - o_sc[:, 1], e_sc[:, 0] - e_sc[:, 1]
+md = f"""## Reconstructed mode: high-power parity (VERDICT r4 #6)
+
+reconstructed_config() + load_reconstructed_heads(): recovered 5-class
+play policy @ T={heads.play_temperature}, repo-trained stage-2; Kansas
+State vs Iowa State.
+
+| quantity | oracle (n={len(o_sc)}) | engine nano (n={len(e_sc)}) | test |
+|---|---|---|---|
+| win% A | {o_win:.4f} | {e_win:.4f} | Δ {100*(e_win-o_win):+.2f}pp, z = {z:+.2f} |
+| mean margin | {o_m.mean():+.2f} | {e_m.mean():+.2f} | |
+| sd margin | {o_m.std(ddof=1):.2f} | {e_m.std(ddof=1):.2f} | |
+| mean total | {(o_sc.sum(1)).mean():.2f} | {(e_sc.sum(1)).mean():.2f} | |
+
+verdict: {"PASS" if abs(z) < 3.0 else "FAIL"} (|z| < 3)
+"""
+(REPO / "benchmarks" / "RECONSTRUCTED_PARITY.md").write_text(md)
+print(md, flush=True)

@@ -206,6 +206,30 @@ def calibration_report(predictions: pd.DataFrame, results: pd.DataFrame,
     return rep
 
 
+def fit_calibration(rep: Dict):
+    """Affine market calibration fitted from a backtest report (round 5,
+    VERDICT r4 #8): shifts = the negated margin/total point biases.
+    SHIFT-ONLY by design — dispersion (scale) estimates from <~100 games
+    are noise, and the PIT/KS block (the dispersion instrument) flags
+    location, not width, on the 2025 data.  Returns
+    (edge.MarketCalibration, {shift SEs}) for the opt-in
+    `market_odds_from_summary(..., calibration=...)` path; the SEs let
+    the caller judge whether a shift is significant before applying."""
+    from .edge import MarketCalibration
+
+    joined = rep["rows"]
+    m_err = np.asarray(joined["mean_margin_a"] - joined["actual_margin_a"],
+                       float)
+    t_err = np.asarray(joined["mean_total"] - joined["actual_total"], float)
+    c = MarketCalibration(margin_shift=round(-float(m_err.mean()), 3),
+                          total_shift=round(-float(t_err.mean()), 3))
+    ses = {"margin_shift_se": round(float(m_err.std(ddof=1)
+                                          / np.sqrt(len(m_err))), 3),
+           "total_shift_se": round(float(t_err.std(ddof=1)
+                                         / np.sqrt(len(t_err))), 3)}
+    return c, ses
+
+
 def backtest_slate(
     games: List[Tuple[str, str]],
     results: pd.DataFrame,

@@ -21,11 +21,19 @@ def _cmd_sim(args) -> int:
     from .api import csv_base_from, simulate_upcoming_matchup
 
     cfg = None
+    heads = None
+    if getattr(args, "reconstructed", False):
+        # full-fidelity reconstructed mode: recovered ML play policy +
+        # repo-trained stage-2 + non-unit temperature overlay
+        from .config import reconstructed_config
+        from .models.heads import load_reconstructed_heads
+        cfg = reconstructed_config()
+        heads = load_reconstructed_heads(args.artifacts)
     if getattr(args, "sd_mode", "axis") != "axis":
         import dataclasses
 
         from .config import SimConfig
-        cfg = SimConfig()
+        cfg = cfg or SimConfig()
         cfg = cfg.replace(engine=dataclasses.replace(cfg.engine,
                                                      sd_mode=args.sd_mode))
     save = csv_base_from(args.team_a, args.team_b, args.week) if args.save else None
@@ -33,7 +41,7 @@ def _cmd_sim(args) -> int:
         args.team_a, args.team_b, year=args.year, week=args.week,
         sp_path=args.sp, artifact_dir=args.artifacts, focus_csv=args.focus,
         n=args.n, collect_players=args.players, save_csv=save, mode=args.mode,
-        seed=args.seed, cfg=cfg, shard=args.shard)
+        seed=args.seed, cfg=cfg, shard=args.shard, heads=heads)
     print(summary)
     pairs = max(1, len(sims_df) // 2)
     print(f"\nTiming: {meta['total_time_sec']:.2f}s total | {pairs} sims "
@@ -578,6 +586,11 @@ def main(argv=None) -> int:
     ps.add_argument("--save", action="store_true")
     ps.add_argument("--shard", action="store_true",
                     help="shard the trial axis over all devices")
+    ps.add_argument("--reconstructed", action="store_true",
+                    help="full-fidelity reconstructed mode: recovered ML "
+                         "play policy + repo-trained stage-2 + non-unit "
+                         "temperature (config.reconstructed_config + the "
+                         "committed artifact overlay)")
     ps.add_argument("--sd-mode", default="axis", dest="sd_mode",
                     choices=["axis", "frozen", "marginal", "cachewarm"],
                     help="score_diff treatment for the table heads "

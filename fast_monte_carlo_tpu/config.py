@@ -349,6 +349,27 @@ class SimConfig:
 DEFAULT_CONFIG = SimConfig()
 
 
+def reconstructed_config() -> SimConfig:
+    """Full-fidelity RECONSTRUCTED mode (round 5, VERDICT r4 #6): the
+    reference as its artifacts were MEANT to run, rather than as the
+    snapshot can run it — recovered 5-class ML play policy
+    (`play_model.xgb`, use_play_model=True) + the repo-trained stage-2
+    head + a non-unit softmax temperature, the last two loaded from the
+    committed overlay via `models.heads.load_reconstructed_heads()`
+    (which fills what the snapshot is missing:
+    `fast_monte_carlo_cfb.py:326-341` calibration.json, `:642-655`
+    pass_stage2_notcomplete.json — both absent, SURVEY §0.1).
+
+    One flag turns it on end-to-end: pass this config + those heads to
+    any runner/API call (`cli sim --reconstructed`).  Its own committed
+    referee stream is `benchmarks/oracle_reconstructed_8000.npz`, bound
+    by the default-on test in tests/test_reconstructed.py.
+    """
+    c = SimConfig()
+    return c.replace(
+        model=dataclasses.replace(c.model, use_play_model=True))
+
+
 def classic_config() -> SimConfig:
     """Constants of the original serial variant (`monte_carlo_cfb.py`), for
     A/B calibration work.  Deltas per SURVEY §2.3 (mc file:line cited there).

@@ -171,7 +171,8 @@ def _artifacts_fp(d: Path) -> tuple:
 
 
 def load_heads(artifact_dir: str | Path, *, use_play_pickle: bool = True,
-               memoize: bool = True) -> ModelHeads:
+               memoize: bool = True,
+               overlay_dir: Optional[str | Path] = None) -> ModelHeads:
     """Load + compile every artifact present in `artifact_dir`.
 
     Artifact names follow the reference repo exactly.  `use_play_pickle`
@@ -179,8 +180,42 @@ def load_heads(artifact_dir: str | Path, *, use_play_pickle: bool = True,
     ``play_model.json`` is absent (the snapshot ships only the pickle).
     Repeat calls with unchanged artifact files return one shared
     (immutable-by-convention) instance; ``memoize=False`` opts out.
+
+    `overlay_dir` fills the artifacts the snapshot is MISSING from a
+    second directory (the reconstructed-mode overlay,
+    `load_reconstructed_heads`): its stage-2 head (+ class order) and
+    `calibration.json` temperature replace the base values when present.
+    Only those fields merge — the overlay is the stage-2/temperature
+    reconstruction, not a general override mechanism.
     """
     d = Path(artifact_dir)
+    if overlay_dir is not None:
+        import dataclasses as _dc
+        od = Path(overlay_dir)
+        if memoize:
+            key = ("overlay", str(d.resolve()), str(od.resolve()),
+                   use_play_pickle, _artifacts_fp(d), _artifacts_fp(od))
+            hit = _HEADS_MEMO.get(key)
+            if hit is not None:
+                return hit
+        base = load_heads(d, use_play_pickle=use_play_pickle,
+                          memoize=memoize)
+        over = load_heads(od, use_play_pickle=use_play_pickle,
+                          memoize=memoize)
+        fields = {}
+        if over.stage2 is not None:
+            fields["stage2"] = over.stage2
+            fields["stage2_class_order"] = over.stage2_class_order
+        calib = _maybe(od / "calibration.json")
+        if calib:
+            fields["play_temperature"] = float(
+                json.loads(calib.read_text()).get("temperature", 1.0))
+        merged = _dc.replace(base, **fields)
+        if memoize:
+            while len(_HEADS_MEMO) >= _HEADS_MEMO_MAX:
+                _HEADS_MEMO.pop(next(iter(_HEADS_MEMO)))
+            _HEADS_MEMO[key] = merged
+        return merged
     if memoize:
         key = (str(d.resolve()), use_play_pickle, _artifacts_fp(d))
         hit = _HEADS_MEMO.get(key)
@@ -366,3 +401,17 @@ def _remap_split_indices(model: dict, mapping: dict, n_features: int) -> None:
             mapping.get(int(s), int(s)) if left[i] != -1 else 0
             for i, s in enumerate(t["split_indices"])
         ]
+
+
+RECONSTRUCTED_DIR = Path(__file__).resolve().parent.parent / "artifacts" / "reconstructed"
+
+
+def load_reconstructed_heads(artifact_dir: str | Path = "/root/reference",
+                             **kw) -> ModelHeads:
+    """Heads for the full-fidelity RECONSTRUCTED mode
+    (config.reconstructed_config): the snapshot's artifacts plus the
+    committed overlay (`fast_monte_carlo_tpu/artifacts/reconstructed/`,
+    built by benchmarks/build_reconstructed.py) filling the two the
+    snapshot is missing — the stage-2 not-complete head and the play
+    model's softmax temperature (calibration.json)."""
+    return load_heads(artifact_dir, overlay_dir=RECONSTRUCTED_DIR, **kw)

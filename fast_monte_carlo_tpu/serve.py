@@ -323,16 +323,19 @@ class SimService:
         if item.err is not None:
             raise item.err
         row, summary = item.out
+        calib = _calibration_from_body(body)
         out = {
             "summary": row,
-            "moneyline": jsonable(summary_moneyline(summary, ta, tb)),
+            "moneyline": jsonable(summary_moneyline(summary, ta, tb,
+                                                    calibration=calib)),
         }
         spread, total = body.get("spread"), body.get("total")
         if spread is not None or total is not None:
             out["markets"] = jsonable(market_odds_from_summary(
                 summary, ta, tb,
                 spread=None if spread is None else float(spread),
-                total=None if total is None else float(total)))
+                total=None if total is None else float(total),
+                calibration=calib))
             alt = body.get("alt")
             if alt:
                 from .edge import alt_lines_from_summary
@@ -415,9 +418,10 @@ class SimService:
         if not item.evt.wait(timeout):
             raise Overloaded(
                 f"queue wait exceeded deadline_s={dl}; retry later")
-        with self._lat_lock:
-            self._coalesced += 1
-            self._latency["sim"].append(time.perf_counter() - t0)
+        if item.err is None:    # the ring records completed requests only
+            with self._lat_lock:
+                self._coalesced += 1
+                self._latency["sim"].append(time.perf_counter() - t0)
 
     def live(self, body: dict) -> dict:
         """In-game win probability + live market pricing: resume trials
@@ -646,6 +650,31 @@ class SimService:
                 round_robin=rr)
         return {"parlay": jsonable(res),
                 "elapsed_s": round(time.perf_counter() - t0, 3)}
+
+
+def _calibration_from_body(body: dict):
+    """Optional opt-in affine market calibration from a request body:
+    `"calibration": {"margin_shift": -2.0, "total_shift": -15.0,
+    "margin_scale": 1.0, "total_scale": 1.0}` (any subset of keys;
+    backtest.fit_calibration produces the values).  None when absent."""
+    raw = body.get("calibration")
+    if raw is None:
+        return None
+    from .edge import MarketCalibration
+
+    if not isinstance(raw, dict):
+        raise ValueError("calibration must be a JSON object of "
+                         "margin/total shift/scale fields")
+    allowed = {"margin_shift", "margin_scale", "total_shift", "total_scale"}
+    bad = set(raw) - allowed
+    if bad:
+        raise ValueError(f"unknown calibration fields {sorted(bad)}; "
+                         f"allowed: {sorted(allowed)}")
+    vals = {k: float(v) for k, v in raw.items()}
+    for k in ("margin_scale", "total_scale"):
+        if vals.get(k, 1.0) <= 0:
+            raise ValueError(f"{k} must be positive")
+    return MarketCalibration(**vals)
 
 
 def _situation_from_body(d: dict):

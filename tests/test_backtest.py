@@ -166,3 +166,51 @@ def test_backtest_slate_end_to_end(reference_dir):
     # the reversed results row joined back in prediction orientation
     ksu = rows[rows["team_b"] == "Iowa State"].iloc[0]
     assert (ksu["actual_a"], ksu["actual_b"]) == (24, 20)
+
+
+def test_dist_affine_and_market_calibration():
+    """Opt-in affine calibration (round 5): Dist.affine shifts location /
+    scales dispersion about the mean in BOTH representations; the
+    MarketCalibration wrapper keeps spread + moneyline + total mutually
+    consistent through market_odds_from_summary."""
+    from fast_monte_carlo_tpu.edge import Dist, MarketCalibration
+
+    rng = np.random.default_rng(0)
+    vals = rng.normal(55.0, 10.0, 4000)
+    d = Dist.from_values(vals)
+    d2 = d.affine(shift=-15.0)
+    assert d2.mean() == pytest.approx(d.mean() - 15.0, abs=1e-9)
+    assert d2.n == d.n
+    d3 = d.affine(scale=2.0)
+    assert d3.mean() == pytest.approx(d.mean(), abs=1e-6)
+    assert np.std(d3.values) == pytest.approx(2 * np.std(vals), rel=1e-9)
+    # histogram path: support transforms, counts untouched
+    cnt = np.array([1.0, 2.0, 3.0])
+    h = Dist.from_hist(cnt, np.array([50.0, 55.0, 60.0]))
+    h2 = h.affine(shift=-15.0)
+    assert h2.mean() == pytest.approx(h.mean() - 15.0, abs=1e-9)
+    assert (h2.counts == cnt).all() and h2.n == h.n
+    assert h.affine() is h     # identity short-circuits
+    c = MarketCalibration(total_shift=-15.0, margin_shift=2.0)
+    assert c.total(h).mean() == pytest.approx(h.mean() - 15.0, abs=1e-9)
+    assert c.margin(h).mean() == pytest.approx(h.mean() + 2.0, abs=1e-9)
+
+
+def test_fit_calibration_from_report():
+    """fit_calibration returns the negated point biases as shifts, with
+    per-shift SEs, consumable by market_odds_from_summary."""
+    from fast_monte_carlo_tpu.backtest import fit_calibration
+    from fast_monte_carlo_tpu.edge import MarketCalibration
+
+    rows = pd.DataFrame({
+        "mean_margin_a": [5.0, 3.0, -2.0, 6.0],
+        "actual_margin_a": [1.0, -1.0, -4.0, 2.0],   # model +3.5 hot
+        "mean_total": [60.0, 55.0, 50.0, 58.0],
+        "actual_total": [45.0, 41.0, 36.0, 42.0],    # model +14.75 hot
+    })
+    c, ses = fit_calibration({"rows": rows})
+    assert isinstance(c, MarketCalibration)
+    assert c.margin_shift == pytest.approx(-3.5)
+    assert c.total_shift == pytest.approx(-14.75)
+    assert c.margin_scale == 1.0 and c.total_scale == 1.0
+    assert ses["margin_shift_se"] > 0 and ses["total_shift_se"] > 0

@@ -594,3 +594,29 @@ def test_sim_coalescing_deadline_sheds_followers(reference_dir):
     finally:
         srv.shutdown()
         srv.server_close()
+
+
+def test_sim_calibration_body_field(server):
+    """Opt-in market calibration through the /sim body: total_shift moves
+    the priced total market; bad fields 400."""
+    base, _ = server
+    body = {"team_a": "Kansas State", "team_b": "Iowa State",
+            "n_pairs": 256, "spread": -3.5, "total": 44.5, "seed": 5}
+    code, plain = _post(base + "/sim", body)
+    assert code == 200, plain
+    code, calib = _post(base + "/sim",
+                        {**body, "calibration": {"total_shift": -10.0}})
+    assert code == 200, calib
+    assert calib["markets"]["total"]["mean_total"] == pytest.approx(
+        plain["markets"]["total"]["mean_total"] - 10.0, abs=1e-6)
+    assert calib["markets"]["total"]["p_over"] \
+        < plain["markets"]["total"]["p_over"]
+    # margin untouched when only the total shifts
+    assert calib["markets"]["spread"]["p_cover"] == \
+        plain["markets"]["spread"]["p_cover"]
+    assert calib["moneyline"] == plain["moneyline"]
+    code, out = _post(base + "/sim", {**body, "calibration": {"nope": 1}})
+    assert code == 400 and "unknown calibration fields" in out["error"]
+    code, out = _post(base + "/sim",
+                      {**body, "calibration": {"total_scale": -1}})
+    assert code == 400
