@@ -67,12 +67,18 @@ def test_reconstructed_stage2_probs_are_sane(reference_dir):
 @pytest.mark.slow   # one nano table build for the reconstructed cfg (~1 min)
 def test_reconstructed_engine_matches_committed_stream(reference_dir):
     """DEFAULT-ON parity bound: engine (nano tables, reconstructed mode)
-    vs the mode's committed 8,000-game oracle stream.  Deterministic
-    (fixed seeds, stream on disk) — a regression pin with the bound set
-    to the nano-quantization allowance + 3.5 sampling SEs (the ML-policy
-    parity measured ~-1pp nano quantization under the play model,
-    benchmarks/ML_POLICY_PARITY.md; benchmarks/RECONSTRUCTED_PARITY.md
-    records the high-power version of this exact comparison)."""
+    vs the mode's committed 8,000-game MEMOIZED oracle stream.
+    Deterministic (fixed seeds, stream on disk) — a regression pin with
+    the bound set to a 1.5pp freeze-lift allowance + 3.5 sampling SEs:
+    the memoized referee sits ~+1.9pp above the engine and the round-5
+    diagnosis pinned that on the referee's caches, not the engine —
+    table-quality-INVARIANT (nano/turbo/default within 0.07pp), and the
+    memoize=False oracle probe
+    (benchmarks/oracle_reconstructed_nomemo_4096.npz: 0.56616 ± 0.77pp)
+    agrees with the engine (0.5599, z = -0.8) while sitting +1.3pp below
+    the memoized stream — the same cache-freeze mechanism the main error
+    budget measures (benchmarks/RECONSTRUCTED_PARITY.md;
+    VALIDATION.md round 5)."""
     from fast_monte_carlo_tpu.api import MatchupRunner
     from fast_monte_carlo_tpu.config import reconstructed_config
     from fast_monte_carlo_tpu.data import (build_team_context_from_sp_flex,
