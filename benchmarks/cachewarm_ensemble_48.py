@@ -6,6 +6,15 @@ games can't tighten it, more warm seeds can (VALIDATION.md round-4
 extension).  The 16 new seeds are the consecutive integers 31..46 —
 chosen before running, no selection (the same preregistration rule as
 rounds 3 and 4).  524,288 games per seed (SE 0.07pp) as before.
+
+OUTCOME (2026-08-20, cachewarm_ensemble_48.log): seed 42 of the new
+range was already an ORIGINAL warm seed, so the ensemble grows to 47
+DISTINCT seeds (the 42 re-run reproduced its round-3 value 0.61903
+bitwise — a free determinism check).  Ensemble mean **0.60996**, seed
+sd 0.941pp, SE 0.137pp; Δ vs the 319,488-game cold referee (0.6065) =
+**+0.346pp ± 0.16pp** (z ≈ 2.1) — the mean moved TOWARD the referee
+again (0.61052 -> 0.60996) and the ±0.5pp criterion holds with more
+margin.
 """
 import sys, time, dataclasses
 sys.path.insert(0, '/root/repo')
