@@ -1525,20 +1525,25 @@ def alt_lines_from_summary(summary, team: str, opp: str, *,
                            spread: Optional[float] = None,
                            total: Optional[float] = None,
                            width: float = 12.0, step: float = 1.0,
-                           price: int = -110) -> Dict[str, pd.DataFrame]:
+                           price: int = -110,
+                           calibration: Optional[MarketCalibration] = None,
+                           ) -> Dict[str, pd.DataFrame]:
     """Alternate spread/total ladders centered on the quoted lines, off a
     device-reduced ScoreSummary's histograms (team == side 0).  Zero extra
     simulation or device transfer — the ladders re-query the histograms
-    the main markets already read."""
+    the main markets already read.  `calibration` applies the same affine
+    correction as market_odds_from_summary, so ladder rows can never
+    disagree with a calibrated main line."""
+    c = calibration or MarketCalibration()
     out: Dict[str, pd.DataFrame] = {}
     if spread is not None:
         out["spread"] = alt_spread_table(
-            summary_margin_dist(summary), team, opp,
+            c.margin(summary_margin_dist(summary)), team, opp,
             ladder_lines(spread, width, step), price=price)
     if total is not None:
         out["total"] = alt_total_table(
-            summary_total_dist(summary), ladder_lines(total, width, step),
-            price=price)
+            c.total(summary_total_dist(summary)),
+            ladder_lines(total, width, step), price=price)
     return out
 
 

@@ -305,6 +305,9 @@ class SimService:
         mode = self._mode(body)
         shard = bool(body.get("shard", self.cfg.shard))
         seed = int(body.get("seed", 0))
+        # parse per-request knobs BEFORE joining a batch: a malformed
+        # body must 400 without costing a device launch
+        calib = _calibration_from_body(body)
         group = (n_pairs, mode, shard, seed)
         with self._batch_lock:
             batch = self._sim_batches.get(group)
@@ -323,7 +326,6 @@ class SimService:
         if item.err is not None:
             raise item.err
         row, summary = item.out
-        calib = _calibration_from_body(body)
         out = {
             "summary": row,
             "moneyline": jsonable(summary_moneyline(summary, ta, tb,
@@ -351,7 +353,8 @@ class SimService:
                         summary, ta, tb,
                         spread=None if spread is None else float(spread),
                         total=None if total is None else float(total),
-                        width=width, step=step).items()}
+                        width=width, step=step,
+                        calibration=calib).items()}
         out["elapsed_s"] = round(time.perf_counter() - t0, 3)
         return out
 

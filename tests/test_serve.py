@@ -615,6 +615,16 @@ def test_sim_calibration_body_field(server):
     assert calib["markets"]["spread"]["p_cover"] == \
         plain["markets"]["spread"]["p_cover"]
     assert calib["moneyline"] == plain["moneyline"]
+    # the alt ladder honors the same calibration: its row AT the quoted
+    # total matches the calibrated main market (rows can never disagree)
+    code, out = _post(base + "/sim",
+                      {**body, "alt": {"width": 2, "step": 1},
+                       "calibration": {"total_shift": -10.0}})
+    assert code == 200, out
+    row = [r for r in out["alt"]["total"]
+           if r["total"] == pytest.approx(44.5)][0]
+    assert row["p_over"] == pytest.approx(
+        out["markets"]["total"]["p_over"], abs=1e-9)
     code, out = _post(base + "/sim", {**body, "calibration": {"nope": 1}})
     assert code == 400 and "unknown calibration fields" in out["error"]
     code, out = _post(base + "/sim",
