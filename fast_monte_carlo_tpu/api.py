@@ -432,13 +432,17 @@ def _device_situation(sit: Situation) -> Situation:
 def _live_moments_jit(cfg: SimConfig, heads_fn):
     """Score-only live launch reduced to ScoreMoments on device; the
     Situation argument is a pytree of scalars (runtime input, not a
-    recompile key)."""
+    recompile key).  AotJit: a warm ServeConfig.aot_dir boots /live with
+    zero compiles too (same switch as _shared_sim_jit)."""
     from .parallel.aggregate import score_moments
+    from .utils.aot import AotJit, cfg_fingerprint
 
-    return jax.jit(
+    return AotJit(
         lambda pack, hs, key, sit, n: score_moments(simulate_games(
             pack, cfg, heads_fn, hs, key, n, 0, collect_players=False,
             collect_stats=False, situation=sit).score),
+        key=f"live_v1_{cfg_fingerprint(cfg)}_"
+            f"{getattr(heads_fn, '__qualname__', 'h')}",
         static_argnums=(4,))
 
 

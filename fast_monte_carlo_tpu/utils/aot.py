@@ -203,6 +203,12 @@ class AotJit:
         self._jit = jax.jit(fn, static_argnums=static_argnums)
         self._exes: dict = {}
 
+    def _cache_size(self):
+        """jax.jit-compatible trace-cache probe (tests pin no-recompile
+        behavior with it); counts the inner jit's traces plus any AOT
+        executables served for distinct signatures."""
+        return self._jit._cache_size() + len(self._exes)
+
     def _sig(self, args: tuple):
         import jax
         import jax.numpy as jnp
@@ -242,15 +248,24 @@ class AotJit:
             import re
             safe = re.sub(r"[^A-Za-z0-9_.-]", "", self._key)
             skey = f"{safe}_{hashlib.sha256(repr(sig).encode()).hexdigest()[:10]}"
+            verbose = bool(os.environ.get("FMC_AOT_DEBUG"))
             try:
                 exe = aot_compile_cached(bound, tuple(args[i] for i in dyn_idx),
-                                         key=skey, cache_dir=d)
-            except Exception:
+                                         key=skey, cache_dir=d,
+                                         verbose=verbose)
+            except Exception as e:
+                if verbose:
+                    print(f"# aot[{skey}]: compile path failed "
+                          f"({type(e).__name__}: {e}); staying on jit")
                 exe = None  # lower/compile path failed: stay on jit
             ent = self._exes[sig] = {"exe": exe, "dyn": dyn_idx}
         if ent["exe"] is not None:
             try:
                 return ent["exe"](*(args[i] for i in ent["dyn"]))
-            except Exception:
+            except Exception as e:
+                if os.environ.get("FMC_AOT_DEBUG"):
+                    print(f"# aot[{self._key}]: executable call failed "
+                          f"({type(e).__name__}: {e}); permanent jit "
+                          f"fallback for this signature")
                 ent["exe"] = None   # e.g. deserialized-exe arg refusal
         return self._jit(*args)

@@ -37,7 +37,13 @@ _MAX_WIRE_ELEMS = 4_000_000
 
 @lru_cache(maxsize=64)
 def _packer(spec):
-    """Jitted leaf-packer for one (shape, dtype) signature."""
+    """Jitted leaf-packer for one (shape, dtype) signature.  AotJit: on a
+    COLD axon server-cache window even this tiny program costs minutes to
+    compile (CLAUDE.md bench protocol), so a warm ServeConfig.aot_dir
+    snapshots it along with the launch programs (plain jax.jit when no
+    aot dir is active)."""
+    from .aot import AotJit
+
     def pack(*leaves):
         flat = []
         for x, (_, dt) in zip(leaves, spec):
@@ -50,7 +56,8 @@ def _packer(spec):
             else:
                 flat.append(x)
         return jnp.concatenate(flat)
-    return jax.jit(pack)
+    import hashlib
+    return AotJit(pack, key=f"pack_v1_{hashlib.sha256(repr(spec).encode()).hexdigest()[:10]}")
 
 
 def fetch_tree(tree):
