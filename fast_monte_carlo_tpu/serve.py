@@ -173,6 +173,9 @@ class SimService:
         self._batch_lock = threading.Lock()
         self._sim_batches: dict = {}
         self._coalesced = 0   # requests answered from a shared launch
+        # generic single-flight for the OTHER deterministic endpoints:
+        # identical concurrent bodies share one computation
+        self._inflight: dict = {}
 
     @contextmanager
     def _admit(self, endpoint: str, t0: float):
@@ -197,6 +200,45 @@ class SimService:
         with self._lat_lock:
             self._latency[endpoint].append(time.perf_counter() - t0)
 
+    def _single_flight(self, endpoint: str, body: dict, compute):
+        """Share one computation across concurrent IDENTICAL requests.
+
+        Every served endpoint is deterministic in its body (fixed seeds,
+        committed artifacts), so two identical in-flight requests must
+        return identical answers — the second can wait for the first's
+        launch instead of queuing its own (the /live and /fourth polling
+        patterns hit this constantly).  Leader computes under its own
+        `_admit`; followers wait bounded by the admission deadline and
+        get a shallow copy of the response (each request stamps its own
+        elapsed_s).  Any leader failure propagates to all waiters.
+        /sim has the richer cross-matchup batcher instead."""
+        key = (endpoint, json.dumps(body, sort_keys=True, default=str))
+        t0 = time.perf_counter()
+        with self._batch_lock:
+            item = self._inflight.get(key)
+            leader = item is None
+            if leader:
+                item = self._inflight[key] = _BatchItem()
+            item.waiters += 1
+        if leader:
+            try:
+                item.out = compute()
+            except BaseException as e:
+                item.err = e
+                raise
+            finally:
+                with self._batch_lock:
+                    if self._inflight.get(key) is item:
+                        del self._inflight[key]
+                item.evt.set()
+        else:
+            self._await_batch_item(item, t0, endpoint=endpoint)
+            if item.err is not None:
+                raise item.err
+        out = dict(item.out)
+        out["elapsed_s"] = round(time.perf_counter() - t0, 3)
+        return out
+
     # -- warmup ---------------------------------------------------------
     def warm(self, games=None, n_pairs: int = 256) -> dict:
         """Optional pre-hydration: load heads + SP table now (and, given
@@ -215,6 +257,15 @@ class SimService:
         return out
 
     # -- endpoints ------------------------------------------------------
+    def handle(self, name: str, body: dict) -> dict:
+        """Route one POST: /sim goes to its cross-matchup batcher; every
+        other endpoint gets identical-request single-flight (both are
+        exact: all endpoints are deterministic in their body)."""
+        if name == "sim":
+            return self.sim(body)
+        return self._single_flight(name, body,
+                                   lambda: getattr(self, name)(body))
+
     def health(self) -> dict:
         import jax
 
@@ -429,7 +480,8 @@ class SimService:
                     it.evt.set()
             raise
 
-    def _await_batch_item(self, item: _BatchItem, t0) -> None:
+    def _await_batch_item(self, item: _BatchItem, t0,
+                          endpoint: str = "sim") -> None:
         """Follower path: wait for the leader's launch (bounded by the
         admission deadline) and record this request's own latency."""
         dl = self.cfg.deadline_s
@@ -442,7 +494,7 @@ class SimService:
         if item.err is None:    # the ring records completed requests only
             with self._lat_lock:
                 self._coalesced += 1
-                self._latency["sim"].append(time.perf_counter() - t0)
+                self._latency[endpoint].append(time.perf_counter() - t0)
 
     def live(self, body: dict) -> dict:
         """In-game win probability + live market pricing: resume trials
@@ -754,7 +806,7 @@ class _Handler(BaseHTTPRequestHandler):
             self._reply(400, {"error": f"bad request body: {e}"})
             return
         try:
-            self._reply(200, getattr(self.service, name)(body))
+            self._reply(200, self.service.handle(name, body))
         except Overloaded as e:
             self._reply(503, {"error": str(e)})
         except (KeyError, ValueError, TypeError) as e:

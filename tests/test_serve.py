@@ -630,3 +630,57 @@ def test_sim_calibration_body_field(server):
     code, out = _post(base + "/sim",
                       {**body, "calibration": {"total_scale": -1}})
     assert code == 400
+
+
+def test_live_single_flight_identical_requests(server):
+    """Identical concurrent /live requests share ONE device computation
+    (generic single-flight; the live-polling pattern), and the shared
+    answer equals what each would have computed alone."""
+    import fast_monte_carlo_tpu.api as api
+    base, service = server
+    body = {"team_a": "Kansas State", "team_b": "Iowa State",
+            "offense": "B", "quarter": 4, "clock": "06:30", "down": 2,
+            "dist": 7, "ytg": 35, "score_a": 21, "score_b": 17,
+            "n_games": 512, "seed": 91}
+    calls = []
+    real = api.simulate_live_game
+
+    def counted(*a, **k):
+        calls.append(1)
+        return real(*a, **k)
+
+    api.simulate_live_game = counted
+    outs = [None] * 3
+
+    def go(i):
+        outs[i] = _post(base + "/live", body)
+
+    service._lock.acquire()
+    held = True
+    try:
+        ts = [threading.Thread(target=go, args=(i,)) for i in range(3)]
+        for t in ts:
+            t.start()
+        # wait until all three registered on the in-flight entry
+        import time as _time
+        t0 = _time.perf_counter()
+        while _time.perf_counter() - t0 < 30:
+            with service._batch_lock:
+                if sum(it.waiters for it in service._inflight.values()) >= 3:
+                    break
+            _time.sleep(0.02)
+        service._lock.release()
+        held = False
+        for t in ts:
+            t.join(timeout=120)
+        assert [o[0] for o in outs] == [200] * 3, outs
+        rows = [o[1]["live"] for o in outs]
+        assert rows[1] == rows[0] and rows[2] == rows[0]
+        assert len(calls) == 1                      # ONE launch for three
+        # solo request with a different body computes separately
+        code, solo = _post(base + "/live", {**body, "seed": 92})
+        assert code == 200 and len(calls) == 2
+    finally:
+        if held:
+            service._lock.release()
+        api.simulate_live_game = real
