@@ -81,8 +81,10 @@ def main():
     shed = {"/sim": 0, "/live": 0}
     lock = threading.Lock()
 
-    endpoints = ([("/sim", SIM_BODY)] if args.same_matchup
+    endpoints = ([("/sim", SIM_BODY), ("/live", LIVE_BODY)]
+                 if args.same_matchup
                  else [("/sim", SIM_BODY), ("/live", LIVE_BODY)])
+    # identical /live bodies exercise the generic single-flight path
 
     def client(k):
         for i in range(args.requests):
