@@ -77,6 +77,7 @@ def test_kickoff_situation_equals_initial_state(setup):
         np.testing.assert_array_equal(rv, lv, err_msg=name)
 
 
+@pytest.mark.slow   # full-sim pair; ~2 min standalone (compile unamortized)
 def test_kickoff_situation_simulates_bitwise_equal(setup):
     """simulate_games(situation=kickoff) == simulate_games(first_offense=0)
     under the same key: the live path changes nothing but the start state."""

@@ -364,6 +364,7 @@ def test_live_curve_endpoint(server):
         assert code == 400, (bad, err)
 
 
+@pytest.mark.slow   # four forced-choice launches; ~1.5 min standalone
 def test_fourth_endpoint(server):
     """4th-down decision chart over the wire."""
     base, _ = server
