@@ -64,4 +64,7 @@ def main() -> int:
 
 
 if __name__ == "__main__":
-    raise SystemExit(main())
+    try:
+        raise SystemExit(main())
+    except BrokenPipeError:   # `| head` closed the pipe — not a failure
+        raise SystemExit(0)
